@@ -1,0 +1,271 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2.2–§2.7) re-expressed over
+  * the TPC-H-ish test tables. Each query mirrors the semantics of a
+  * reference operator (cited per query) in idiomatic declarative Spark:
+  * Catalyst gets full visibility (pushdown, pruning, broadcast
+  * selection) and every plan survives a 100× scale-up — dimension joins
+  * are broadcast, fact-fact joins shuffle on their keys, top-k compiles
+  * to TakeOrderedAndProject (no global sort).
+  *
+  * Every double output is rounded in BOTH the Spark code and the oracle
+  * SQL so the driver's hash compare is not FP-order sensitive.
+  */
+object Relational {
+
+  /** Pricing summary — grouped multi-aggregate with array-free measures.
+    * Mirrors daily-counts aggregates (reference `anomaly_detection.py:12-22`,
+    * `psql_db_client.py:194-209`): groupBy low-cardinality keys, partial+final
+    * HashAggregate around one 2-key shuffle. */
+  val q_pricing_summary = QueryDef(
+    "q_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+      |  ROUND(AVG(l_discount), 4) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Top-N frequency — `ORDER BY count DESC LIMIT n` with deterministic
+    * tiebreak; plans as TakeOrderedAndProject, never a global sort.
+    * Mirrors top-10 diseases/symptoms (`app_upgraded.py:80-90`,
+    * `psql_db_client.py:488-496`). */
+  val q_top_parts = QueryDef(
+    "q_top_parts",
+    """SELECT l_partkey, COUNT(*) AS n_lines,
+      |  ROUND(SUM(l_quantity), 2) AS total_qty
+      |FROM lineitem GROUP BY l_partkey
+      |ORDER BY n_lines DESC, l_partkey ASC LIMIT 10""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"), round(sum("l_quantity"), 2).as("total_qty"))
+      .orderBy(col("n_lines").desc, col("l_partkey").asc)
+      .limit(10)
+  }
+
+  /** Simple group counts ordered by frequency — mirrors borough/severity/
+    * source distributions (`app_upgraded.py:102-111,198-209`). */
+  val q_priority_counts = QueryDef(
+    "q_priority_counts",
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  ROUND(SUM(o_totalprice), 2) AS total_price
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY n DESC, o_orderpriority""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy(col("n").desc, col("o_orderpriority"))
+  }
+
+  /** Star join: fact→dim→dim with small dims broadcast (reference's
+    * borough/neighborhood lookup joins J2–J6, `nyc_neighborhoods.py:176-217`).
+    * nation/region are tiny at every SF → explicit broadcast() so the
+    * plan stays shuffle-free on the dimension side at 100 TB. */
+  val q_customer_by_region = QueryDef(
+    "q_customer_by_region",
+    """SELECT r.r_name, COUNT(*) AS n_customers,
+      |  ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+      |FROM customer c
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY r.r_name
+      |ORDER BY r.r_name""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"), round(sum("c_acctbal"), 2).as("total_acctbal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Fact-fact equi-join + aggregate: revenue per priority for one order
+    * year. Both sides large at scale → shuffle join on the key; the date
+    * filter is pushed into the orders parquet scan so only matching
+    * row-groups are read. Mirrors official-vs-informal join J1 shape
+    * (`app_upgraded.py:599-604`). */
+  val q_revenue_by_priority = QueryDef(
+    "q_revenue_by_priority",
+    """SELECT o.o_orderpriority,
+      |  COUNT(DISTINCT o.o_orderkey) AS n_orders,
+      |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Left-anti join — "ids not already present" (reference vector-store
+    * skip-existing J7, `chromadb_client.py:78-96`). */
+  val q_customers_no_orders = QueryDef(
+    "q_customers_no_orders",
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-semi join — EXISTS rewrite (reference array-overlap semi-join P5,
+    * `spatial_clustering.py:176-178`). */
+  val q_parts_shipped_1999 = QueryDef(
+    "q_parts_shipped_1999",
+    """SELECT p_partkey, p_name FROM part p
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey
+      |    AND l.l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      |    AND l.l_shipdate < TIMESTAMP '1999-04-01 00:00:00')
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1999-04-01").cast("timestamp"))
+    Tables.part(spark, dir)
+      .join(li, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Theta/range join against a literal tier dimension — the reference's
+    * point-in-bounding-box lookup J2 (`nyc_neighborhoods.py:190-205`):
+    * broadcast the tiny range table, non-equi predicate, left join. */
+  val q_price_tiers = QueryDef(
+    "q_price_tiers",
+    """WITH tiers(tier, lo, hi) AS (
+      |  VALUES ('budget', 0.0, 50000.0), ('mid', 50000.0, 150000.0),
+      |         ('premium', 150000.0, 500000.0))
+      |SELECT t.tier, COUNT(*) AS n_orders,
+      |  ROUND(SUM(o.o_totalprice), 2) AS total_price
+      |FROM orders o JOIN tiers t ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+      |GROUP BY t.tier ORDER BY t.tier""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val tiers = Seq(
+      ("budget", 0.0, 50000.0), ("mid", 50000.0, 150000.0),
+      ("premium", 150000.0, 500000.0)).toDF("tier", "lo", "hi")
+    Tables.orders(spark, dir)
+      .join(broadcast(tiers), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy(col("tier"))
+  }
+
+  /** CASE WHEN relabel + custom severity ordering (reference
+    * `app_upgraded.py:129-144`): order by a when-ladder rank, not
+    * lexicographically. */
+  val q_order_size_classes = QueryDef(
+    "q_order_size_classes",
+    """SELECT CASE WHEN o_totalprice >= 300000 THEN 'large'
+      |            WHEN o_totalprice >= 100000 THEN 'medium'
+      |            ELSE 'small' END AS size_class,
+      |  COUNT(*) AS n
+      |FROM orders GROUP BY 1
+      |ORDER BY CASE size_class WHEN 'large' THEN 1 WHEN 'medium' THEN 2 ELSE 3 END""".stripMargin) { (spark, dir) =>
+    val cls = when(col("o_totalprice") >= 300000, "large")
+      .when(col("o_totalprice") >= 100000, "medium")
+      .otherwise("small")
+    Tables.orders(spark, dir)
+      .groupBy(cls.as("size_class"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(when(col("size_class") === "large", 1)
+        .when(col("size_class") === "medium", 2).otherwise(3))
+  }
+
+  /** Grouped min/max/corr/stddev statistics panel — A7 (`psql_db_client.py:
+    * 499-503`), A17 correlation (`app_upgraded.py:614-615`). */
+  val q_lineitem_stats = QueryDef(
+    "q_lineitem_stats",
+    """SELECT l_returnflag,
+      |  ROUND(MIN(l_extendedprice), 2) AS min_price,
+      |  ROUND(MAX(l_extendedprice), 2) AS max_price,
+      |  ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_qty,
+      |  ROUND(CORR(l_quantity, l_extendedprice), 4) AS qty_price_corr
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(min("l_extendedprice"), 2).as("min_price"),
+        round(max("l_extendedprice"), 2).as("max_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Distinct counts — A8 (`app_upgraded.py:319-320`). Exact here;
+    * at 100 TB the same query ships as approx_count_distinct (HLL). */
+  val q_distinct_parts_per_status = QueryDef(
+    "q_distinct_parts_per_status",
+    """SELECT l_linestatus, COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** Union + distinct over two normalized subsets — U2
+    * (`app_upgraded.py:393-395`). */
+  val q_key_accounts_union = QueryDef(
+    "q_key_accounts_union",
+    """SELECT * FROM (
+      |  SELECT c_custkey AS acct_key, 'customer' AS kind FROM customer WHERE c_acctbal > 9000
+      |  UNION
+      |  SELECT s_suppkey AS acct_key, 'supplier' AS kind FROM supplier WHERE s_acctbal > 5000
+      |) ORDER BY kind, acct_key""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("acct_key"), lit("customer").as("kind"))
+    val s = Tables.supplier(spark, dir).filter(col("s_acctbal") > 5000)
+      .select(col("s_suppkey").as("acct_key"), lit("supplier").as("kind"))
+    c.unionByName(s).distinct().orderBy(col("kind"), col("acct_key"))
+  }
+
+  /** Set difference — nations with customers EXCEPT nations with
+    * suppliers (U4 existing-vs-new difference, `chromadb_client.py:93-96`). */
+  val q_nations_customers_only = QueryDef(
+    "q_nations_customers_only",
+    """SELECT DISTINCT c_nationkey AS nationkey FROM customer
+      |EXCEPT SELECT DISTINCT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey")).distinct()
+      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")).distinct())
+      .orderBy(col("nationkey"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q_pricing_summary, q_top_parts, q_priority_counts, q_customer_by_region,
+    q_revenue_by_priority, q_customers_no_orders, q_parts_shipped_1999,
+    q_price_tiers, q_order_size_classes, q_lineitem_stats,
+    q_distinct_parts_per_status, q_key_accounts_union, q_nations_customers_only)
+}
