@@ -1,0 +1,311 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline, batch
+  * semantics (SURVEY.md §7.4: symmetric candidate generation with a
+  * deterministic winner, replacing the reference's order-dependent
+  * trailing-cache tiers at `deduplication_consumer.py:224-288`):
+  *
+  *  - exact: content-hash groupBy (tier-1, `deduplication_consumer.py:138-166`)
+  *  - MinHash + LSH banding: shingle → K min-hashes → band buckets →
+  *    bucket-join candidates → exact-Jaccard verify (tier-2 analogue,
+  *    never O(n²) — candidate generation is an equi-join on band buckets)
+  *  - SimHash: weighted word-hash bit votes → fingerprint → pigeonhole
+  *    chunk blocking → Hamming filter (exact at the given radius: with
+  *    `SimChunks` chunks and radius < SimChunks, matching pairs must
+  *    collide on ≥1 chunk, so blocking loses nothing)
+  *
+  * Every hash here is the portable [[TextOps.polyHash]] so each
+  * operator has a bit-exact DuckDB oracle rendered by the *OracleSql
+  * methods from the SAME constants — the oracle is the operator's
+  * specification, not an approximation.
+  *
+  * Scale posture: all stages are shuffle-on-key joins/aggregations over
+  * (doc, shingle)-shaped exploded tables; no driver-side state, no
+  * cross-product. Skewed shingles (ultra-common 5-grams) would salt or
+  * cap via a document-frequency filter at 100 TB.
+  */
+object DedupOps {
+
+  val P: Long = 2147483647L // 2^31 - 1, Mersenne prime
+  val K: Int = 16 // minhash functions
+  val Bands: Int = 4
+  val RowsPerBand: Int = 4
+  require(Bands * RowsPerBand == K)
+
+  /** Deterministic hash-family params, a_i in [1,P), b_i in [0,P). */
+  val hashA: Seq[Long] = (1 to K).map(i => (2654435761L * i) % P match {
+    case 0 => 1L; case a => a
+  })
+  val hashB: Seq[Long] = (1 to K).map(i => (2246822519L * i + 12345L) % P)
+
+  val ShingleN = 5
+  val SimBits = 40 // polyHash(8 chars) covers ~2^41; use low 40 bits
+  val SimChunks = 4 // 4 x 10-bit chunks → exact blocking for radius <= 3
+  val SimChunkBits: Int = SimBits / SimChunks
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup survivors: one row per distinct content hash with the
+    * minimal id as the deterministic winner plus the duplicate count.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Keep-first variant returning full surviving rows (the reference's
+    * keep-last upsert A15 `psql_db_client.py:369-380`, with min-id
+    * winner for batch determinism).
+    */
+  def dedupRows(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Exploded distinct-shingle table: (id, s). */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.charShingles(col(textCol), ShingleN)).as("s"))
+
+  def shingleTableSql(table: String, idCol: String, textCol: String): String =
+    s"""SELECT DISTINCT $idCol AS id, substr($textCol, CAST(g AS INT), $ShingleN) AS s
+       |  FROM $table CROSS JOIN UNNEST(range(1, 2000)) t(g)
+       |  WHERE CAST(g AS INT) <= len($textCol) - ${ShingleN - 1}""".stripMargin
+
+  /** Document-frequency cap for shingles entering similarity indexes.
+    * Ultra-common shingles carry no discrimination signal but quadratic
+    * join cost (a shingle in c docs meets itself c² times), so both the
+    * MinHash and direct-Jaccard paths drop shingles with df > MaxDf —
+    * the classic stop-shingle removal that keeps the inverted-index
+    * join linear at 100 TB. Jaccard is then defined over the
+    * discriminative shingle sets; the oracles replicate the same cap.
+    */
+  val MaxDf = 200
+
+  /** [[shingleTable]] restricted to shingles with df <= [[MaxDf]]. */
+  def discriminativeShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh0 = shingleTable(docs, idCol, textCol)
+    val rare = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf).select(col("s"))
+    sh0.join(rare, "s").select(col("id"), col("s"))
+  }
+
+  /** CTE text (sh0/rare/sh) for [[discriminativeShingles]]. */
+  def discriminativeShinglesSqlCtes(table: String, idCol: String, textCol: String): String =
+    s"""sh0 AS (
+       |  ${shingleTableSql(table, idCol, textCol)}),
+       |rare AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= $MaxDf),
+       |sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN rare USING (s))""".stripMargin
+
+  // -------------------------------------------------------------- minhash
+
+  /** Per-doc minhash signature columns m0..m{K-1} over the
+    * discriminative shingle set.
+    */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = TextOps.polyHash(col("s"), ShingleN) % P
+    val aggs = (0 until K).map(i =>
+      min((lit(hashA(i)) * h + lit(hashB(i))) % P).as(s"m$i"))
+    discriminativeShingles(docs, idCol, textCol)
+      .groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs → exact-Jaccard verified near-duplicates.
+    * Output: (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold
+    * among pairs sharing at least one band bucket.
+    */
+  def minhashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sig = minhashSignature(docs, idCol, textCol)
+    val bandCols = (0 until Bands).map { j =>
+      val ms = (j * RowsPerBand until (j + 1) * RowsPerBand).map(i => col(s"m$i"))
+      struct(lit(j).as("band"), concat_ws("_", ms: _*).as("bucket"))
+    }
+    val buckets = sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
+
+    val sh = discriminativeShingles(docs, idCol, textCol)
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val candIds = cand.select(col("doc_a").as("id"))
+      .union(cand.select(col("doc_b"))).distinct()
+    val shc = sh.join(candIds, "id")
+    val inter = shc.as("a").join(shc.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .join(sz.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** DuckDB oracle for [[minhashNearDuplicates]] over `documents` —
+    * generated from the same hash constants, including the banding.
+    */
+  def minhashOracleSql(threshold: Double): String = {
+    val h = TextOps.polyHashSql("s", ShingleN)
+    val mins = (0 until K).map(i =>
+      s"MIN((${hashA(i)} * ($h % $P) + ${hashB(i)}) % $P) AS m$i").mkString(",\n    ")
+    val bucketRows = (0 until Bands).map { j =>
+      val ms = (j * RowsPerBand until (j + 1) * RowsPerBand).map(i => s"CAST(m$i AS VARCHAR)")
+      s"SELECT id, $j AS band, concat_ws('_', ${ms.mkString(", ")}) AS bucket FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH ${discriminativeShinglesSqlCtes("documents", "doc_id", "text")},
+       |sig AS (
+       |  SELECT id, $mins
+       |  FROM sh GROUP BY id),
+       |buckets AS (
+       |  $bucketRows),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS doc_a, y.id AS doc_b
+       |  FROM buckets x JOIN buckets y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+       |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+       |  WHERE EXISTS (SELECT 1 FROM cand c WHERE c.doc_a = a.id AND c.doc_b = b.id)
+       |  GROUP BY 1, 2)
+       |SELECT c.doc_a, c.doc_b,
+       |  ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+       |FROM cand c
+       |JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sz sa ON sa.id = c.doc_a
+       |JOIN sz sb ON sb.id = c.doc_b
+       |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= $threshold
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** Per-doc SimHash fingerprint over weighted word hashes. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val wc = docs
+      .select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("w"))
+      .groupBy(col("id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", TextOps.wordHash(col("w")))
+    val sums = (0 until SimBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$j")
+    }
+    val fingerprint = (0 until SimBits).map { j =>
+      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce((a, b) => a + b)
+    wc.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"), fingerprint.as("simhash"))
+  }
+
+  /** Near-duplicate pairs with Hamming distance <= maxHamming, found by
+    * pigeonhole chunk blocking (exact for maxHamming < SimChunks).
+    */
+  def simhashNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming < SimChunks, "pigeonhole blocking needs radius < chunks")
+    val sh = simhash(docs, idCol, textCol)
+    val chunkCols = (0 until SimChunks).map { k =>
+      struct(lit(k).as("k"),
+        shiftright(col("simhash"), k * SimChunkBits)
+          .bitwiseAND(lit((1L << SimChunkBits) - 1)).as("c"))
+    }
+    val chunks = sh
+      .select(col("id"), col("simhash"), explode(array(chunkCols: _*)).as("kc"))
+      .select(col("id"), col("simhash"), col("kc.k"), col("kc.c"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.k") === col("y.k") && col("x.c") === col("y.c") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB oracle for [[simhashNearDuplicates]] over `documents`. */
+  def simhashOracleSql(maxHamming: Int): String = {
+    val wh = TextOps.wordHashSql("w")
+    val sums = (0 until SimBits).map(j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN cnt ELSE -cnt END) AS s$j")
+      .mkString(",\n    ")
+    val fp = (0 until SimBits).map(j =>
+      s"CASE WHEN s$j > 0 THEN CAST(1 AS BIGINT) << $j ELSE 0 END")
+      .mkString(" + ")
+    val chunkRows = (0 until SimChunks).map { k =>
+      s"SELECT id, simhash, $k AS k, (simhash >> ${k * SimChunkBits}) & ${(1L << SimChunkBits) - 1} AS c FROM fp"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH wc AS (
+       |  SELECT id, w, cnt, $wh AS h FROM (
+       |    SELECT doc_id AS id, w, COUNT(*) AS cnt
+       |    FROM (SELECT doc_id, unnest(${TextOps.wordsSql("text")}) AS w FROM documents)
+       |    GROUP BY 1, 2)),
+       |sums AS (
+       |  SELECT id, $sums
+       |  FROM wc GROUP BY id),
+       |fp AS (SELECT id, $fp AS simhash FROM sums),
+       |chunks AS (
+       |  $chunkRows)
+       |SELECT DISTINCT x.id AS doc_a, y.id AS doc_b,
+       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |FROM chunks x JOIN chunks y
+       |  ON x.k = y.k AND x.c = y.c AND x.id < y.id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // -------------------------------------- direct n-gram Jaccard (no LSH)
+
+  /** All-pairs n-gram Jaccard >= threshold over the discriminative
+    * shingle sets via the inverted index (pairs sharing no rare shingle
+    * never meet; per-shingle fan-out bounded by MaxDf² — linear-ish at
+    * scale, though the MinHash-LSH path above is still the cheaper one
+    * on a 100 TB corpus).
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sh = discriminativeShingles(docs, idCol, textCol)
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  def ngramJaccardOracleSql(threshold: Double): String =
+    s"""WITH ${discriminativeShinglesSqlCtes("documents", "doc_id", "text")},
+       |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b,
+       |  ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+       |FROM inter i JOIN sz sa ON sa.id = i.doc_a JOIN sz sb ON sb.id = i.doc_b
+       |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+}

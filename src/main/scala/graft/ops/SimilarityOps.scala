@@ -1,0 +1,118 @@
+package graft.ops
+
+import graft.functions.VectorOps
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`ArrayType(FloatType)`) —
+  * the engine's answer to the reference's vector store (kNN query
+  * `chromadb_client.py:194-219`, semantic dedup `deduplication_
+  * consumer.py:198-222`).
+  *
+  * Baseline: exact brute-force cosine top-k with the QUERY side
+  * broadcast — the corpus side streams through executors, so the plan
+  * is a single broadcast-nested-loop + per-query top-k
+  * (window row_number), no corpus shuffle. This is the correct
+  * exact-kNN plan at any corpus size as long as the query batch is
+  * small.
+  *
+  * Scale path: cosine-LSH bucketing (random hyperplane signatures,
+  * seeded/deterministic) cuts candidates per query from |corpus| to a
+  * bucket; see [[hyperplaneSignature]].
+  */
+object SimilarityOps {
+
+  /** Exact top-k neighbors for each query vector.
+    * `queries`/`corpus`: (idCol, vecCol). Ties broken by corpus id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(expr("dot_product(qv, qv)"))))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(expr("dot_product(cv, cv)")))
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** All-pairs cosine >= threshold (embedding near-duplicate surface,
+    * `deduplication_consumer.py:198-222` batch semantics). Brute force
+    * O(n²/2) — verification-scale tool; the LSH-bucketed variant below
+    * is the 100 TB path.
+    */
+  def cosineNearDupPairs(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val v = vectors.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vd"))
+      .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cos",
+        expr("dot_product(a.vd, b.vd)") / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic random-hyperplane signature: bit i of the signature
+    * is sign(v · h_i) where hyperplane h_i's components are derived
+    * from the portable polyHash of (i, component index) — fully
+    * reproducible, no RNG state. Buckets collide for near-parallel
+    * vectors; candidates = same-bucket pairs (tunable recall via
+    * `bits`).
+    */
+  def hyperplaneSignature(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dim: Int): DataFrame = {
+    // h_i[d] in {-1, +1} from a deterministic integer mix
+    def coeff(i: Int, d: Int): Double = {
+      val x = (2654435761L * (i * dim + d + 1)) & 0x7fffffffL
+      if ((x & 1L) == 0L) 1.0 else -1.0
+    }
+    val vd = VectorOps.asDouble(col(vecCol))
+    val bitCols = (0 until bits).map { i =>
+      val proj = (0 until dim).map { d =>
+        element_at(vd, d + 1) * lit(coeff(i, d))
+      }.reduce(_ + _)
+      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    vectors.select(col(idCol).as("id"),
+      bitCols.reduce((a, b) => a + b).as("sig"))
+  }
+
+  /** LSH-bucketed near-duplicate candidates: same-signature pairs
+    * verified by exact cosine >= threshold. Recall < 1 by construction
+    * (documented tradeoff vs [[cosineNearDupPairs]]).
+    */
+  def lshNearDupPairs(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dim: Int, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val sig = hyperplaneSignature(vectors, idCol, vecCol, bits, dim)
+    val v = vectors.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vd"))
+      .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
+      .join(sig, "id")
+    v.as("a").join(v.as("b"),
+        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .withColumn("cos",
+        expr("dot_product(a.vd, b.vd)") / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+}

@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.TextOps
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface for the training-data pipeline over the
+  * `documents` table: token statistics, quality scoring, marker-based
+  * language ID, hashing/fingerprinting. All pure column algebra
+  * (SURVEY.md §2.8 scalar-function inventory; reference text assembly
+  * and keyword scans `relevance_consumer.py:177-233`,
+  * `deduplication_consumer.py:123-136`).
+  */
+object TextQueries {
+
+  /** Explode-then-top-N word frequency (the unnest+count+limit shape of
+    * `app_upgraded.py:80-90`). */
+  val q_top_words = QueryDef(
+    "q_top_words",
+    s"""SELECT w AS word, COUNT(*) AS n
+       |FROM (SELECT unnest(${TextOps.wordsSql("text")}) AS w FROM documents)
+       |GROUP BY w ORDER BY n DESC, word LIMIT 20""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+  }
+
+  /** Per-document quality metrics: token count, mean token length,
+    * stopword ratio, punctuation ratio, composite quality score —
+    * the P6-style length/quality guards as first-class columns.
+    */
+  val q_text_quality = QueryDef(
+    "q_text_quality", {
+      val ws = TextOps.wordsSql("text")
+      val hits = TextOps.tokenHitsSql("ws", TextOps.Stopwords)
+      s"""SELECT doc_id, n_tokens,
+         |  ROUND(avg_token_len, 6) AS avg_token_len,
+         |  ROUND(stop_ratio, 6) AS stopword_ratio,
+         |  ROUND(punct_ratio, 6) AS punct_ratio,
+         |  ROUND(LEAST(1.0, n_tokens / 100.0) * (1 - punct_ratio)
+         |        * (1 - LEAST(0.5, stop_ratio)), 6) AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    len(ws) AS n_tokens,
+         |    CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS avg_token_len,
+         |    CAST($hits AS DOUBLE) / len(ws) AS stop_ratio,
+         |    CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / len(text) AS punct_ratio
+         |  FROM (SELECT doc_id, text, $ws AS ws FROM documents)
+         |  WHERE len(ws) > 0)
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val ws = TextOps.words(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        (aggregate(transform(col("ws"), w => length(w)), lit(0),
+          (acc, v) => acc + v).cast("double") / size(col("ws"))).as("avg_token_len"),
+        (TextOps.tokenHits(col("ws"), TextOps.Stopwords).cast("double") /
+          size(col("ws"))).as("stop_ratio"),
+        (length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("double") /
+          length(col("text"))).as("punct_ratio"))
+    base.select(
+      col("doc_id"), col("n_tokens"),
+      round(col("avg_token_len"), 6).as("avg_token_len"),
+      round(col("stop_ratio"), 6).as("stopword_ratio"),
+      round(col("punct_ratio"), 6).as("punct_ratio"),
+      round(least(lit(1.0), col("n_tokens") / 100.0) * (lit(1) - col("punct_ratio"))
+        * (lit(1) - least(lit(0.5), col("stop_ratio"))), 6).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-count statistics per source (the per-stage throughput
+    * accounting surface, token counting for pipeline budgeting). */
+  val q_token_stats = QueryDef(
+    "q_token_stats",
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(${TextOps.wordsSql("text")})) AS BIGINT) AS total_tokens,
+       |  ROUND(AVG(len(${TextOps.wordsSql("text")})), 4) AS avg_tokens
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val ntok = size(TextOps.words(col("text")))
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(ntok.cast("long")).as("total_tokens"),
+        round(avg(ntok), 4).as("avg_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** Language-column profile (A4-style group distribution). */
+  val q_lang_stats = QueryDef(
+    "q_lang_stats",
+    """SELECT lang, COUNT(*) AS n, ROUND(AVG(n_chars), 4) AS avg_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), round(avg("n_chars"), 4).as("avg_chars"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** Content hashing — sha256/md5 id surface (`deduplication_consumer.py:
+    * 148`, `psql_db_client.py:286-288`). */
+  val q_doc_hashes = QueryDef(
+    "q_doc_hashes",
+    """SELECT doc_id, md5(text) AS md5_hash, sha256(text) AS sha256_hash
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("md5_hash"),
+        sha2(col("text"), 256).as("sha256_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Marker-word language identification — deterministic n-gram/marker
+    * heuristic standing in for model-based language ID; ties break by
+    * marker-table order, zero hits → 'unknown'.
+    */
+  val q_langid = QueryDef(
+    "q_langid", {
+      val ws = TextOps.wordsSql("text")
+      val hitCols = TextOps.LangMarkers.map { case (l, vocab) =>
+        s"${TextOps.tokenHitsSql("ws", vocab)} AS hits_$l"
+      }.mkString(",\n    ")
+      val best = TextOps.LangMarkers.map { case (l, _) => s"hits_$l" }
+        .mkString("GREATEST(", ", ", ")")
+      val ladder = TextOps.LangMarkers.map { case (l, _) =>
+        s"WHEN hits_$l = $best THEN '$l'"
+      }.mkString(" ")
+      s"""SELECT doc_id, pred_lang, lang AS labeled_lang,
+         |  (pred_lang = lang) AS agrees
+         |FROM (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN $best = 0 THEN 'unknown' $ladder END AS pred_lang
+         |  FROM (SELECT doc_id, lang, $hitCols
+         |        FROM (SELECT doc_id, lang, $ws AS ws FROM documents)))
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val ws = TextOps.words(col("text"))
+    val withHits = Tables.documents(spark, dir)
+      .select(Seq(col("doc_id"), col("lang")) ++
+        TextOps.LangMarkers.map { case (l, vocab) =>
+          TextOps.tokenHits(ws, vocab).as(s"hits_$l")
+        }: _*)
+    val best = greatest(TextOps.LangMarkers.map { case (l, _) => col(s"hits_$l") }: _*)
+    val pred = TextOps.LangMarkers.foldLeft(when(best === 0, "unknown")) {
+      case (acc, (l, _)) => acc.when(col(s"hits_$l") === best, l)
+    }
+    withHits
+      .select(col("doc_id"), pred.as("pred_lang"), col("lang").as("labeled_lang"),
+        (pred === col("lang")).as("agrees"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint from the shingle rolling-hash set: min/max
+    * hash + distinct-shingle cardinality (cheap sketch for containment
+    * screening).
+    */
+  val q_doc_fingerprint = QueryDef(
+    "q_doc_fingerprint", {
+      import graft.ops.DedupOps
+      val h = TextOps.polyHashSql("s", DedupOps.ShingleN)
+      s"""WITH sh AS (
+         |  ${DedupOps.shingleTableSql("documents", "doc_id", "text")})
+         |SELECT id AS doc_id, MIN($h) AS min_hash, MAX($h) AS max_hash,
+         |  COUNT(*) AS n_shingles
+         |FROM sh GROUP BY id ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    import graft.ops.DedupOps
+    val h = TextOps.polyHash(col("s"), DedupOps.ShingleN)
+    DedupOps.shingleTable(Tables.documents(spark, dir), "doc_id", "text")
+      .groupBy(col("id").as("doc_id"))
+      .agg(min(h).as("min_hash"), max(h).as("max_hash"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q_top_words, q_text_quality, q_token_stats, q_lang_stats, q_doc_hashes,
+    q_langid, q_doc_fingerprint)
+}

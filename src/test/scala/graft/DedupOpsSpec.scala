@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.{DedupOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic specs for the dedup/similarity operator family (beyond the
+  * contract smoke in EngineSpec): planted-duplicate recall, LSH-vs-
+  * brute-force agreement, pigeonhole exactness, hash portability.
+  */
+class DedupOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("exact dedup partitions the corpus") {
+    val d = DedupOps.exactDedup(docs, "doc_id", "text")
+    val total = d.agg(sum("n_copies")).head.getLong(0)
+    assert(total === docs.count())
+    assert(DedupOps.dedupRows(docs, "doc_id", "text").count() === d.count())
+  }
+
+  test("minhash LSH finds the high-jaccard planted pairs") {
+    val exact = DedupOps.ngramJaccardPairs(docs, "doc_id", "text", 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.95)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // At jaccard >= 0.95 the banding (4 bands x 4 rows) has ~1 -
+    // (1-0.95^4)^4 ≈ 0.9996 recall per pair; the tiny planted set must
+    // be fully recovered.
+    assert(exact.nonEmpty)
+    assert(lsh === exact)
+  }
+
+  test("simhash chunk blocking is exact at radius < chunks") {
+    val sh = DedupOps.simhash(docs, "doc_id", "text")
+    val allPairs = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .filter(col("hamming") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = DedupOps.simhashNearDuplicates(docs, "doc_id", "text", 2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked === allPairs)
+  }
+
+  test("polyHash matches a reference implementation") {
+    val got = spark.range(1).select(
+      TextOps.polyHash(lit("abcde"), 5)).head.getLong(0)
+    val want = "abcde".foldLeft(0L)((acc, c) => acc * 31 + c.toLong)
+    assert(got === want)
+  }
+
+  test("cosine LSH candidates are a subset of brute force with decent recall") {
+    val brute = SimilarityOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshNearDupPairs(emb, "vec_id", "embedding", 8, 64, 0.3)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute))
+    assert(brute.isEmpty || lsh.size.toDouble / brute.size > 0.2)
+  }
+
+  test("brute-force topK returns k ordered neighbors per query") {
+    val k = 3
+    val res = SimilarityOps.bruteForceTopK(
+      emb.filter(col("vec_id") < 5), emb.filter(col("vec_id") >= 5),
+      "vec_id", "embedding", k)
+    val rows = res.collect()
+    assert(rows.length === 5 * k)
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.values.foreach { g =>
+      val sims = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
