@@ -35,8 +35,9 @@ package queries_ {
   object Registry {
     def all: Seq[graft.QueryDef] = {
       val defs = graft.queries.Relational.all ++ graft.queries.Events.all ++
-        graft.queries.TextQueries.all ++ graft.queries.DedupQueries.all ++
-        graft.queries.VectorQueries.all
+        graft.queries.EventsMore.all ++ graft.queries.TextQueries.all ++
+        graft.queries.DedupQueries.all ++ graft.queries.VectorQueries.all ++
+        graft.queries.ForecastQueries.all ++ graft.queries.ClusterQueries.all
       require(defs.map(_.name).distinct.size == defs.size,
         "duplicate query names: " +
           defs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }.mkString(","))

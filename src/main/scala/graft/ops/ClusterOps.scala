@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Clustering operators (SURVEY.md §2.11 M1/M2/M3).
+  *
+  * DBSCAN has no MLlib implementation; this is the grid-bucket
+  * formulation: bucket points into eps-sized cells, find neighbor pairs
+  * only across the 3×3 adjacent cells (an equi-join on cell keys — the
+  * quadratic all-pairs scan never happens), classify core points, then
+  * resolve cluster ids as connected components via iterative min-label
+  * propagation (loop count bounded by component diameter; at 100 TB
+  * the same edge list feeds GraphX connected components instead —
+  * identical semantics, already in one edge-DataFrame form).
+  *
+  * Reference: DBSCAN eps-km conversion + fit `spatial_clustering.py:
+  * 299-340`; KMeans with standardized coords + fixed seed `:342-378`.
+  */
+object ClusterOps {
+
+  /** KMeans on two feature columns with standardization, fixed seed —
+    * M2 parity (`spatial_clustering.py:342-378`).
+    */
+  def kmeans2d(
+      points: DataFrame, xCol: String, yCol: String,
+      k: Int, seed: Long): DataFrame = {
+    val va = new VectorAssembler()
+      .setInputCols(Array(xCol, yCol)).setOutputCol("features_raw")
+    val sc = new StandardScaler()
+      .setInputCol("features_raw").setOutputCol("features")
+      .setWithMean(true).setWithStd(true)
+    val assembled = va.transform(points.na.drop(Seq(xCol, yCol)))
+    val scaled = sc.fit(assembled).transform(assembled)
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cluster_id")
+    model.fit(scaled).transform(scaled).drop("features_raw", "features")
+  }
+
+  /** Grid-based distributed DBSCAN over 2-D points.
+    * Input: (idCol, xCol, yCol). Output: input columns + `cluster_id`
+    * (long; -1 = noise). Deterministic: cluster id is the min point id
+    * in the component.
+    */
+  def dbscan(
+      points: DataFrame, idCol: String, xCol: String, yCol: String,
+      eps: Double, minPts: Int): DataFrame = {
+    val pts = points.select(
+      col(idCol).cast("long").as("pid"),
+      col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y")).na.drop()
+
+    val withCell = pts
+      .withColumn("cx", floor(col("x") / eps).cast("long"))
+      .withColumn("cy", floor(col("y") / eps).cast("long"))
+
+    // replicate each point to its 3x3 neighborhood cells; join against
+    // points bucketed by home cell -> candidate pairs, then true
+    // eps-distance filter. Shuffle key = cell, never all-pairs.
+    val offsets = Seq(-1L, 0L, 1L)
+    val repl = withCell.select(
+      col("pid"), col("x"), col("y"),
+      explode(array(offsets.flatMap(dx => offsets.map(dy =>
+        struct((col("cx") + dx).as("gx"), (col("cy") + dy).as("gy")))): _*)).as("g"))
+      .select(col("pid"), col("x"), col("y"), col("g.gx"), col("g.gy"))
+    val home = withCell.select(
+      col("pid").as("qid"), col("x").as("qx"), col("y").as("qy"),
+      col("cx").as("gx"), col("cy").as("gy"))
+    val pairs = repl.join(home, Seq("gx", "gy"))
+      .filter(col("pid") =!= col("qid"))
+      .filter(pow(col("x") - col("qx"), 2) + pow(col("y") - col("qy"), 2)
+        <= lit(eps * eps))
+      .select(col("pid"), col("qid")).distinct()
+
+    val degrees = pairs.groupBy(col("pid")).agg(count(lit(1)).as("deg"))
+    // core: >= minPts neighbors (point itself included per classic defn)
+    val core = degrees.filter(col("deg") >= minPts - 1).select(col("pid"))
+
+    // connected components over core-core edges by min-label propagation
+    // localCheckpoint each round: iterative algorithms must truncate
+    // lineage or the logical plan (and closure memory) grows
+    // exponentially with iterations.
+    val coreEdges = pairs
+      .join(core, "pid")
+      .join(core.withColumnRenamed("pid", "qid"), "qid")
+      .select(col("pid"), col("qid"))
+      .localCheckpoint()
+    var labels = core.withColumn("label", col("pid")).localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val prop = coreEdges
+        .join(labels.withColumnRenamed("pid", "qid")
+          .withColumnRenamed("label", "qlabel"), "qid")
+        .groupBy(col("pid")).agg(min(col("qlabel")).as("nbrMin"))
+      val viaNbr = labels.join(prop, Seq("pid"), "left")
+        .select(col("pid"),
+          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
+      // pointer jumping (label <- label(label)) turns the O(diameter)
+      // neighbor propagation into O(log n) rounds
+      val next = viaNbr.as("l1")
+        .join(viaNbr.select(col("pid").as("jpid"), col("label").as("jlabel")).as("l2"),
+          col("l1.label") === col("jpid"), "left")
+        .select(col("l1.pid").as("pid"),
+          least(col("l1.label"), coalesce(col("jlabel"), col("l1.label"))).as("label"))
+        .localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "pid")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+
+    // border points: non-core with a core neighbor -> min core label
+    val borderLabels = pairs
+      .join(labels.withColumnRenamed("pid", "qid")
+        .withColumnRenamed("label", "qlabel"), "qid")
+      .groupBy(col("pid")).agg(min(col("qlabel")).as("blabel"))
+
+    val assigned = pts
+      .join(labels.withColumnRenamed("label", "coreLabel"), Seq("pid"), "left")
+      .join(borderLabels, Seq("pid"), "left")
+      .withColumn("cluster_id",
+        coalesce(col("coreLabel"), col("blabel"), lit(-1L)))
+      .select(col("pid").as(idCol), col("x").as(xCol), col("y").as(yCol),
+        col("cluster_id"))
+    assigned
+  }
+
+  /** Per-cluster profile A11 (`spatial_clustering.py:380-462`) in one
+    * distributed pass: size, centroid, bounding stats.
+    */
+  def clusterProfile(clustered: DataFrame, xCol: String, yCol: String): DataFrame =
+    clustered
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("size"),
+        round(avg(col(xCol)), 6).as("centroid_x"),
+        round(avg(col(yCol)), 6).as("centroid_y"),
+        round(min(col(xCol)), 6).as("min_x"),
+        round(max(col(xCol)), 6).as("max_x"))
+      .orderBy(desc("size"), col("cluster_id"))
+}

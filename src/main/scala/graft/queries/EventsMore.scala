@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second batch of event analytics: multi-dimensional cube rollups,
+  * gap-based sessionization, cross-series correlation, and the
+  * early-detection spike-lag analysis (A17/A20 and the optional
+  * cube/rollup convenience noted in SURVEY.md §2.4).
+  */
+object EventsMore {
+
+  /** CUBE over (event_type, weekday): every aggregation level in one
+    * pass — the dashboard "all distributions at once" shape. */
+  val q_cube_counts = QueryDef(
+    "q_cube_counts",
+    """SELECT event_type, isodow(CAST(date_trunc('day', ts) AS DATE)) - 1 AS dow,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY CUBE (1, 2)
+      |ORDER BY event_type NULLS FIRST, dow NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("dow", weekday(date_trunc("day", col("ts")).cast("date")))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
+  }
+
+  /** Gap-based sessionization (30-minute inactivity threshold): session
+    * boundaries via lag + cumulative sum, then per-user session stats.
+    * The canonical event-stream operator the reference's Kafka surface
+    * implies but never materializes.
+    */
+  val q_sessions = QueryDef(
+    "q_sessions",
+    """WITH ordered AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CASE WHEN LAG(event_id) OVER
+      |        (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+      |        OR epoch_us(CAST(ts AS TIMESTAMP))
+      |          - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+      |            (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |          > 1800000000 THEN 1 ELSE 0 END AS new_session,
+      |    event_id
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_session) OVER (PARTITION BY user_id
+      |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM ordered),
+      |per_session AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |    (MAX(us) - MIN(us)) / 1000000.0 AS duration_sec
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+      |  ROUND(AVG(n_events), 4) AS avg_events_per_session,
+      |  ROUND(AVG(duration_sec), 4) AS avg_session_sec
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = col("us") - lag(col("us"), 1).over(byUser)
+    val sessions = Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_session",
+        when(lag(col("us"), 1).over(byUser).isNull || gapUs > 1800000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    sessions
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("us")) - min(col("us"))) / 1000000.0).as("duration_sec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        round(avg(col("n_events")), 4).as("avg_events_per_session"),
+        round(avg(col("duration_sec")), 4).as("avg_session_sec"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cross-series correlation — official-vs-informal metric A17
+    * (`app_upgraded.py:614-615`) over per-day type counts. */
+  val q_daily_corr = QueryDef(
+    "q_daily_corr",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+      |    CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+      |    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views
+      |  FROM events GROUP BY 1)
+      |SELECT ROUND(CORR(clicks, purchases), 4) AS click_purchase_corr,
+      |  ROUND(CORR(errors, views), 4) AS error_view_corr,
+      |  COUNT(*) AS n_days
+      |FROM daily""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("errors"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("views"))
+      .agg(round(corr(col("clicks"), col("purchases")), 4).as("click_purchase_corr"),
+        round(corr(col("errors"), col("views")), 4).as("error_view_corr"),
+        count(lit(1)).as("n_days"))
+  }
+
+  /** Early-detection spike analysis A20 (`app_upgraded.py:631-652`):
+    * per type, days above 1.5× the series mean, and the first such day.
+    */
+  val q_early_detection = QueryDef(
+    "q_early_detection",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |with_mean AS (
+      |  SELECT *, AVG(cnt) OVER (PARTITION BY event_type) AS mean_cnt
+      |  FROM daily)
+      |SELECT event_type, ROUND(MAX(mean_cnt), 4) AS series_mean,
+      |  CAST(SUM(CASE WHEN cnt > 1.5 * mean_cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_spike_days,
+      |  MIN(CASE WHEN cnt > 1.5 * mean_cnt THEN day END) AS first_spike_day
+      |FROM with_mean GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val withMean = daily.withColumn("mean_cnt",
+      avg(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    withMean
+      .groupBy(col("event_type"))
+      .agg(round(max(col("mean_cnt")), 4).as("series_mean"),
+        sum(when(col("cnt") > lit(1.5) * col("mean_cnt"), 1).otherwise(0)).as("n_spike_days"),
+        min(when(col("cnt") > lit(1.5) * col("mean_cnt"), col("day"))).as("first_spike_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q_cube_counts, q_sessions, q_daily_corr, q_early_detection)
+}

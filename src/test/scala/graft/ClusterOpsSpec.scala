@@ -1,0 +1,77 @@
+package graft
+
+import graft.ops.ClusterOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Grid-DBSCAN verified against an independent brute-force in-memory
+  * DBSCAN on the same points (same eps/minPts/min-id-label semantics).
+  */
+class ClusterOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val eps = 0.02
+  private val minPts = 4
+
+  private lazy val pts = Tables.embeddings(spark, sf).select(
+    col("vec_id"),
+    element_at(col("embedding"), 1).cast("double").as("x"),
+    element_at(col("embedding"), 2).cast("double").as("y"))
+
+  /** Reference implementation: O(n²), driver-side. */
+  private def bruteDbscan(
+      points: Array[(Long, Double, Double)]): Map[Long, Long] = {
+    val n = points.length
+    def close(i: Int, j: Int): Boolean = {
+      val dx = points(i)._2 - points(j)._2
+      val dy = points(i)._3 - points(j)._3
+      dx * dx + dy * dy <= eps * eps
+    }
+    val neighbors = Array.tabulate(n)(i =>
+      (0 until n).filter(j => j != i && close(i, j)).toArray)
+    val isCore = neighbors.map(_.length >= minPts - 1)
+    // union-find over core-core edges
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    for (i <- 0 until n if isCore(i); j <- neighbors(i) if isCore(j)) {
+      val (a, b) = (find(i), find(j)); if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val compLabel = scala.collection.mutable.Map[Int, Long]()
+    for (i <- 0 until n if isCore(i)) {
+      val root = find(i)
+      val id = points(i)._1
+      compLabel(root) = math.min(compLabel.getOrElse(root, Long.MaxValue), id)
+    }
+    points.indices.map { i =>
+      val label: Long =
+        if (isCore(i)) compLabel(find(i))
+        else {
+          val coreNbrs = neighbors(i).filter(isCore)
+          if (coreNbrs.nonEmpty) coreNbrs.map(j => compLabel(find(j))).min
+          else -1L
+        }
+      points(i)._1 -> label
+    }.toMap
+  }
+
+  test("grid DBSCAN matches brute-force DBSCAN") {
+    val got = ClusterOps.dbscan(pts, "vec_id", "x", "y", eps, minPts)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val local = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = bruteDbscan(local)
+    assert(got.size === want.size)
+    val diff = got.collect { case (k, v) if want(k) != v => (k, v, want(k)) }
+    assert(diff.isEmpty, s"label mismatches: ${diff.take(5)}")
+  }
+
+  test("kmeans is deterministic for a fixed seed and covers all points") {
+    val a = ClusterOps.kmeans2d(pts, "x", "y", 5, 42L)
+      .groupBy("cluster_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val b = ClusterOps.kmeans2d(pts, "x", "y", 5, 42L)
+      .groupBy("cluster_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.values.sum === pts.count())
+  }
+}
