@@ -1,0 +1,54 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming-path queries (SURVEY.md §2.9), runnable inside the batch
+  * Verify/Bench harness by draining with `Trigger.AvailableNow` into a
+  * memory sink — the same code ships against a Kafka source with a
+  * format swap. Results are oracle-checked against plain SQL over the
+  * same data, proving the streaming and batch paths agree.
+  */
+object StreamQueries {
+
+  /** Watermarked streaming hourly aggregation ≡ batch hourly counts.
+    * Complete output mode so the final (un-closed) windows are emitted
+    * in the bounded drain.
+    */
+  val q_stream_hourly = QueryDef(
+    "q_stream_hourly",
+    """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StreamingOps.parquetStream(
+      spark, s"$dir/events.parquet",
+      spark.read.parquet(s"$dir/events.parquet").schema)
+    val stream =
+      if (raw.schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val agg = StreamingOps.hourlyCounts(stream)
+    StreamingOps.drainToBatch(agg, OutputMode.Complete())
+      .select(col("hour"), col("event_type"), col("n"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
+  /** Cross-batch stateful streaming dedup (ST5) ≡ batch exact dedup. */
+  val q_stream_dedup = QueryDef(
+    "q_stream_dedup",
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id
+      |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val stream = StreamingOps.parquetStream(spark, s"$dir/documents.parquet", schema)
+      .select(md5(col("text")).as("hash"), col("doc_id").as("id"))
+    StreamingOps.drainToBatch(
+      StreamingOps.streamingDedupFirstSeen(spark, stream))
+      .orderBy(col("keep_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_stream_hourly, q_stream_dedup)
+}

@@ -1,0 +1,65 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sinks (SURVEY.md §2.1 S5–S10).
+  *
+  * The event table is laid out partitioned by `event_date` — the Spark
+  * analogue of the reference's Timescale hypertable chunking
+  * (`psql_db_client.py:154-161`): date-range predicates prune
+  * partitions at the scan, which is the load-bearing access path at
+  * 100 TB.
+  */
+object Sinks {
+
+  /** Write the canonical event table partitioned by day (S9 layout). */
+  def writeEventTable(events: DataFrame, path: String): Unit =
+    events
+      .withColumn("event_date", to_date(col("ts")))
+      .write
+      .partitionBy("event_date")
+      .mode("overwrite")
+      .parquet(path)
+
+  /** Upsert semantics of the reference's `INSERT ... ON CONFLICT
+    * (id, timestamp) DO UPDATE` with keep-last-in-batch
+    * (`psql_db_client.py:369-417`): combine existing rows and updates,
+    * keep the winner per key by `versionCol` (ties: updates win via the
+    * source rank). Returns the merged frame for (re)writing.
+    */
+  def upsertByKey(
+      existing: DataFrame, updates: DataFrame,
+      keys: Seq[String], versionCol: String): DataFrame = {
+    val tagged = existing.withColumn("_src", lit(0))
+      .unionByName(updates.withColumn("_src", lit(1)))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(versionCol).desc, col("_src").desc)
+    tagged
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn", "_src")
+  }
+
+  /** Append-only vector-store semantics (S10, `chromadb_client.py:
+    * 87-104`): only ids not already present are added.
+    */
+  def appendNewIds(existing: DataFrame, incoming: DataFrame, idCol: String): DataFrame =
+    incoming.join(existing.select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** Split JSON sink (S7): accepted/rejected rows to two directories. */
+  def splitJson(
+      df: DataFrame, predicate: org.apache.spark.sql.Column,
+      acceptDir: String, rejectDir: String): Unit = {
+    val cached = df.persist()
+    cached.filter(predicate).write.mode("overwrite").json(acceptDir)
+    cached.filter(!predicate).write.mode("overwrite").json(rejectDir)
+    cached.unpersist()
+    ()
+  }
+
+  /** CSV report sink with header (S8). */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.option("header", "true").mode("overwrite").csv(path)
+}

