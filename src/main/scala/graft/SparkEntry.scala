@@ -38,7 +38,8 @@ package queries_ {
         graft.queries.EventsMore.all ++ graft.queries.TextQueries.all ++
         graft.queries.DedupQueries.all ++ graft.queries.VectorQueries.all ++
         graft.queries.ForecastQueries.all ++ graft.queries.ClusterQueries.all ++
-        graft.queries.StreamQueries.all ++ graft.queries.MultimodalQueries.all
+        graft.queries.StreamQueries.all ++ graft.queries.MultimodalQueries.all ++
+        graft.queries.RelevanceQueries.all
       require(defs.map(_.name).distinct.size == defs.size,
         "duplicate query names: " +
           defs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }.mkString(","))

@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{EmbeddingOps, RelevanceOps, SimilarityOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** The reference-parity enrichment pipeline surface: relevance keyword
+  * analysis (U1), gazetteer extraction (U4), hashed embeddings +
+  * semantic search (U5/J9/M8), distinct-set collection (A9), in-group
+  * coherence (A18), and centroid imputation with deterministic jitter
+  * (M3).
+  */
+object RelevanceQueries {
+
+  /** U1 relevance bundle as pure column algebra, oracle generated from
+    * the same keyword/threshold constants. */
+  val q_relevance = QueryDef(
+    "q_relevance", {
+      val cols = RelevanceOps.analysisSql("ws")
+        .map { case (n, e) => s"  $e AS $n" }.mkString(",\n")
+      s"""SELECT doc_id,
+         |$cols
+         |FROM (SELECT doc_id, ${TextOps.wordsSql("text")} AS ws FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val ws = TextOps.words(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id") +: RelevanceOps.analysisColumns(ws): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  private val Gazetteer: Seq[String] =
+    Seq("customer", "supplier", "order", "line", "part", "region", "nation")
+
+  /** U4 gazetteer extraction: vocabulary-constrained entity mentions
+    * (the deterministic NER stand-in, `location_consumer.py:133-156`).
+    */
+  val q_gazetteer = QueryDef(
+    "q_gazetteer", {
+      val arr = Gazetteer.map(g => s"'$g'").mkString("[", ", ", "]")
+      s"""SELECT doc_id,
+         |  COALESCE(array_to_string(list_sort(list_distinct(
+         |    list_filter(ws, w -> list_contains($arr, w)))), ','), '') AS mentions,
+         |  len(list_filter(ws, w -> list_contains($arr, w))) AS n_mentions
+         |FROM (SELECT doc_id, ${TextOps.wordsSql("text")} AS ws FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val ws = TextOps.words(col("text"))
+    val vocab = array(Gazetteer.map(lit): _*)
+    val found = filter(ws, w => array_contains(vocab, w))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        array_join(array_sort(array_distinct(found)), ",").as("mentions"),
+        size(found).as("n_mentions"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** A9 distinct-set collection per group (`embedding_consumer.py:
+    * 297-301`): sorted set serialized for stable comparison. */
+  val q_distinct_sets = QueryDef(
+    "q_distinct_sets",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(array_join(array_sort(collect_set(col("event_type"))), ",").as("types_seen"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day"))
+  }
+
+  /** A18 in-group pairwise mean cosine (cluster semantic coherence,
+    * `spatial_clustering.py:499-519`) per label. */
+  val q_label_coherence = QueryDef(
+    "q_label_coherence",
+    """WITH n AS (
+      |  SELECT vec_id, label, vd, sqrt(list_dot_product(vd, vd)) AS nrm
+      |  FROM (SELECT vec_id, label,
+      |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      |        FROM embeddings))
+      |SELECT a.label, COUNT(*) AS n_pairs,
+      |  ROUND(AVG(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)), 4) AS avg_cos
+      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      |GROUP BY a.label ORDER BY a.label""".stripMargin) { (spark, dir) =>
+    graft.functions.GraftFunctions.register(spark)
+    val v = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"), col("embedding").cast("array<double>").as("vd"))
+      .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
+    v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.label").as("label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(expr("dot_product(a.vd, b.vd)") / (col("a.nrm") * col("b.nrm"))), 4)
+          .as("avg_cos"))
+      .orderBy(col("label"))
+  }
+
+  /** M3 centroid imputation + deterministic jitter
+    * (`spatial_clustering.py:238-263`): nulls (synthesized on
+    * vec_id % 10 = 0) are filled with the label centroid plus an
+    * id-hash jitter in ±0.02 — seedable `rand(42)` in the reference,
+    * id-hash here so the oracle can reproduce it exactly. */
+  val q_impute_coords = QueryDef(
+    "q_impute_coords",
+    """WITH pts AS (
+      |  SELECT vec_id, label,
+      |    CASE WHEN vec_id % 10 = 0 THEN NULL
+      |         ELSE CAST(embedding[1] AS DOUBLE) END AS x
+      |  FROM embeddings),
+      |cent AS (
+      |  SELECT *, AVG(x) OVER (PARTITION BY label) AS cx
+      |  FROM pts)
+      |SELECT vec_id, label,
+      |  ROUND(COALESCE(x, cx + ((vec_id * 2654435761) % 1000) / 1000.0 * 0.04 - 0.02), 6) AS x_imputed,
+      |  (x IS NULL) AS was_imputed
+      |FROM cent ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val pts = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"),
+      when(col("vec_id") % 10 === 0, lit(null))
+        .otherwise(element_at(col("embedding"), 1).cast("double")).as("x"))
+    val byLabel = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+    val jitter = (col("vec_id") * lit(2654435761L)) % 1000 / lit(1000.0) * 0.04 - 0.02
+    pts
+      .withColumn("cx", avg(col("x")).over(byLabel))
+      .select(col("vec_id"), col("label"),
+        round(coalesce(col("x"), col("cx") + jitter), 6).as("x_imputed"),
+        col("x").isNull.as("was_imputed"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** U5 hashed embedding materialization (rows-only: UDF not SQL-
+    * expressible; determinism/norm properties in EmbeddingOpsSpec). */
+  val q_hashed_embedding = QueryDef.noOracle("q_hashed_embedding") { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), EmbeddingOps.embedCol(col("text")).as("embedding"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** J9/M8 semantic search end to end: embed a query string with the
+    * same hashed encoder, metadata-filter the corpus (lang = 'en'),
+    * exact cosine top-10. */
+  val q_semantic_search = QueryDef.noOracle("q_semantic_search") { (spark, dir) =>
+    val corpus = Tables.documents(spark, dir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"),
+        EmbeddingOps.embedCol(col("text")).as("embedding"))
+    val queryText = "fast join query on big table"
+    val q = spark.range(1).select(
+      lit(-1L).as("vec_id"),
+      EmbeddingOps.embedCol(lit(queryText)).as("embedding"))
+    SimilarityOps.bruteForceTopK(q, corpus, "vec_id", "embedding", 10)
+      .orderBy(col("rank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q_relevance, q_gazetteer, q_distinct_sets, q_label_coherence,
+    q_impute_coords, q_hashed_embedding, q_semantic_search)
+}
