@@ -88,6 +88,7 @@ object ClusterOps {
       .select(col("pid"), col("qid"))
       .localCheckpoint()
     var labels = core.withColumn("label", col("pid")).localCheckpoint()
+    var labelSum = Long.MinValue
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
@@ -106,8 +107,11 @@ object ClusterOps {
         .select(col("l1.pid").as("pid"),
           least(col("l1.label"), coalesce(col("jlabel"), col("l1.label"))).as("label"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "pid")
-        .filter(col("n.label") =!= col("o.label")).count()
+      // labels only ever decrease, so convergence == the label sum
+      // stopped falling — one aggregate instead of a join per round
+      val newSum = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+      changed = if (newSum == labelSum) 0L else 1L
+      labelSum = newSum
       labels = next
       iter += 1
     }

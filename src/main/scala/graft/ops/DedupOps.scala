@@ -125,7 +125,14 @@ object DedupOps {
   def minhashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val sig = minhashSignature(docs, idCol, textCol)
+    // materialize the discriminative shingle table once: it feeds the
+    // signature AND both sides of the verify join, and Spark would
+    // otherwise recompute the explode+df-filter for each use
+    val sh = discriminativeShingles(docs, idCol, textCol).localCheckpoint()
+    val h = TextOps.polyHash(col("s"), ShingleN) % P
+    val aggs = (0 until K).map(i =>
+      min((lit(hashA(i)) * h + lit(hashB(i))) % P).as(s"m$i"))
+    val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
     val bandCols = (0 until Bands).map { j =>
       val ms = (j * RowsPerBand until (j + 1) * RowsPerBand).map(i => col(s"m$i"))
       struct(lit(j).as("band"), concat_ws("_", ms: _*).as("bucket"))
@@ -139,7 +146,6 @@ object DedupOps {
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct()
 
-    val sh = discriminativeShingles(docs, idCol, textCol)
     val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val candIds = cand.select(col("doc_a").as("id"))
       .union(cand.select(col("doc_b"))).distinct()
@@ -282,7 +288,7 @@ object DedupOps {
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val sh = discriminativeShingles(docs, idCol, textCol)
+    val sh = discriminativeShingles(docs, idCol, textCol).localCheckpoint()
     val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

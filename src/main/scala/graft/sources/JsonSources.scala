@@ -41,6 +41,18 @@ object JsonSources {
     else coalesce(present.map(c => col(c).cast("string")): _*)
   }
 
+  /** Latest-file selection (W6, `app_upgraded.py:221-226`): newest
+    * matching file by modification time.
+    */
+  def latestFile(spark: SparkSession, dir: String): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).filter(_.isFile)
+      .sortBy(s => (-s.getModificationTime, s.getPath.toString))
+      .headOption.map(_.getPath.toString)
+  }
+
   /** Normalize a raw source frame into the canonical record shape:
     * (record_id, text, event_ts, raw) — raw keeps the whole record as
     * JSON (`raw_data` parity, `psql_db_client.py:146`).

@@ -94,6 +94,27 @@ object StreamingOps {
       .toDF("content_hash", "keep_id")
   }
 
+  /** Per-batch progress capture (ST8, `relevance_consumer.py:388-444`):
+    * a StreamingQueryListener accumulating input-row counts — the
+    * engine-native replacement for the reference's driver-side
+    * foreachBatch counters.
+    */
+  class ProgressCapture extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    val batchRows = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      batchRows.add(event.progress.numInputRows)
+      ()
+    }
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+    def totalRows: Long = {
+      var s = 0L
+      batchRows.forEach(r => s += r)
+      s
+    }
+  }
+
   /** foreachBatch fan-out (ST2/S6/S7): one pass over each micro-batch,
     * split on a predicate into two JSON sink directories — the
     * reference runs three separate streaming queries re-reading the
