@@ -87,9 +87,35 @@ object ClusterOps {
       .join(core.withColumnRenamed("pid", "qid"), "qid")
       .select(col("pid"), col("qid"))
       .localCheckpoint()
-    var labels = core.withColumn("label", col("pid")).localCheckpoint()
+
+    // Small-graph fast path: when the core-core edge list fits
+    // comfortably in the driver (the common case — core edges shrink
+    // with eps), a local union-find beats ~10 shuffle rounds. The
+    // distributed propagation below remains the unbounded-scale path;
+    // identical min-id-label semantics either way.
+    val edgeCount = coreEdges.count()
+    var labels =
+      if (edgeCount <= 2000000) {
+        val spark = points.sparkSession
+        import spark.implicits._
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        coreEdges.collect().foreach { row =>
+          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (a != b) parent(math.max(a, b)) = math.min(a, b)
+        }
+        val coreIds = core.collect().map(_.getLong(0))
+        coreIds.map(id => (id, find(id))).toSeq.toDF("pid", "label")
+          .repartition(col("pid")).localCheckpoint()
+      } else core.withColumn("label", col("pid")).localCheckpoint()
     var labelSum = Long.MinValue
-    var changed = 1L
+    var changed = if (edgeCount <= 2000000) 0L else 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
       val prop = coreEdges

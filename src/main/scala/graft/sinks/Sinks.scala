@@ -62,4 +62,16 @@ object Sinks {
   /** CSV report sink with header (S8). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.option("header", "true").mode("overwrite").csv(path)
+
+  /** Materialized-aggregate-view parity (`psql_db_client.py:194-222`,
+    * refresh `:451-459`): a precomputed daily summary table a batch
+    * job overwrites on refresh; dashboards read the parquet instead of
+    * re-aggregating the fact table.
+    */
+  def refreshDailySummary(events: DataFrame, path: String): Unit =
+    events
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .write.mode("overwrite").parquet(path)
 }
