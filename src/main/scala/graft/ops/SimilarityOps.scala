@@ -68,6 +68,55 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** IVF (inverted-file) approximate top-k: partition the corpus into
+    * Voronoi cells around `nCentroids` seed vectors (the lowest-id
+    * vectors — deterministic; a KMeans fit is the quality upgrade),
+    * then search each query only inside the `nProbe` cells whose
+    * centroids are nearest to it. Corpus assignment is one broadcast
+    * pass; per-query candidate count drops from |corpus| to
+    * ~|corpus|·nProbe/nCentroids. Recall < 1 by construction —
+    * measured against [[bruteForceTopK]] in the test suite.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val cents = broadcast(
+      corpus.orderBy(col(idCol)).limit(nCentroids)
+        .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cv")))
+
+    def assign(df: DataFrame, id: String, outCol: String, probes: Int): DataFrame = {
+      val scored = df
+        .select(col(id), col(vecCol).cast("array<double>").as("vd"))
+        .crossJoin(cents)
+        .withColumn("d", expr("dot_product(vd, cv)") /
+          (sqrt(expr("dot_product(vd, vd)")) * sqrt(expr("dot_product(cv, cv)"))))
+      val w = Window.partitionBy(col(id)).orderBy(col("d").desc, col("cent_id"))
+      scored.withColumn("r", row_number().over(w))
+        .filter(col("r") <= probes)
+        .select(col(id), col("vd"), col("cent_id").as(outCol))
+    }
+
+    val corpusCells = assign(corpus, idCol, "cell", probes = 1)
+      .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed("vd", "cv2")
+      .withColumn("cn", sqrt(expr("dot_product(cv2, cv2)")))
+    val queryCells = assign(queries, idCol, "cell", probes = nProbe)
+      .withColumnRenamed(idCol, "query_id").withColumnRenamed("vd", "qv")
+      .withColumn("qn", sqrt(expr("dot_product(qv, qv)")))
+
+    val scored = queryCells.join(corpusCells, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr("dot_product(qv, cv2)") / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Deterministic random-hyperplane signature: bit i of the signature
     * is sign(v · h_i) where hyperplane h_i's components are derived
     * from the portable polyHash of (i, component index) — fully

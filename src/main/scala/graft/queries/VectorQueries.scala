@@ -88,6 +88,20 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** IVF approximate top-k — the 100 TB ANN path (probe a few Voronoi
+    * cells instead of the whole corpus). Rows-only; recall vs brute
+    * force asserted in DedupOpsSpec. */
+  val q_ann_ivf = QueryDef.noOracle("q_ann_ivf") { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.ivfTopK(
+      emb.filter(col("vec_id") < 10),
+      emb.filter(col("vec_id") >= 10),
+      "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh)
+    q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf)
 }

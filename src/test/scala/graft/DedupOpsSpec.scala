@@ -61,6 +61,19 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(brute.isEmpty || lsh.size.toDouble / brute.size > 0.2)
   }
 
+  test("IVF topK has reasonable recall vs brute force") {
+    import org.apache.spark.sql.functions.col
+    val q = emb.filter(col("vec_id") < 10)
+    val c = emb.filter(col("vec_id") >= 10)
+    val brute = SimilarityOps.bruteForceTopK(q, c, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = SimilarityOps.ivfTopK(q, c, "vec_id", "embedding", 5, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.size === brute.size) // k results per query either way
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.25, s"IVF recall too low: $recall")
+  }
+
   test("brute-force topK returns k ordered neighbors per query") {
     val k = 3
     val res = SimilarityOps.bruteForceTopK(
