@@ -89,12 +89,16 @@ object DedupOps {
     */
   val MaxDf = 200
 
-  /** [[shingleTable]] restricted to shingles with df <= [[MaxDf]]. */
+  /** [[shingleTable]] restricted to shingles with df <= [[MaxDf]].
+    * One shuffle (window count over the shingle key) instead of the
+    * groupBy-then-join-back formulation's two.
+    */
   def discriminativeShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh0 = shingleTable(docs, idCol, textCol)
-    val rare = sh0.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxDf).select(col("s"))
-    sh0.join(rare, "s").select(col("id"), col("s"))
+    val w = Window.partitionBy(col("s"))
+    shingleTable(docs, idCol, textCol)
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("df") <= MaxDf)
+      .select(col("id"), col("s"))
   }
 
   /** CTE text (sh0/rare/sh) for [[discriminativeShingles]]. */
