@@ -245,7 +245,8 @@ object DedupOps {
         col("x.k") === col("y.k") && col("x.c") === col("y.c") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -274,7 +275,7 @@ object DedupOps {
        |chunks AS (
        |  $chunkRows)
        |SELECT DISTINCT x.id AS doc_a, y.id AS doc_b,
-       |  bit_count(xor(x.simhash, y.simhash)) AS hamming
+       |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
        |FROM chunks x JOIN chunks y
        |  ON x.k = y.k AND x.c = y.c AND x.id < y.id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= $maxHamming

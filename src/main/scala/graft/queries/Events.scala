@@ -246,7 +246,8 @@ object Events {
       .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(count(lit(1)).as("n"))
       .select(col("day"),
-        datediff(col("day"), lit("2024-01-01").cast("date")).as("day_idx"), col("n"))
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("long").as("day_idx"),
+        col("n"))
       .orderBy(col("day"))
   }
 

@@ -20,7 +20,7 @@ object EventsMore {
       |FROM events GROUP BY CUBE (1, 2)
       |ORDER BY event_type NULLS FIRST, dow NULLS FIRST""".stripMargin) { (spark, dir) =>
     Tables.events(spark, dir)
-      .withColumn("dow", weekday(date_trunc("day", col("ts")).cast("date")))
+      .withColumn("dow", weekday(date_trunc("day", col("ts")).cast("date")).cast("long"))
       .cube(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
@@ -136,6 +136,26 @@ object EventsMore {
       .orderBy(col("event_type"))
   }
 
+  /** Exact interpolated percentiles per group (the latency/size
+    * distribution panel every dashboard needs; at 100 TB the same
+    * query ships as approx_percentile — t-digest sketch, one pass).
+    */
+  val q_percentiles = QueryDef(
+    "q_percentiles",
+    """SELECT event_type,
+      |  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(value, 0.9), 4) AS p90,
+      |  ROUND(quantile_cont(value, 0.99), 4) AS p99
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("value"), lit(0.99)), 4).as("p99"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_cube_counts, q_sessions, q_daily_corr, q_early_detection)
+    q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_percentiles)
 }

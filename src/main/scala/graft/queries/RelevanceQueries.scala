@@ -51,7 +51,7 @@ object RelevanceQueries {
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         array_join(array_sort(array_distinct(found)), ",").as("mentions"),
-        size(found).as("n_mentions"))
+        size(found).cast("long").as("n_mentions"))
       .orderBy(col("doc_id"))
   }
 

@@ -59,7 +59,7 @@ object TextQueries {
       .filter(size(col("ws")) > 0)
       .select(
         col("doc_id"),
-        size(col("ws")).as("n_tokens"),
+        size(col("ws")).cast("long").as("n_tokens"),
         (aggregate(transform(col("ws"), w => length(w)), lit(0),
           (acc, v) => acc + v).cast("double") / size(col("ws"))).as("avg_token_len"),
         (TextOps.tokenHits(col("ws"), TextOps.Stopwords).cast("double") /

@@ -51,12 +51,18 @@ for name in sorted(p.name for p in vdir.iterdir() if p.is_dir()):
         continue
     exp_rel = con.execute(oracles[name])
     ecols = [d[0] for d in exp_rel.description]
+    etypes = dict(zip(ecols, [str(d[1]) for d in exp_rel.description]))
+    gtypes = dict(zip(gcols, [str(d[1]) for d in got_rel.description]))
     erows = exp_rel.fetchall()
     gc, gr = norm(grows, gcols)
     ec, er = norm(erows, ecols)
     ok = True
     if gc != ec:
         print(f"FAIL {name}: columns {gc} vs {ec}")
+        ok = False
+    elif any(gtypes[c] != etypes[c] for c in gc):
+        bad = {c: (gtypes[c], etypes[c]) for c in gc if gtypes[c] != etypes[c]}
+        print(f"FAIL {name}: column types differ {bad}")
         ok = False
     elif len(gr) != len(er):
         print(f"FAIL {name}: rows {len(gr)} vs {len(er)}")
