@@ -36,6 +36,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.map(_.getString(0)).distinct.length === res.length)
   }
 
+  test("watermark drops late data in append-mode streaming aggregation") {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark0 = spark
+    import spark0.implicits._
+    val dir = tmpDir("late")
+    def write(rows: Seq[(java.sql.Timestamp, String)], f: String): Unit =
+      rows.toDF("ts", "k").write.mode("overwrite").parquet(s"$dir/in/$f")
+    def t(day: Int, hour: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+    new java.io.File(s"$dir/in").mkdirs()
+    write(Seq((t(1), "a"), (t(1), "a"), (t(2), "a"), (t(10), "a")), "b1")
+    val schema = spark.read.parquet(s"$dir/in/b1").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in/*")
+      .withWatermark("ts", "1 day")
+      .groupBy(window($"ts", "1 day").as("w"), $"k")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".cast("date").as("day"), $"n")
+    val q = stream.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a LATE row for day 1 (behind the day-9 watermark) and
+      // fresh rows advancing the watermark past day 10
+      write(Seq((t(1), "a"), (t(12), "a")), "b2")
+      q.processAllAvailable()
+      val out = spark.table("late_test")
+        .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+      // day-1 window was finalized with 2 rows; the late third row must
+      // NOT appear (watermark dropped it)
+      assert(out.get("2024-01-01").contains(2L), s"got $out")
+      assert(out.get("2024-01-02").contains(1L), s"got $out")
+      // day-12 window is still open (watermark = day 11) -> not emitted
+      assert(!out.contains("2024-01-12"), s"got $out")
+    } finally q.stop()
+  }
+
+  test("approx_count_distinct tracks exact within tolerance") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.select(countDistinct(col("user_id"))).head.getLong(0)
+    val approx = ev.select(approx_count_distinct(col("user_id"), 0.02))
+      .head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
   test("foreachBatch split sink writes both partitions") {
     val out = tmpDir("split")
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
