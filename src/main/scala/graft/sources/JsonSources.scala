@@ -15,10 +15,20 @@ import org.apache.spark.sql.functions._
   */
 object JsonSources {
 
-  /** Field-precedence lists (`deduplication_consumer.py:123-136`,
-    * `embedding_consumer.py:173-195`, `psql_db_client.py:290-306`).
+  /** Text-field lists. Two subtleties preserved from the reference
+    * (SURVEY.md §7.4 #4): the text is the SPACE-CONCATENATION of every
+    * present non-empty field in list order — not first-present
+    * (`deduplication_consumer.py:123-136` builds text_parts and joins
+    * with ' '; same pattern at `location_consumer.py:124-131`) — and
+    * the lists DIFFER per stage (the dedup list lacks
+    * summary/subreddit; order of body/content flips), which changes
+    * which records dedup/geolocate.
     */
-  val TextPrecedence: Seq[String] = Seq("text", "description", "title", "content", "body")
+  val DedupTextFields: Seq[String] = Seq("text", "description", "title", "content", "body")
+  val LocationTextFields: Seq[String] =
+    Seq("text", "description", "title", "summary", "body", "content", "subreddit")
+  /** Back-compat alias for the dedup-stage list. */
+  val TextPrecedence: Seq[String] = DedupTextFields
   val IdPrecedence: Seq[String] = Seq("post_id", "id", "unique_key", "complaint_number")
   val TsPrecedence: Seq[String] =
     Seq("created_at", "created_utc", "timestamp", "scraped_at", "processed_at")
@@ -54,13 +64,44 @@ object JsonSources {
   }
 
   /** Normalize a raw source frame into the canonical record shape:
-    * (record_id, text, event_ts, raw) — raw keeps the whole record as
-    * JSON (`raw_data` parity, `psql_db_client.py:146`).
+    * (record_id, text, event_ts, zip, lat, lon, raw) — raw keeps the
+    * whole record as JSON (`raw_data` parity, `psql_db_client.py:146`);
+    * nested `location{zip,lat,lon}` structs (`scraper_311.py:60-64`)
+    * are flattened when present.
     */
-  def normalize(df: DataFrame): DataFrame =
+  /** Space-concatenation of every present, non-empty text field in
+    * list order (reference text-assembly semantics; empty strings are
+    * skipped like the reference's truthiness check).
+    */
+  private def assembledText(df: DataFrame, fields: Seq[String]) = {
+    val present = fields.filter(df.columns.contains)
+    if (present.isEmpty) lit("")
+    else {
+      val parts = present.map { c =>
+        val s = col(c).cast("string")
+        when(s.isNotNull && length(s) > 0, s)
+      }
+      trim(concat_ws(" ", parts: _*))
+    }
+  }
+
+  def normalize(
+      df: DataFrame,
+      textFields: Seq[String] = DedupTextFields): DataFrame = {
+    def loc(field: String) =
+      if (df.columns.contains("location")) col(s"location.$field").cast("string")
+      else lit(null).cast("string")
+    // fallbacks mirror the reference loader (`psql_db_client.py:285-306`):
+    // id -> md5 of a content prefix (deterministic), ts -> load time
     df.select(
-      firstPresent(df, IdPrecedence).as("record_id"),
-      firstPresent(df, TextPrecedence).as("text"),
-      to_timestamp(firstPresent(df, TsPrecedence)).as("event_ts"),
+      coalesce(firstPresent(df, IdPrecedence),
+        md5(substring(assembledText(df, textFields), 1, 100))).as("record_id"),
+      assembledText(df, textFields).as("text"),
+      coalesce(to_timestamp(firstPresent(df, TsPrecedence)), current_timestamp())
+        .as("event_ts"),
+      loc("zip").as("zip"),
+      loc("lat").cast("double").as("lat"),
+      loc("lon").cast("double").as("lon"),
       to_json(struct(df.columns.map(col): _*)).as("raw"))
+  }
 }

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import graft.sources.JsonSources
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-shape ingestion tests: synthetic fixtures replicating the six
+  * reference source shapes (field names and nesting from the
+  * reference's data directory — bluesky JSONL, reddit posts/comments
+  * array-JSON, rss array-JSON, nyc_311 with nested location struct,
+  * press releases), run through the reader + both precedence
+  * normalizations (SURVEY.md §1.2, §5 golden-file strategy).
+  */
+class GoldenSourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def fixtures(): Path = {
+    val d = Files.createTempDirectory("golden")
+    Files.writeString(d.resolve("bluesky.jsonl"),
+      """{"platform":"bluesky","post_id":"at://did:plc:x/3m6","author":"u1","text":"measles exposure reported in clinic","created_at":"2025-11-24T00:19:44.397Z","scraped_at":"2025-11-24T03:49:37.237938","reply_count":0}
+        |{"platform":"bluesky","post_id":"at://did:plc:y/3m7","author":"u2","text":"flu season hitting hard this week","created_at":"2025-11-24T01:00:00.000Z","scraped_at":"2025-11-24T03:49:37.237938","reply_count":2}""".stripMargin)
+    Files.writeString(d.resolve("reddit_posts.json"),
+      """[{"post_id":"1pa1g36","subreddit":"nyc","title":"Stomach bug going around?",
+        |  "author":"u3","created_utc":"2025-11-29T17:17:18","score":324,"num_comments":14,
+        |  "text":"Half my office is out with norovirus"},
+        | {"post_id":"1pa1g37","subreddit":"AskNYC","title":"Urgent care recs",
+        |  "author":"u4","created_utc":"2025-11-30T10:00:00","score":5,"num_comments":2,
+        |  "text":""}]""".stripMargin)
+    Files.writeString(d.resolve("reddit_comments.json"),
+      """[{"comment_id":"ns7123i","post_id":"1pdqqoc","author":"u5",
+        |  "created_utc":"2025-12-03T23:40:21","score":4,
+        |  "text":"The clinic on 3rd ave does walk-ins"}]""".stripMargin)
+    Files.writeString(d.resolve("rss.json"),
+      """[{"source":"NY Post","title":"Health officials warn of RSV rise",
+        |  "link":"https://example.invalid/a","published":"Wed, 03 Dec 2025 15:30:03 -0500",
+        |  "summary":"Cases of RSV are climbing across the five boroughs."}]""".stripMargin)
+    Files.writeString(d.resolve("nyc_311.json"),
+      """[{"source":"NYC_311","id":"67031207","timestamp":"2025-12-03T00:44:32.000",
+        |  "type":"Rodent","description":"Condition Attracting Rodents",
+        |  "location":{"zip":"10469","lat":"40.879271","lon":"-73.846223"}}]""".stripMargin)
+    Files.writeString(d.resolve("press.json"),
+      """[{"id":"pr-2025-101","title":"Health Department Announces Flu Clinics",
+        |  "content":"The Department will open weekend flu vaccination clinics.",
+        |  "timestamp":"2025-12-01T09:00:00"}]""".stripMargin)
+    d
+  }
+
+  test("all six source shapes read and normalize") {
+    val d = fixtures()
+    val raw = JsonSources.readJsonDir(
+      spark, s"$d/{reddit_posts,reddit_comments,rss,nyc_311,press}.json",
+      s"$d/bluesky.jsonl")
+    assert(raw.count() === 8)
+
+    val norm = JsonSources.normalize(raw).collect()
+      .map(r => r.getString(0) -> r).toMap
+
+    // id precedence: post_id over id; plain id where no post_id
+    assert(norm.contains("at://did:plc:x/3m6"))
+    assert(norm.contains("1pa1g36"))
+    assert(norm.contains("67031207"))
+    assert(norm.contains("pr-2025-101"))
+
+    // dedup-stage text = space-concat of present fields in list order
+    assert(norm("1pa1g36").getString(1) ===
+      "Half my office is out with norovirus Stomach bug going around?")
+    assert(norm("67031207").getString(1) === "Condition Attracting Rodents")
+    // press: title then content, concatenated in list order
+    assert(norm("pr-2025-101").getString(1) ===
+      "Health Department Announces Flu Clinics The Department will open weekend flu vaccination clinics.")
+    // rss dedup list has no summary: title only
+    val rssRow = norm.values.find(r => Option(r.getString(1)).exists(_.contains("RSV"))).get
+    assert(rssRow.getString(1) === "Health officials warn of RSV rise")
+
+    // location/embedding list appends summary (and subreddit) too
+    val wide = JsonSources.normalize(raw, JsonSources.LocationTextFields)
+      .collect().map(r => Option(r.getString(1)).getOrElse("")).toSet
+    assert(wide.contains(
+      "Health officials warn of RSV rise Cases of RSV are climbing across the five boroughs."))
+    assert(wide.contains(
+      "Half my office is out with norovirus Stomach bug going around? nyc"))
+
+    // nested 311 location flattened
+    val r311 = norm("67031207")
+    assert(r311.getString(3) === "10469")
+    assert(math.abs(r311.getDouble(4) - 40.879271) < 1e-6)
+
+    // timestamps parsed for every record
+    norm.values.foreach(r => assert(!r.isNullAt(2), s"ts null for $r"))
+
+    // raw JSON round-trip retains source fields
+    assert(norm("1pa1g36").getString(6).contains("\"subreddit\":\"nyc\""))
+  }
+
+  test("empty text fields are skipped in assembly, not concatenated") {
+    val d = fixtures()
+    val raw = JsonSources.readJsonDir(
+      spark, s"$d/reddit_posts.json", s"$d/bluesky.jsonl")
+    val norm = JsonSources.normalize(raw).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    // post 1pa1g37 has text:"" -> only the title contributes, no
+    // leading space
+    assert(norm("1pa1g37") === "Urgent care recs")
+  }
+}
