@@ -161,10 +161,10 @@ object Events {
       |  (z > 1.5) AS is_anomaly
       |FROM (
       |  SELECT *, CASE
-      |    WHEN mean_prior IS NULL THEN 0.0
-      |    WHEN sd_prior IS NULL OR sd_prior = 0 THEN
-      |      (CASE WHEN mean_prior > 0 AND (cnt - mean_prior) / mean_prior > 1
-      |            THEN (cnt - mean_prior) / mean_prior ELSE 0.0 END)
+      |    WHEN mean_prior IS NULL OR sd_prior IS NULL THEN 0.0
+      |    WHEN sd_prior = 0 THEN
+      |      (CASE WHEN mean_prior > 0 AND abs((cnt - mean_prior) / mean_prior) > 1
+      |            THEN abs((cnt - mean_prior) / mean_prior) ELSE 0.0 END)
       |    ELSE (cnt - mean_prior) / sd_prior END AS z
       |  FROM base)
       |ORDER BY event_type, day""".stripMargin) { (spark, dir) =>
@@ -173,9 +173,12 @@ object Events {
       .agg(count(lit(1)).as("cnt"))
     val prior = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val pct = (col("cnt") - col("mean_prior")) / col("mean_prior")
-    val z = when(col("mean_prior").isNull, 0.0)
-      .when(col("sd_prior").isNull || col("sd_prior") === 0,
+    val pct = abs((col("cnt") - col("mean_prior")) / col("mean_prior"))
+    // reference parity (`anomaly_detection.py:39-56`): NaN baseline
+    // (no/one prior row) -> 0; std exactly 0 -> |pct-change| fallback
+    // when it exceeds 100%; otherwise the plain z-score
+    val z = when(col("mean_prior").isNull || col("sd_prior").isNull, 0.0)
+      .when(col("sd_prior") === 0,
         when(col("mean_prior") > 0 && pct > 1, pct).otherwise(0.0))
       .otherwise((col("cnt") - col("mean_prior")) / col("sd_prior"))
     daily
