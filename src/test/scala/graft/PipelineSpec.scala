@@ -97,6 +97,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(accept.count() + reject.count() === total)
   }
 
+  test("streaming relevance pipeline end-to-end (scan -> analyze -> split sinks)") {
+    // SURVEY §3.1 lifecycle: streaming scan -> relevance column bundle
+    // -> relevant/irrelevant sinks, bounded drain, progress captured.
+    import graft.ops.{RelevanceOps, TextOps}
+    val out = tmpDir("relpipe")
+    val cap = new StreamingOps.ProgressCapture
+    spark.streams.addListener(cap)
+    try {
+      val schema = spark.read.parquet(s"$sf/documents.parquet").schema
+      val stream = StreamingOps.parquetStream(spark, s"$sf/documents.parquet", schema)
+        .select(Seq(col("doc_id"), col("text")) ++
+          RelevanceOps.analysisColumns(TextOps.words(col("text"))): _*)
+      val q = StreamingOps.splitSinkQuery(
+        stream, col("is_relevant"),
+        s"$out/relevant", s"$out/irrelevant", s"$out/ckpt")
+      q.awaitTermination()
+      val total = Tables.documents(spark, sf).count()
+      val rel = spark.read.json(s"$out/relevant").count()
+      val irrelDir = new java.io.File(s"$out/irrelevant")
+      val irrel =
+        if (irrelDir.exists && irrelDir.listFiles().exists(_.getName.endsWith(".json")))
+          spark.read.json(s"$out/irrelevant").count()
+        else 0L
+      assert(rel + irrel === total)
+      assert(rel > 0)
+      val deadline = System.currentTimeMillis() + 10000
+      while (cap.totalRows == 0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(cap.totalRows === total)
+    } finally spark.streams.removeListener(cap)
+  }
+
   test("event table sink partitions by date and prunes") {
     val out = tmpDir("evtbl")
     Sinks.writeEventTable(Tables.events(spark, sf), s"$out/events")

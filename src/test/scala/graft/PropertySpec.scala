@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.{EmbeddingOps, ForecastOps, TextOps}
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck property suite for the pure kernels (SURVEY.md §5:
+  * property tests for dedup/forecast/risk edge behavior).
+  */
+object KernelProperties extends Properties("graft.kernels") {
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val text = Gen.listOf(word).map(_.mkString(" "))
+
+  property("embed is deterministic") = Prop.forAll(text) { t =>
+    EmbeddingOps.embed(t).toSeq == EmbeddingOps.embed(t).toSeq
+  }
+
+  property("embed is unit-norm or zero") = Prop.forAll(text) { t =>
+    val e = EmbeddingOps.embed(t)
+    val n = math.sqrt(e.map(v => v.toDouble * v).sum)
+    math.abs(n - 1.0) < 1e-4 || n == 0.0
+  }
+
+  property("risk ladder is total and ordered") =
+    Prop.forAll(Gen.choose(1, 60), Gen.choose(0.0, 50.0)) { (n, scale) =>
+      val series = Array.tabulate(n)(i => (i % 7) * scale)
+      if (n < ForecastOps.MinHistory) Prop.passed
+      else {
+        val rows = ForecastOps.forecastSeries(
+          "g", java.time.LocalDate.of(2024, 3, 1), series, 7)
+        Prop.all(rows.map(r =>
+          Prop(Set("LOW", "MODERATE", "HIGH", "CRITICAL")(r.risk_level))): _*)
+      }
+    }
+
+  property("forecast horizon and clipping hold for any series") =
+    Prop.forAll(Gen.choose(7, 40), Gen.listOfN(40, Gen.choose(-5.0, 100.0))) {
+      (n, vs) =>
+        val series = vs.take(n).toArray
+        val rows = ForecastOps.forecastSeries(
+          "g", java.time.LocalDate.of(2024, 3, 1), series, 14)
+        rows.length == 14 && rows.forall(r =>
+          r.predicted >= 0 && r.lower_bound <= r.predicted + 1e-9 &&
+            r.upper_bound >= r.predicted - 1e-9)
+    }
+
+  property("polyHash equals fold-based hash for 5-char strings") =
+    Prop.forAll(Gen.listOfN(5, Gen.alphaNumChar).map(_.mkString)) { s =>
+      val want = s.foldLeft(0L)((a, c) => a * 31 + c.toLong)
+      // column evaluated through Spark in DedupOpsSpec; here check the
+      // reference formula is self-consistent over concatenation
+      want == s.zipWithIndex.map { case (c, i) =>
+        c.toLong * math.pow(31, s.length - 1 - i).toLong
+      }.sum
+    }
+}
