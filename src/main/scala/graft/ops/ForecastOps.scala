@@ -116,10 +116,10 @@ object ForecastOps {
       val raw = level + h * trend + season((n + h - 1) % m)
       val pred = math.max(0.0, raw)
       // risk ladder vs historical distribution
-      // (`disease_outbreak_forecaster.py:128-145`, std guard included)
-      val z = if (histStd > 0) (pred - histMean) / histStd
-      else if (histMean > 0) (pred - histMean) / histMean
-      else 0.0
+      // (`disease_outbreak_forecaster.py:128-145`; the reference's
+      // zero-variance guard substitutes std = 1.0)
+      val safeStd = if (histStd > 0) histStd else 1.0
+      val z = (pred - histMean) / safeStd
       val risk =
         if (z > 2.5) "CRITICAL"
         else if (z > 1.5) "HIGH"

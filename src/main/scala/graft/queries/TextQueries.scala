@@ -181,7 +181,72 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-ish regex tokenization (letter runs / digit runs / single
+    * punctuation — the GPT-2-style pre-tokenizer shape) next to
+    * whitespace tokens: the two token-count bases a training-data
+    * pipeline budgets with.
+    */
+  val q_bpe_tokens = QueryDef(
+    "q_bpe_tokens",
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+       |    AS bpe_tokens,
+       |  CAST(SUM(len(${TextOps.wordsSql("text")})) AS BIGINT) AS ws_tokens,
+       |  ROUND(AVG(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 4)
+       |    AS avg_bpe_tokens
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val bpe = size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+    val ws = size(TextOps.words(col("text")))
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(bpe.cast("long")).as("bpe_tokens"),
+        sum(ws.cast("long")).as("ws_tokens"),
+        round(avg(bpe), 4).as("avg_bpe_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** TF-IDF keyword extraction: top-3 terms per document ranked by
+    * tf · ln(N/df), ties by term (A12's vectorizer surface as a
+    * first-class query; at scale the df table is a broadcast join).
+    */
+  val q_tfidf_keywords = QueryDef(
+    "q_tfidf_keywords", {
+      val ws = TextOps.wordsSql("text")
+      s"""WITH tf AS (
+         |  SELECT doc_id, w, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($ws) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, w, ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score
+         |  FROM tf JOIN df USING (w) CROSS JOIN n)
+         |SELECT doc_id, rank, w AS term, score FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, w) AS rank
+         |  FROM scored) t WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count().toDouble
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "w")
+      .withColumn("score", round(col("tf") * log(lit(nDocs) / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("w"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("w").as("term"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_top_words, q_text_quality, q_token_stats, q_lang_stats, q_doc_hashes,
-    q_langid, q_doc_fingerprint)
+    q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords)
 }
