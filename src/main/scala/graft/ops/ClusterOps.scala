@@ -46,7 +46,8 @@ object ClusterOps {
     */
   def dbscan(
       points: DataFrame, idCol: String, xCol: String, yCol: String,
-      eps: Double, minPts: Int): DataFrame = {
+      eps: Double, minPts: Int,
+      localCcMaxEdges: Long = 2000000L): DataFrame = {
     val pts = points.select(
       col(idCol).cast("long").as("pid"),
       col(xCol).cast("double").as("x"),
@@ -95,7 +96,7 @@ object ClusterOps {
     // identical min-id-label semantics either way.
     val edgeCount = coreEdges.count()
     var labels =
-      if (edgeCount <= 2000000) {
+      if (edgeCount <= localCcMaxEdges) {
         val spark = points.sparkSession
         import spark.implicits._
         val parent = scala.collection.mutable.Map[Long, Long]()
@@ -115,7 +116,7 @@ object ClusterOps {
           .repartition(col("pid")).localCheckpoint()
       } else core.withColumn("label", col("pid")).localCheckpoint()
     var labelSum = Long.MinValue
-    var changed = if (edgeCount <= 2000000) 0L else 1L
+    var changed = if (edgeCount <= localCcMaxEdges) 0L else 1L
     var iter = 0
     while (changed > 0 && iter < 50) {
       val prop = coreEdges

@@ -54,14 +54,16 @@ class ClusterOpsSpec extends AnyFunSuite {
     }.toMap
   }
 
-  test("grid DBSCAN matches brute-force DBSCAN") {
-    val got = ClusterOps.dbscan(pts, "vec_id", "x", "y", eps, minPts)
-      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+  test("grid DBSCAN matches brute-force DBSCAN (both component paths)") {
     val local = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     val want = bruteDbscan(local)
-    assert(got.size === want.size)
-    val diff = got.collect { case (k, v) if want(k) != v => (k, v, want(k)) }
-    assert(diff.isEmpty, s"label mismatches: ${diff.take(5)}")
+    for (gate <- Seq(Long.MaxValue /* local union-find */, 0L /* distributed */)) {
+      val got = ClusterOps.dbscan(pts, "vec_id", "x", "y", eps, minPts, gate)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(got.size === want.size)
+      val diff = got.collect { case (k, v) if want(k) != v => (k, v, want(k)) }
+      assert(diff.isEmpty, s"gate=$gate label mismatches: ${diff.take(5)}")
+    }
   }
 
   test("kmeans is deterministic for a fixed seed and covers all points") {
