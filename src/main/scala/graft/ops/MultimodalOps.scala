@@ -92,6 +92,30 @@ object MultimodalOps {
       .toDF("media_id", "frame_idx", "frame_bytes")
   }
 
+  /** STUB resize: deterministic re-sampling of the payload to a target
+    * "pixel" budget (byte stride sampling stands in for real
+    * interpolation; metadata carries the declared target dims). The
+    * partition-local execution shape is identical to a real resampler.
+    */
+  def resizeStub(df: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budget = targetW * targetH
+    df.select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val n = r.payload.length
+        val out =
+          if (n == 0 || n <= budget) r.payload
+          else {
+            val step = n.toDouble / budget
+            Array.tabulate(budget)(i => r.payload((i * step).toInt))
+          }
+        (r.media_id, r.kind, targetW, targetH, out)
+      })
+      .toDF("media_id", "kind", "width", "height", "payload")
+  }
+
   /** Build a synthetic media table from the documents table (UTF-8
     * payloads) — test/bench scaffolding for the binary plumbing.
     */

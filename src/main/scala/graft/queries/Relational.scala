@@ -263,9 +263,72 @@ object Relational {
       .orderBy(col("nationkey"))
   }
 
+  /** Shipping-priority shape (TPC-H Q3 flavor): customer⨝orders⨝
+    * lineitem with selective filters on both fact sides, revenue
+    * aggregate, top-10. Exercises multi-join ordering + partial
+    * aggregation + TakeOrderedAndProject in one plan. */
+  val q_shipping_priority = QueryDef(
+    "q_shipping_priority",
+    """SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS order_date,
+      |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY o.o_orderkey, CAST(o.o_orderdate AS DATE)
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate").cast("date").as("order_date"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Region-volume shape (TPC-H Q5 flavor): five-way join through two
+    * broadcast dims + three fact/entity tables, grouped revenue per
+    * nation. */
+  val q_region_volume = QueryDef(
+    "q_region_volume",
+    """SELECT n.n_name, COUNT(*) AS n_lines,
+      |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE r.r_name = 'ASIA'
+      |  AND o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n.n_name ORDER BY revenue DESC, n_name""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_pricing_summary, q_top_parts, q_priority_counts, q_customer_by_region,
     q_revenue_by_priority, q_customers_no_orders, q_parts_shipped_1999,
     q_price_tiers, q_order_size_classes, q_lineitem_stats,
-    q_distinct_parts_per_status, q_key_accounts_union, q_nations_customers_only)
+    q_distinct_parts_per_status, q_key_accounts_union, q_nations_customers_only,
+    q_shipping_priority, q_region_volume)
 }

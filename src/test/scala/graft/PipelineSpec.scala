@@ -196,6 +196,18 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("resize stub caps payload at the target budget, deterministic") {
+    val media = MultimodalOps.mediaFromDocuments(
+      Tables.documents(spark, sf).limit(20))
+    val a = MultimodalOps.resizeStub(media, 8, 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+    val b = MultimodalOps.resizeStub(media, 8, 8).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+    assert(a === b)
+    a.values.foreach(p => assert(p.length <= 64))
+    assert(a.values.exists(_.length == 64)) // long docs got resampled
+  }
+
   test("frame sampling slices payloads deterministically") {
     val media = MultimodalOps.mediaFromDocuments(
       Tables.documents(spark, sf).limit(10))
