@@ -76,23 +76,49 @@ object StreamingOps {
   case class Keyed(hash: String, id: Long)
 
   def streamingDedupFirstSeen(
-      spark: SparkSession, keyed: DataFrame): DataFrame = {
+      spark: SparkSession, keyed: DataFrame): DataFrame =
+    streamingDedupFirstSeenTtl(spark, keyed, ttlMs = 0L)
+
+  /** As [[streamingDedupFirstSeen]] but with BOUNDED per-key state:
+    * each hash's state carries a processing-time TTL and is dropped on
+    * timeout — the engine-native version of the reference's capped
+    * seen-set/trailing caches (`deduplication_consumer.py:107-110,
+    * 283-286`, caps 1000/500). After expiry the same content counts as
+    * new again — the documented semantics of any TTL'd dedup.
+    * `ttlMs <= 0` keeps state forever.
+    */
+  def streamingDedupFirstSeenTtl(
+      spark: SparkSession, keyed: DataFrame, ttlMs: Long): DataFrame = {
     import spark.implicits._
+    val timeoutConf =
+      if (ttlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     keyed.select(col("hash"), col("id").cast("long"))
       .as[Keyed]
       .groupByKey(_.hash)
-      .flatMapGroupsWithState[Long, Keyed](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (hash: String, rows: Iterator[Keyed], state: GroupState[Long]) =>
-          if (state.exists) Iterator.empty
-          else {
-            val minId = rows.map(_.id).min
-            state.update(minId)
-            Iterator.single(Keyed(hash, minId))
-          }
-      }
+      .flatMapGroupsWithState[Long, Keyed](OutputMode.Append, timeoutConf)(
+        dedupStep(ttlMs))
       .toDF("content_hash", "keep_id")
   }
+
+  /** Per-key state transition for the streaming dedup — factored out so
+    * the timeout/first-sight branches are unit-testable without the
+    * micro-batch engine.
+    */
+  private[graft] def dedupStep(ttlMs: Long)(
+      hash: String, rows: Iterator[Keyed], state: GroupState[Long]): Iterator[Keyed] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else if (state.exists) {
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs) // sliding TTL
+      Iterator.empty
+    } else {
+      val minId = rows.map(_.id).min
+      state.update(minId)
+      if (ttlMs > 0) state.setTimeoutDuration(ttlMs)
+      Iterator.single(Keyed(hash, minId))
+    }
 
   /** Per-batch progress capture (ST8, `relevance_consumer.py:388-444`):
     * a StreamingQueryListener accumulating input-row counts — the

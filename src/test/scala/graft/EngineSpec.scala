@@ -36,6 +36,13 @@ class EngineSpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
   }
 
+  test("dashboard certification map points at registered queries") {
+    val registered = SparkEntry.queries.keySet
+    graft.queries.DashboardQueries.byReferenceName.foreach { case (ref, q) =>
+      assert(registered.contains(q.name), s"$ref -> ${q.name} unregistered")
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf)

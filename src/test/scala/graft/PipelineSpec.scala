@@ -36,6 +36,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.map(_.getString(0)).distinct.length === res.length)
   }
 
+  test("TTL dedup state transitions: first-sight emits, repeat suppresses, timeout trims") {
+    import graft.streaming.StreamingOps.Keyed
+    class FakeState extends org.apache.spark.sql.streaming.GroupState[Long] {
+      var value: Option[Long] = None
+      var timedOut = false
+      var removed = false
+      var timeoutSet = false
+      override def exists: Boolean = value.isDefined
+      override def get: Long = value.get
+      override def getOption: Option[Long] = value
+      override def update(v: Long): Unit = { value = Some(v) }
+      override def remove(): Unit = { value = None; removed = true }
+      override def hasTimedOut: Boolean = timedOut
+      override def setTimeoutDuration(ms: Long): Unit = { timeoutSet = true }
+      override def setTimeoutDuration(d: String): Unit = { timeoutSet = true }
+      override def setTimeoutTimestamp(ms: Long): Unit = ()
+      override def setTimeoutTimestamp(ms: Long, add: String): Unit = ()
+      override def setTimeoutTimestamp(ts: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(ts: java.sql.Date, add: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val step = StreamingOps.dedupStep(1000L) _
+    // first sight: emits min id, registers TTL
+    val s1 = new FakeState
+    val out1 = step("h", Iterator(Keyed("h", 7), Keyed("h", 3)), s1).toList
+    assert(out1 === List(Keyed("h", 3)) && s1.value.contains(3L) && s1.timeoutSet)
+    // repeat: suppressed, TTL refreshed
+    val s2 = new FakeState { value = Some(3L) }
+    assert(step("h", Iterator(Keyed("h", 9)), s2).isEmpty && s2.timeoutSet)
+    // timeout: state trimmed, nothing emitted
+    val s3 = new FakeState { value = Some(3L); timedOut = true }
+    assert(step("h", Iterator.empty, s3).isEmpty && s3.removed)
+  }
+
   test("watermark drops late data in append-mode streaming aggregation") {
     import org.apache.spark.sql.streaming.Trigger
     val spark0 = spark
