@@ -26,15 +26,13 @@ object VectorOps {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity of two float vectors (cast to double first). */
+  /** Cosine similarity of two float vectors (cast to double first).
+    * Builtin-only fallback; hot paths use the codegen'd
+    * [[graft.functions.DotProduct]] expression instead.
+    */
   def cosine(a: Column, b: Column): Column = {
     val ad = asDouble(a)
     val bd = asDouble(b)
     dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
   }
-
-  /** Cosine given precomputed double vectors + norms (for self-joins
-    * where norms are computed once per row, not once per pair).
-    */
-  def cosinePrenormed(aDot: Column): Column = aDot
 }

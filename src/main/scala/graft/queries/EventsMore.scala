@@ -156,6 +156,58 @@ object EventsMore {
       .orderBy(col("event_type"))
   }
 
+  /** Ranking-function family (rank / dense_rank / ntile) over per-user
+    * spend — beyond reference parity (the reference imports but never
+    * uses them); ranks computed over ROUNDED totals so cross-engine
+    * float summation order cannot flip near-ties.
+    */
+  val q_value_ranks = QueryDef(
+    "q_value_ranks",
+    """WITH spend AS (
+      |  SELECT user_id, event_type, ROUND(SUM(value), 2) AS total
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, user_id, total,
+      |  RANK() OVER (PARTITION BY event_type ORDER BY total DESC) AS rnk,
+      |  DENSE_RANK() OVER (PARTITION BY event_type ORDER BY total DESC) AS drnk,
+      |  CAST(NTILE(4) OVER (PARTITION BY event_type
+      |    ORDER BY total DESC, user_id) AS BIGINT) AS quartile
+      |FROM spend ORDER BY event_type, rnk, user_id""".stripMargin) { (spark, dir) =>
+    val spend = Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(round(sum("value"), 2).as("total"))
+    val byTotal = Window.partitionBy(col("event_type")).orderBy(col("total").desc)
+    val stable = Window.partitionBy(col("event_type"))
+      .orderBy(col("total").desc, col("user_id"))
+    spend.select(col("event_type"), col("user_id"), col("total"),
+      rank().over(byTotal).cast("long").as("rnk"),
+      dense_rank().over(byTotal).cast("long").as("drnk"),
+      ntile(4).over(stable).cast("long").as("quartile"))
+      .orderBy(col("event_type"), col("rnk"), col("user_id"))
+  }
+
+  /** Pivot: daily counts spread into one column per event type (the
+    * dashboard wide-table shape; Spark's native pivot operator, oracle
+    * as conditional aggregation — identical results).
+    */
+  val q_pivot_daily = QueryDef(
+    "q_pivot_daily",
+    """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_percentiles)
+    q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_percentiles,
+    q_value_ranks, q_pivot_daily)
 }
