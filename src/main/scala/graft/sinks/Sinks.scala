@@ -63,6 +63,20 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.option("header", "true").mode("overwrite").csv(path)
 
+  /** Bucketed table write: pre-shuffles data into `nBuckets` by
+    * `keys` at write time so later equi-joins/aggregations on those
+    * keys run with NO exchange — the co-located-join layout for fact
+    * tables that join repeatedly on the same key at 100 TB. Requires a
+    * catalog table (bucket metadata lives in the metastore).
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, keys: Seq[String], nBuckets: Int): Unit =
+    df.write
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .saveAsTable(table)
+
   /** Materialized-aggregate-view parity (`psql_db_client.py:194-222`,
     * refresh `:451-459`): a precomputed daily summary table a batch
     * job overwrites on refresh; dashboards read the parquet instead of

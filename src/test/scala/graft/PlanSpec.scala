@@ -47,6 +47,41 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("HashAggregate"), s"expected hash agg:\n$p")
   }
 
+  test("bucketed tables join without a shuffle") {
+    import org.apache.spark.sql.functions._
+    for (t <- Seq("ev_bucketed", "user_stats_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    graft.sinks.Sinks.writeBucketed(
+      Tables.events(spark, sf).select(col("event_id"), col("user_id"), col("value")),
+      "ev_bucketed", Seq("user_id"), 8)
+    graft.sinks.Sinks.writeBucketed(
+      Tables.events(spark, sf).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events")),
+      "user_stats_bucketed", Seq("user_id"), 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join so the bucket layout (not a broadcast)
+      // is what eliminates the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ev_bucketed")
+        .join(spark.table("user_stats_bucketed"), "user_id")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join should not shuffle:\n$p")
+      assert(joined.count() === Tables.events(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the hot expressions") {
     // AQE plans only materialize stage-by-stage; execute first, then
     // inspect the final plan for codegen spans.
