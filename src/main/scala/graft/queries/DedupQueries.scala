@@ -60,6 +60,51 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** End-to-end training-corpus cleaning: quality gate (>= 20 tokens)
+    * → exact dedup (min-id winner per content hash) → near-duplicate
+    * removal (MinHash-LSH pairs at 0.8; the higher id of each pair
+    * loses). The full pipeline has one oracle composed from the same
+    * generated CTEs, so the driver verifies the composition, not just
+    * the stages.
+    */
+  val q_clean_corpus = QueryDef(
+    "q_clean_corpus", {
+      val ws = graft.ops.TextOps.wordsSql("text")
+      val pairCtes = DedupOps.minhashOracleSql(0.8)
+        .replaceAll("(?s)^WITH ", "").replaceAll("(?s)\nSELECT c\\.doc_a.*$", "")
+      s"""WITH $pairCtes,
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sz sa ON sa.id = c.doc_a
+         |  JOIN sz sb ON sb.id = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.8),
+         |quality AS (
+         |  SELECT doc_id, CAST(len($ws) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE len($ws) >= 20),
+         |exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT q.doc_id, q.n_tokens
+         |FROM quality q
+         |JOIN exact_keep e ON e.doc_id = q.doc_id
+         |WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_b = q.doc_id)
+         |ORDER BY 1""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val quality = docs
+      .withColumn("n_tokens", size(graft.ops.TextOps.words(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= 20)
+    val exactKeep = DedupOps.exactDedup(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val losers = DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+    quality
+      .join(exactKeep, "doc_id")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_dedup_exact, q_minhash_lsh, q_simhash, q_ngram_jaccard)
+    q_dedup_exact, q_minhash_lsh, q_simhash, q_ngram_jaccard, q_clean_corpus)
 }
