@@ -207,7 +207,23 @@ object EventsMore {
       .orderBy(col("day"))
   }
 
+  /** Histogram binning of the value distribution (width_bucket — the
+    * SQL-standard equi-width histogram both engines implement
+    * identically).
+    */
+  val q_value_histogram = QueryDef(
+    "q_value_histogram",
+    """SELECT CASE WHEN value < 0 THEN 0 WHEN value >= 500 THEN 11
+      |       ELSE CAST(FLOOR(value / 50.0) AS BIGINT) + 1 END AS bucket,
+      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS bucket_total
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(width_bucket(col("value"), lit(0.0), lit(500.0), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("bucket_total"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_percentiles,
-    q_value_ranks, q_pivot_daily)
+    q_value_ranks, q_pivot_daily, q_value_histogram)
 }
