@@ -68,16 +68,26 @@ object DedupOps {
 
   // ------------------------------------------------------------- shingles
 
-  /** Exploded distinct-shingle table: (id, s). */
-  def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("id"),
-        explode(TextOps.charShingles(col(textCol), ShingleN)).as("s"))
+  /** Exploded distinct-shingle-HASH table: (id, h). Shingles travel as
+    * their 8-byte polynomial hashes from the first explode on — every
+    * downstream shuffle/join/aggregate moves longs instead of strings
+    * (~30% less shuffle payload, cheaper comparisons). A hash collision
+    * merges two shingles into one set element; the oracle computes the
+    * identical hash, so both engines see the same merged sets.
+    */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashes = array_distinct(transform(
+      TextOps.charShingles(col(textCol), ShingleN),
+      s => TextOps.polyHash(s, ShingleN)))
+    docs.select(col(idCol).as("id"), explode(hashes).as("h"))
+  }
 
-  def shingleTableSql(table: String, idCol: String, textCol: String): String =
-    s"""SELECT DISTINCT $idCol AS id, substr($textCol, CAST(g AS INT), $ShingleN) AS s
+  def shingleTableSql(table: String, idCol: String, textCol: String): String = {
+    val h = TextOps.polyHashSql(s"substr($textCol, CAST(g AS INT), $ShingleN)", ShingleN)
+    s"""SELECT DISTINCT $idCol AS id, $h AS h
        |  FROM $table CROSS JOIN UNNEST(range(1, 2000)) t(g)
        |  WHERE CAST(g AS INT) <= len($textCol) - ${ShingleN - 1}""".stripMargin
+  }
 
   /** Document-frequency cap for shingles entering similarity indexes.
     * Ultra-common shingles carry no discrimination signal but quadratic
@@ -94,19 +104,19 @@ object DedupOps {
     * groupBy-then-join-back formulation's two.
     */
   def discriminativeShingles(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col("s"))
+    val w = Window.partitionBy(col("h"))
     shingleTable(docs, idCol, textCol)
       .withColumn("df", count(lit(1)).over(w))
       .filter(col("df") <= MaxDf)
-      .select(col("id"), col("s"))
+      .select(col("id"), col("h"))
   }
 
   /** CTE text (sh0/rare/sh) for [[discriminativeShingles]]. */
   def discriminativeShinglesSqlCtes(table: String, idCol: String, textCol: String): String =
     s"""sh0 AS (
        |  ${shingleTableSql(table, idCol, textCol)}),
-       |rare AS (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= $MaxDf),
-       |sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN rare USING (s))""".stripMargin
+       |rare AS (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) <= $MaxDf),
+       |sh AS (SELECT sh0.id, sh0.h FROM sh0 JOIN rare USING (h))""".stripMargin
 
   // -------------------------------------------------------------- minhash
 
@@ -114,7 +124,7 @@ object DedupOps {
     * discriminative shingle set.
     */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = TextOps.polyHash(col("s"), ShingleN) % P
+    val h = col("h") % P
     val aggs = (0 until K).map(i =>
       min((lit(hashA(i)) * h + lit(hashB(i))) % P).as(s"m$i"))
     discriminativeShingles(docs, idCol, textCol)
@@ -133,7 +143,7 @@ object DedupOps {
     // signature AND both sides of the verify join, and Spark would
     // otherwise recompute the explode+df-filter for each use
     val sh = discriminativeShingles(docs, idCol, textCol).localCheckpoint()
-    val h = TextOps.polyHash(col("s"), ShingleN) % P
+    val h = col("h") % P
     val aggs = (0 until K).map(i =>
       min((lit(hashA(i)) * h + lit(hashB(i))) % P).as(s"m$i"))
     val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
@@ -155,7 +165,7 @@ object DedupOps {
       .union(cand.select(col("doc_b"))).distinct()
     val shc = sh.join(candIds, "id")
     val inter = shc.as("a").join(shc.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     cand.join(inter, Seq("doc_a", "doc_b"))
@@ -171,9 +181,8 @@ object DedupOps {
     * generated from the same hash constants, including the banding.
     */
   def minhashOracleSql(threshold: Double): String = {
-    val h = TextOps.polyHashSql("s", ShingleN)
     val mins = (0 until K).map(i =>
-      s"MIN((${hashA(i)} * ($h % $P) + ${hashB(i)}) % $P) AS m$i").mkString(",\n    ")
+      s"MIN((${hashA(i)} * (h % $P) + ${hashB(i)}) % $P) AS m$i").mkString(",\n    ")
     val bucketRows = (0 until Bands).map { j =>
       val ms = (j * RowsPerBand until (j + 1) * RowsPerBand).map(i => s"CAST(m$i AS VARCHAR)")
       s"SELECT id, $j AS band, concat_ws('_', ${ms.mkString(", ")}) AS bucket FROM sig"
@@ -191,7 +200,7 @@ object DedupOps {
        |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
        |inter AS (
        |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
        |  WHERE EXISTS (SELECT 1 FROM cand c WHERE c.doc_a = a.id AND c.doc_b = b.id)
        |  GROUP BY 1, 2)
        |SELECT c.doc_a, c.doc_b,
@@ -296,7 +305,7 @@ object DedupOps {
     val sh = discriminativeShingles(docs, idCol, textCol).localCheckpoint()
     val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
       .join(sz.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
@@ -312,7 +321,7 @@ object DedupOps {
        |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
        |inter AS (
        |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS inter
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
        |  GROUP BY 1, 2)
        |SELECT i.doc_a, i.doc_b,
        |  ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard

@@ -165,18 +165,16 @@ object TextQueries {
   val q_doc_fingerprint = QueryDef(
     "q_doc_fingerprint", {
       import graft.ops.DedupOps
-      val h = TextOps.polyHashSql("s", DedupOps.ShingleN)
       s"""WITH sh AS (
          |  ${DedupOps.shingleTableSql("documents", "doc_id", "text")})
-         |SELECT id AS doc_id, MIN($h) AS min_hash, MAX($h) AS max_hash,
+         |SELECT id AS doc_id, MIN(h) AS min_hash, MAX(h) AS max_hash,
          |  COUNT(*) AS n_shingles
          |FROM sh GROUP BY id ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
     import graft.ops.DedupOps
-    val h = TextOps.polyHash(col("s"), DedupOps.ShingleN)
     DedupOps.shingleTable(Tables.documents(spark, dir), "doc_id", "text")
       .groupBy(col("id").as("doc_id"))
-      .agg(min(h).as("min_hash"), max(h).as("max_hash"),
+      .agg(min(col("h")).as("min_hash"), max(col("h")).as("max_hash"),
         count(lit(1)).as("n_shingles"))
       .orderBy(col("doc_id"))
   }
