@@ -84,9 +84,12 @@ object DedupOps {
 
   def shingleTableSql(table: String, idCol: String, textCol: String): String = {
     val h = TextOps.polyHashSql(s"substr($textCol, CAST(g AS INT), $ShingleN)", ShingleN)
+    // lateral range bound derived from each text's own length — matches
+    // Spark's sequence(1, len - n + 1) at ANY document length (a fixed
+    // cap would silently drop shingles of long documents)
     s"""SELECT DISTINCT $idCol AS id, $h AS h
-       |  FROM $table CROSS JOIN UNNEST(range(1, 2000)) t(g)
-       |  WHERE CAST(g AS INT) <= len($textCol) - ${ShingleN - 1}""".stripMargin
+       |  FROM $table CROSS JOIN
+       |    UNNEST(range(1, GREATEST(len($textCol) - ${ShingleN - 1}, 0) + 1)) t(g)""".stripMargin
   }
 
   /** Document-frequency cap for shingles entering similarity indexes.

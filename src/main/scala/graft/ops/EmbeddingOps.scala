@@ -12,25 +12,41 @@ import org.apache.spark.sql.functions.udf
   * replacement for [[embed]].
   *
   * Feature hashing: word unigrams + bigrams → signed buckets
-  * (hash-sign trick), then L2 normalization. Seedless and portable:
-  * only arithmetic on codepoints.
+  * (hash-sign trick), then L2 normalization. The gram hash is the
+  * portable [[TextOps.polyHash]] over the first 8 chars (space-padded),
+  * so the WHOLE construction — bucket, sign, accumulator, norm — has an
+  * exact DuckDB rendering ([[gramAccSqlCtes]]) and embedding queries
+  * get real oracles instead of rows-only checks. Grams sharing an
+  * 8-char prefix collide (same tradeoff as [[TextOps.wordHash]]);
+  * ASCII corpus assumed (`ascii()` = codepoint = UTF-16 unit).
   */
 object EmbeddingOps {
 
   val Dim = 384
 
-  private def hash64(s: String): Long =
-    s.foldLeft(1125899906842597L)((acc, c) => acc * 31 + c.toLong)
+  /** First-8-chars polynomial hash, the pure-Scala mirror of
+    * `TextOps.wordHash` (polyHash of rpad(gram, 8, ' ')).
+    */
+  def gramHash(g: String): Long = {
+    var h = 0L
+    var k = 0
+    while (k < 8) {
+      val c = if (k < g.length) g.charAt(k).toInt else 32
+      h = h * 31 + c
+      k += 1
+    }
+    h
+  }
 
   /** Embed one text (pure function, exposed for tests). */
   def embed(text: String): Array[Float] = {
     val acc = new Array[Double](Dim)
     val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
     def add(gram: String): Unit = {
-      val h = hash64(gram)
-      val idx = ((h % Dim) + Dim) % Dim
-      val sign = if (((h >>> 17) & 1L) == 0L) 1.0 else -1.0
-      acc(idx.toInt) += sign
+      val h = gramHash(gram)
+      val idx = (h % Dim).toInt
+      val sign = if (((h >> 17) & 1L) == 0L) 1.0 else -1.0
+      acc(idx) += sign
     }
     words.foreach(add)
     words.sliding(2).filter(_.length == 2).foreach(p => add(p(0) + "_" + p(1)))
@@ -45,4 +61,34 @@ object EmbeddingOps {
   val embedUdf = udf((text: String) => embed(if (text == null) "" else text))
 
   def embedCol(text: Column): Column = embedUdf(text)
+
+  /** DuckDB CTEs reproducing the embedding accumulator exactly:
+    * `acc(id, b, acc)` = signed gram votes per bucket,
+    * `nz` = non-zero buckets, `nrm(id, nrm)` = pre-normalization L2
+    * norm (exact: integer squares), `comp(id, b, v)` = normalized
+    * component as float32-rounded double — the same value Spark sees
+    * after `cast(embedding as array<double>)`.
+    */
+  def gramAccSqlCtes(docsRel: String, idCol: String, textCol: String): String = {
+    val wh = TextOps.wordHashSql("g")
+    s"""ws_t AS (
+       |  SELECT $idCol AS id,
+       |    list_filter(string_split(lower($textCol), ' '), w -> w <> '') AS ws
+       |  FROM $docsRel),
+       |grams AS (
+       |  SELECT id, unnest(list_concat(ws,
+       |    list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i+1]))) AS g
+       |  FROM ws_t),
+       |hg AS (SELECT id, $wh AS h FROM grams),
+       |acc AS (
+       |  SELECT id, h % $Dim AS b,
+       |    CAST(SUM(CASE WHEN (h >> 17) & 1 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS acc
+       |  FROM hg GROUP BY 1, 2),
+       |nz AS (SELECT id, b, acc FROM acc WHERE acc <> 0),
+       |nrm AS (SELECT id, sqrt(CAST(SUM(acc * acc) AS DOUBLE)) AS nrm FROM nz GROUP BY id),
+       |comp AS (
+       |  SELECT nz.id, nz.b,
+       |    CAST(CAST(nz.acc / nrm.nrm AS REAL) AS DOUBLE) AS v
+       |  FROM nz JOIN nrm ON nz.id = nrm.id)""".stripMargin
+  }
 }

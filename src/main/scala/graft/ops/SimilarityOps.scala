@@ -127,10 +127,17 @@ object SimilarityOps {
   def hyperplaneSignature(
       vectors: DataFrame, idCol: String, vecCol: String,
       bits: Int, dim: Int): DataFrame = {
-    // h_i[d] in {-1, +1} from a deterministic integer mix
+    // h_i[d] in {-1, +1} from a deterministic integer mix. The sign
+    // comes from a WELL-MIXED bit: the low bit of odd-multiplier*x is
+    // just x&1 (would make all hyperplanes identical for even dim and
+    // collapse every signature into 2 buckets), so mix with xor-shift
+    // first and read bit 16.
     def coeff(i: Int, d: Int): Double = {
-      val x = (2654435761L * (i * dim + d + 1)) & 0x7fffffffL
-      if ((x & 1L) == 0L) 1.0 else -1.0
+      var x = 2654435761L * (i * dim + d + 1)
+      x ^= x >>> 33
+      x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 29
+      if (((x >>> 16) & 1L) == 0L) 1.0 else -1.0
     }
     val vd = VectorOps.asDouble(col(vecCol))
     val bitCols = (0 until bits).map { i =>
@@ -143,25 +150,44 @@ object SimilarityOps {
       bitCols.reduce((a, b) => a + b).as("sig"))
   }
 
-  /** LSH-bucketed near-duplicate candidates: same-signature pairs
-    * verified by exact cosine >= threshold. Recall < 1 by construction
-    * (documented tradeoff vs [[cosineNearDupPairs]]).
+  /** LSH-bucketed near-duplicate candidates with OR-amplification:
+    * the `bands * bandBits` hyperplane bits are split into `bands`
+    * independent tables; a pair becomes a candidate if it collides in
+    * ANY band (recall 1-(1-p^bandBits)^bands for per-bit agreement p),
+    * then exact cosine >= threshold verifies. Same banding algebra as
+    * MinHash-LSH: candidate generation is an equi-join on (band,
+    * bucket), never all-pairs. A single monolithic signature would need
+    * all bits to agree at once — recall collapses for any threshold
+    * far from 1. Tune bandBits up to cut random collisions at scale
+    * (each extra bit halves them), bands up for recall.
     */
   def lshNearDupPairs(
       vectors: DataFrame, idCol: String, vecCol: String,
-      bits: Int, dim: Int, threshold: Double): DataFrame = {
+      bands: Int, bandBits: Int, dim: Int, threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val sig = hyperplaneSignature(vectors, idCol, vecCol, bits, dim)
+    val sig = hyperplaneSignature(vectors, idCol, vecCol, bands * bandBits, dim)
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("sig"), j * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
+    }
+    val buckets = sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("ida"), col("y.id").as("idb"))
+      .distinct()
     val v = vectors.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vd"))
       .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
-      .join(sig, "id")
-    v.as("a").join(v.as("b"),
-        col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      .withColumn("cos",
-        expr("dot_product(a.vd, b.vd)") / (col("a.nrm") * col("b.nrm")))
+    cand
+      .join(v.select(col("id").as("ida"), col("vd").as("va"), col("nrm").as("na")), "ida")
+      .join(v.select(col("id").as("idb"), col("vd").as("vb"), col("nrm").as("nb")), "idb")
+      .withColumn("cos", expr("dot_product(va, vb)") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+      .select(col("ida").as("vec_a"), col("idb").as("vec_b"),
         round(col("cos"), 6).as("cos_sim"))
   }
 }

@@ -129,27 +129,93 @@ object RelevanceQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** U5 hashed embedding materialization (rows-only: UDF not SQL-
-    * expressible; determinism/norm properties in EmbeddingOpsSpec). */
-  val q_hashed_embedding = QueryDef.noOracle("q_hashed_embedding") { (spark, dir) =>
+  /** U5 hashed embedding materialization, certified through a scalar
+    * digest: the raw `array<float>` stays an internal column (driver
+    * checkers can't hash arrays) and the query emits active-bucket
+    * count, first-4 components, and extrema — all reproduced exactly by
+    * the DuckDB oracle from [[EmbeddingOps.gramAccSqlCtes]] (the
+    * portable-hash construction makes the UDF SQL-specifiable). */
+  val q_hashed_embedding = QueryDef(
+    "q_hashed_embedding", {
+      val cs = (0 until 4).map(b =>
+        s"    MAX(CASE WHEN b = $b THEN v END) AS c$b").mkString(",\n")
+      val csOut = (0 until 4).map(b =>
+        s"  ROUND(COALESCE(dig.c$b, 0.0), 6) AS c$b").mkString(",\n")
+      s"""WITH ${EmbeddingOps.gramAccSqlCtes("documents", "doc_id", "text")},
+         |dig AS (
+         |  SELECT id, COUNT(*) AS n_active,
+         |    MAX(v) AS mx, MIN(v) AS mn,
+         |$cs
+         |  FROM comp GROUP BY id)
+         |SELECT d.doc_id,
+         |  COALESCE(dig.n_active, 0) AS n_active,
+         |$csOut,
+         |  ROUND(CASE WHEN COALESCE(dig.n_active, 0) < ${EmbeddingOps.Dim}
+         |        THEN GREATEST(COALESCE(dig.mx, 0.0), 0.0) ELSE dig.mx END, 6) AS max_comp,
+         |  ROUND(CASE WHEN COALESCE(dig.n_active, 0) < ${EmbeddingOps.Dim}
+         |        THEN LEAST(COALESCE(dig.mn, 0.0), 0.0) ELSE dig.mn END, 6) AS min_comp
+         |FROM documents d LEFT JOIN dig ON dig.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val e = col("e")
     Tables.documents(spark, dir)
-      .select(col("doc_id"), EmbeddingOps.embedCol(col("text")).as("embedding"))
+      .select(col("doc_id"), EmbeddingOps.embedCol(col("text")).as("e"))
+      .select(
+        Seq(
+          col("doc_id"),
+          size(filter(e, x => x =!= lit(0f))).cast("long").as("n_active")) ++
+        (0 until 4).map(b =>
+          round(element_at(e, b + 1).cast("double"), 6).as(s"c$b")) ++
+        Seq(
+          round(array_max(e).cast("double"), 6).as("max_comp"),
+          round(array_min(e).cast("double"), 6).as("min_comp")): _*)
       .orderBy(col("doc_id"))
   }
 
+  private val SearchQueryText = "fast join query on big table"
+
   /** J9/M8 semantic search end to end: embed a query string with the
     * same hashed encoder, metadata-filter the corpus (lang = 'en'),
-    * exact cosine top-10. */
-  val q_semantic_search = QueryDef.noOracle("q_semantic_search") { (spark, dir) =>
+    * exact cosine top-10. Oracle: the query vector's sparse (bucket,
+    * value) pairs and its norm are computed at SQL-generation time from
+    * the same pure [[EmbeddingOps.embed]]; corpus components come from
+    * [[EmbeddingOps.gramAccSqlCtes]]. */
+  val q_semantic_search = QueryDef(
+    "q_semantic_search", {
+      val qe = EmbeddingOps.embed(SearchQueryText).map(_.toDouble)
+      // query norm exactly as Spark computes it: left fold over the
+      // double-cast float components in index order
+      val qn = math.sqrt(qe.foldLeft(0.0)((a, v) => a + v * v))
+      val qvRows = qe.zipWithIndex
+        .collect { case (v, b) if v != 0.0 => s"($b, CAST($v AS DOUBLE))" }
+        .mkString(",\n    ")
+      s"""WITH en AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
+         |${EmbeddingOps.gramAccSqlCtes("en", "doc_id", "text")},
+         |cn AS (SELECT id, sqrt(SUM(v * v)) AS cn FROM comp GROUP BY id),
+         |qv(b, v) AS (VALUES
+         |    $qvRows),
+         |dt AS (
+         |  SELECT comp.id, SUM(comp.v * qv.v) AS dot
+         |  FROM comp JOIN qv USING (b) GROUP BY comp.id)
+         |SELECT CAST(-1 AS BIGINT) AS query_id, rank, id AS neighbor_id,
+         |  ROUND(cos, 6) AS cos_sim
+         |FROM (
+         |  SELECT id, cos, ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS rank
+         |  FROM (
+         |    SELECT cn.id, COALESCE(dt.dot, 0.0) / (CAST($qn AS DOUBLE) * cn.cn) AS cos
+         |    FROM cn LEFT JOIN dt ON dt.id = cn.id) s) t
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    }) { (spark, dir) =>
     val corpus = Tables.documents(spark, dir)
       .filter(col("lang") === "en")
       .select(col("doc_id").as("vec_id"),
         EmbeddingOps.embedCol(col("text")).as("embedding"))
-    val queryText = "fast join query on big table"
     val q = spark.range(1).select(
       lit(-1L).as("vec_id"),
-      EmbeddingOps.embedCol(lit(queryText)).as("embedding"))
+      EmbeddingOps.embedCol(lit(SearchQueryText)).as("embedding"))
     SimilarityOps.bruteForceTopK(q, corpus, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
       .orderBy(col("rank"))
   }
 

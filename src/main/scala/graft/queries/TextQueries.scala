@@ -227,14 +227,17 @@ object TextQueries {
          |ORDER BY doc_id, rank""".stripMargin
     }) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    val nDocs = docs.count().toDouble
+    // corpus size as a broadcast 1-row cross join (exactly the oracle's
+    // `CROSS JOIN n` shape) — no driver-side count() action, one job
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
     val tf = docs
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(df), "w")
-      .withColumn("score", round(col("tf") * log(lit(nDocs) / col("df")), 6))
+    val scored = tf.join(broadcast(df), "w").crossJoin(nDocs)
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("w"))
     scored

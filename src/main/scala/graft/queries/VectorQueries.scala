@@ -84,7 +84,7 @@ object VectorQueries {
   val q_embed_neardup_lsh = QueryDef.noOracle("q_embed_neardup_lsh") { (spark, dir) =>
     SimilarityOps.lshNearDupPairs(
       Tables.embeddings(spark, dir), "vec_id", "embedding",
-      bits = 8, dim = 64, threshold = 0.4)
+      bands = 6, bandBits = 6, dim = 64, threshold = 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 

@@ -55,10 +55,20 @@ class DedupOpsSpec extends AnyFunSuite {
   test("cosine LSH candidates are a subset of brute force with decent recall") {
     val brute = SimilarityOps.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = SimilarityOps.lshNearDupPairs(emb, "vec_id", "embedding", 8, 64, 0.3)
+    val lsh = SimilarityOps.lshNearDupPairs(
+      emb, "vec_id", "embedding", bands = 6, bandBits = 6, dim = 64, threshold = 0.3)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh.subsetOf(brute))
     assert(brute.isEmpty || lsh.size.toDouble / brute.size > 0.2)
+  }
+
+  test("hyperplane signatures are non-degenerate (hyperplanes independent)") {
+    // a broken sign derivation (e.g. the low bit of odd*x) makes every
+    // hyperplane identical for even dim: all mass lands in 2 buckets
+    // and candidate generation degenerates to ~n^2/4 pairs
+    val nSig = SimilarityOps.hyperplaneSignature(emb, "vec_id", "embedding", 8, 64)
+      .select("sig").distinct().count()
+    assert(nSig > 8, s"signatures collapsed to $nSig buckets")
   }
 
   test("IVF topK has reasonable recall vs brute force") {
