@@ -171,4 +171,40 @@ object ClusterOps {
         round(min(col(xCol)), 6).as("min_x"),
         round(max(col(xCol)), 6).as("max_x"))
       .orderBy(desc("size"), col("cluster_id"))
+
+  /** FULL per-cluster profile matching the reference's cluster
+    * summaries (`spatial_clustering.py:380-462`): size, centroid, mean
+    * of a value column, id range, and the top-1 value (with its count)
+    * of each categorical dimension. The categorical tops come from ONE
+    * explode → (cluster, dim, value) count → per-(cluster, dim) window
+    * top-1 → conditional-agg pivot; no per-dimension passes, so the
+    * cost is one shuffle regardless of how many dimensions profile.
+    * Ties break by value for cross-engine determinism.
+    */
+  def clusterProfileFull(
+      df: DataFrame, clusterCol: String, xCol: String, yCol: String,
+      valueCol: String, idCol: String, catCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.groupBy(col(clusterCol).as("cluster_id")).agg(
+      count(lit(1)).as("n_points"),
+      round(avg(col(xCol)), 6).as("centroid_x"),
+      round(avg(col(yCol)), 6).as("centroid_y"),
+      round(avg(col(valueCol).cast("double")), 4).as("avg_value"),
+      min(col(idCol)).as("min_id"),
+      max(col(idCol)).as("max_id"))
+    val dimVals = df.select(col(clusterCol).as("cluster_id"),
+      explode(array(catCols.map(c =>
+        struct(lit(c).as("dim"), col(c).cast("string").as("v"))): _*)).as("dv"))
+      .groupBy(col("cluster_id"), col("dv.dim").as("dim"), col("dv.v").as("v"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cluster_id"), col("dim"))
+      .orderBy(col("n").desc, col("v"))
+    val top = dimVals.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val aggCols = catCols.flatMap(c => Seq(
+      max(when(col("dim") === c, col("v"))).as(s"top_$c"),
+      max(when(col("dim") === c, col("n"))).as(s"top_${c}_n")))
+    val wide = top.groupBy(col("cluster_id")).agg(aggCols.head, aggCols.tail: _*)
+    base.join(wide, Seq("cluster_id"), "left")
+      .orderBy(desc("n_points"), col("cluster_id"))
+  }
 }

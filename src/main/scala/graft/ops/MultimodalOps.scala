@@ -51,8 +51,10 @@ object MultimodalOps {
       r.media_id, r.kind, n,
       width = if (n == 0) 0 else 16 + (bytes(0) & 0x7f),
       height = if (n == 0) 0 else 16 + (bytes(n - 1) & 0x7f),
-      mean_byte = math.rint(mean * 10000) / 10000,
-      entropy_proxy = math.rint(entropy * 10000) / 10000)
+      // raw doubles: queries round at the output edge like every other
+      // float column, so the oracle's ROUND semantics match
+      mean_byte = mean,
+      entropy_proxy = entropy)
   }
 
   /** Partition-local feature extraction over a binary media column.

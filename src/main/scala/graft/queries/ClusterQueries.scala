@@ -25,6 +25,56 @@ object ClusterQueries {
         eps = 0.02, minPts = 4), "x", "y")
   }
 
+  /** FULL cluster profile A11 over a deterministic labeling (the
+    * `label` column — profile is downstream of clustering, so feeding
+    * it known labels makes the whole profile oracle-checkable): size,
+    * centroid, avg value, id range, top-1 categorical per dimension
+    * (`spatial_clustering.py:380-462` parity). */
+  val q_cluster_profile = QueryDef(
+    "q_cluster_profile",
+    """WITH j AS (
+      |  SELECT e.label AS cluster_id,
+      |    CAST(e.embedding[1] AS DOUBLE) AS x, CAST(e.embedding[2] AS DOUBLE) AS y,
+      |    d.n_chars, d.doc_id, d.lang, d.source
+      |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+      |base AS (
+      |  SELECT cluster_id, COUNT(*) AS n_points,
+      |    ROUND(AVG(x), 6) AS centroid_x, ROUND(AVG(y), 6) AS centroid_y,
+      |    ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_value,
+      |    MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |  FROM j GROUP BY 1),
+      |dims AS (
+      |  SELECT cluster_id, dim, v, COUNT(*) AS n FROM (
+      |    SELECT cluster_id, 'lang' AS dim, lang AS v FROM j
+      |    UNION ALL SELECT cluster_id, 'source' AS dim, source AS v FROM j) u
+      |  GROUP BY 1, 2, 3),
+      |top AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id, dim
+      |      ORDER BY n DESC, v) AS rn FROM dims) t WHERE rn = 1),
+      |wide AS (
+      |  SELECT cluster_id,
+      |    MAX(CASE WHEN dim = 'lang' THEN v END) AS top_lang,
+      |    MAX(CASE WHEN dim = 'lang' THEN n END) AS top_lang_n,
+      |    MAX(CASE WHEN dim = 'source' THEN v END) AS top_source,
+      |    MAX(CASE WHEN dim = 'source' THEN n END) AS top_source_n
+      |  FROM top GROUP BY 1)
+      |SELECT b.cluster_id, b.n_points, b.centroid_x, b.centroid_y, b.avg_value,
+      |  b.min_id, b.max_id, w.top_lang, w.top_lang_n, w.top_source, w.top_source_n
+      |FROM base b LEFT JOIN wide w USING (cluster_id)
+      |ORDER BY n_points DESC, cluster_id""".stripMargin) { (spark, dir) =>
+    val joined = Tables.embeddings(spark, dir)
+      .select(col("label").as("cluster_id"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"),
+        col("vec_id"))
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id"), col("n_chars"), col("lang"), col("source")),
+        col("vec_id") === col("doc_id"))
+    ClusterOps.clusterProfileFull(joined, "cluster_id", "x", "y",
+      "n_chars", "doc_id", Seq("lang", "source"))
+  }
+
   /** Seeded KMeans cluster sizes (M2). */
   val q_kmeans_sizes = QueryDef.noOracle("q_kmeans_sizes") { (spark, dir) =>
     ClusterOps.kmeans2d(points(spark, dir), "x", "y", k = 5, seed = 42L)
@@ -32,5 +82,5 @@ object ClusterQueries {
       .orderBy(col("cluster_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_dbscan_profile, q_kmeans_sizes)
+  val all: Seq[QueryDef] = Seq(q_dbscan_profile, q_cluster_profile, q_kmeans_sizes)
 }

@@ -136,6 +136,56 @@ object EventsMore {
       .orderBy(col("event_type"))
   }
 
+  /** Cross-source detection lag — the reference dashboard's headline
+    * "informal signals lead official ones by N days" metric
+    * (`app_upgraded.py:631-652`): per (informal, official) series pair,
+    * the datediff between their first spike days. Informal proxies:
+    * click/view; official: purchase/signup/error.
+    */
+  val q_detection_lag = QueryDef(
+    "q_detection_lag",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |wm AS (
+      |  SELECT *, AVG(cnt) OVER (PARTITION BY event_type) AS mean_cnt
+      |  FROM daily),
+      |fs AS (
+      |  SELECT event_type,
+      |    MIN(CASE WHEN cnt > 1.5 * mean_cnt THEN day END) AS first_spike
+      |  FROM wm GROUP BY event_type)
+      |SELECT i.event_type AS informal_type, o.event_type AS official_type,
+      |  i.first_spike AS informal_first, o.first_spike AS official_first,
+      |  CAST(date_diff('day', i.first_spike, o.first_spike) AS INT) AS lead_days
+      |FROM fs i JOIN fs o
+      |  ON i.event_type IN ('click', 'view')
+      | AND o.event_type IN ('purchase', 'signup', 'error')
+      |ORDER BY informal_type, official_type""".stripMargin) { (spark, dir) =>
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val withMean = daily.withColumn("mean_cnt",
+      avg(col("cnt")).over(Window.partitionBy(col("event_type"))))
+    val firstSpike = withMean
+      .groupBy(col("event_type"))
+      .agg(min(when(col("cnt") > lit(1.5) * col("mean_cnt"), col("day")))
+        .as("first_spike"))
+    val informal = firstSpike
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_type").as("informal_type"),
+        col("first_spike").as("informal_first"))
+    val official = firstSpike
+      .filter(col("event_type").isin("purchase", "signup", "error"))
+      .select(col("event_type").as("official_type"),
+        col("first_spike").as("official_first"))
+    informal.crossJoin(broadcast(official))
+      .withColumn("lead_days", datediff(col("official_first"), col("informal_first")))
+      .select(col("informal_type"), col("official_type"),
+        col("informal_first"), col("official_first"), col("lead_days"))
+      .orderBy(col("informal_type"), col("official_type"))
+  }
+
   /** Exact interpolated percentiles per group (the latency/size
     * distribution panel every dashboard needs; at 100 TB the same
     * query ships as approx_percentile — t-digest sketch, one pass).
@@ -224,6 +274,6 @@ object EventsMore {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_percentiles,
-    q_value_ranks, q_pivot_daily, q_value_histogram)
+    q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
+    q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram)
 }

@@ -6,23 +6,80 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries: binary payload feature extraction and
   * frame sampling (decode is a documented deterministic stub — the
-  * Spark plumbing is the tested surface). Rows-only driver checks;
-  * determinism and schema are covered in MultimodalOpsSpec.
+  * Spark plumbing is the tested surface).
+  *
+  * Because the synthetic payloads are UTF-8 of an ASCII corpus, every
+  * byte equals the character's codepoint and the stub's byte statistics
+  * are exactly expressible in DuckDB (`ord` over positions) — so the
+  * mapPartitions decode path gets a REAL oracle, not a rows-only check.
   */
 object MultimodalQueries {
 
-  val q_media_features = QueryDef.noOracle("q_media_features") { (spark, dir) =>
+  /** The `kind` derivation of [[MultimodalOps.mediaFromDocuments]] in SQL. */
+  private val kindSql =
+    """CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END""".stripMargin
+
+  val q_media_features = QueryDef(
+    "q_media_features",
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, $kindSql AS kind, text
+       |  FROM documents),
+       |bytes AS (
+       |  SELECT media_id, ord(substr(text, CAST(g AS INT), 1)) AS b
+       |  FROM m CROSS JOIN UNNEST(range(1, len(text) + 1)) t(g)),
+       |n AS (
+       |  SELECT media_id, COUNT(*) AS n, AVG(CAST(b AS DOUBLE)) AS mean
+       |  FROM bytes GROUP BY 1),
+       |hist AS (
+       |  SELECT media_id, b // 16 AS nib, COUNT(*) AS c
+       |  FROM bytes GROUP BY 1, 2),
+       |ent AS (
+       |  SELECT h.media_id AS media_id,
+       |    -SUM((CAST(h.c AS DOUBLE) / n.n) * ln(CAST(h.c AS DOUBLE) / n.n)) AS e
+       |  FROM hist h JOIN n ON n.media_id = h.media_id GROUP BY h.media_id)
+       |SELECT m.media_id AS media_id, m.kind,
+       |  CAST(n.n AS BIGINT) AS n_bytes,
+       |  CAST(16 + ord(substr(m.text, 1, 1)) % 128 AS BIGINT) AS width,
+       |  CAST(16 + ord(substr(m.text, len(m.text), 1)) % 128 AS BIGINT) AS height,
+       |  ROUND(n.mean, 4) AS mean_byte,
+       |  ROUND(ent.e, 4) AS entropy_proxy
+       |FROM m
+       |JOIN n ON n.media_id = m.media_id
+       |JOIN ent ON ent.media_id = m.media_id
+       |ORDER BY m.media_id""".stripMargin) { (spark, dir) =>
     MultimodalOps.extractFeatures(
       MultimodalOps.mediaFromDocuments(Tables.documents(spark, dir)))
       .toDF()
+      .select(col("media_id"), col("kind"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        round(col("mean_byte"), 4).as("mean_byte"),
+        round(col("entropy_proxy"), 4).as("entropy_proxy"))
       .orderBy(col("media_id"))
   }
 
-  val q_media_frames = QueryDef.noOracle("q_media_frames") { (spark, dir) =>
+  /** Frame sampling: payload split into 8 chunks, every 2nd kept; the
+    * oracle reproduces the slice arithmetic from the text length. */
+  val q_media_frames = QueryDef(
+    "q_media_frames",
+    s"""WITH m AS (SELECT doc_id AS media_id, len(text) AS n FROM documents),
+       |f AS (
+       |  SELECT media_id, CAST(g AS BIGINT) AS frame_idx, n,
+       |    GREATEST(n // 8, 1) AS sz
+       |  FROM m CROSS JOIN UNNEST([0, 2, 4, 6]) t(g)
+       |  WHERE n > 0)
+       |SELECT media_id, frame_idx,
+       |  CAST(LEAST((frame_idx + 1) * sz, n) - LEAST(frame_idx * sz, n) AS INT)
+       |    AS frame_len
+       |FROM f
+       |WHERE LEAST((frame_idx + 1) * sz, n) - LEAST(frame_idx * sz, n) > 0
+       |ORDER BY media_id, frame_idx""".stripMargin) { (spark, dir) =>
     MultimodalOps.sampleFrames(
       MultimodalOps.mediaFromDocuments(Tables.documents(spark, dir)),
       frames = 8, stride = 2)
-      .select(col("media_id"), col("frame_idx"),
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         length(col("frame_bytes")).as("frame_len"))
       .orderBy(col("media_id"), col("frame_idx"))
   }

@@ -325,10 +325,79 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** Geospatial point-in-bbox lookup J2 (`nyc_neighborhoods.py:
+    * 190-205`): 2-D points (embedding dims 1-2) against a broadcast
+    * bbox dimension via BETWEEN on both axes — the reference's only
+    * theta join, here a BroadcastNestedLoopJoin so the point table
+    * never shuffles. Half-open cells ([min, max)) keep boundary points
+    * single-assigned. The 4×4 grid spans [-0.5, 0.5) per axis.
+    */
+  val q_bbox_lookup = QueryDef(
+    "q_bbox_lookup",
+    """WITH pts AS (
+      |  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+      |    CAST(embedding[2] AS DOUBLE) AS y
+      |  FROM embeddings),
+      |boxes AS (
+      |  SELECT CAST(g AS BIGINT) AS bbox_id,
+      |    -0.5 + (CAST(g AS BIGINT) % 4) * 0.25 AS xmin,
+      |    -0.5 + (CAST(g AS BIGINT) // 4) * 0.25 AS ymin
+      |  FROM UNNEST(range(0, 16)) t(g))
+      |SELECT b.bbox_id, COUNT(*) AS n_points,
+      |  MIN(p.vec_id) AS first_vec, ROUND(AVG(p.x), 6) AS avg_x
+      |FROM pts p JOIN boxes b
+      |  ON p.x >= b.xmin AND p.x < b.xmin + 0.25
+      | AND p.y >= b.ymin AND p.y < b.ymin + 0.25
+      |GROUP BY b.bbox_id ORDER BY bbox_id""".stripMargin) { (spark, dir) =>
+    val pts = Tables.embeddings(spark, dir).select(
+      col("vec_id"),
+      element_at(col("embedding"), 1).cast("double").as("x"),
+      element_at(col("embedding"), 2).cast("double").as("y"))
+    val boxes = spark.range(16).select(
+      col("id").as("bbox_id"),
+      (lit(-0.5) + (col("id") % 4) * lit(0.25)).as("xmin"),
+      (lit(-0.5) + floor(col("id") / 4) * lit(0.25)).as("ymin"))
+    pts.join(broadcast(boxes),
+        col("x") >= col("xmin") && col("x") < col("xmin") + 0.25 &&
+          col("y") >= col("ymin") && col("y") < col("ymin") + 0.25)
+      .groupBy(col("bbox_id"))
+      .agg(count(lit(1)).as("n_points"), min(col("vec_id")).as("first_vec"),
+        round(avg(col("x")), 6).as("avg_x"))
+      .orderBy(col("bbox_id"))
+  }
+
+  /** Substring-prefix lookup join J3 (`nyc_neighborhoods.py:176-187`
+    * joins on `substring(zip, 1, 3)`): parts joined to a broadcast
+    * digit→tier dimension on the first digit of the brand number —
+    * an equi join on a computed prefix key.
+    */
+  val q_brand_prefix_join = QueryDef(
+    "q_brand_prefix_join",
+    """WITH dim AS (
+      |  SELECT CAST(g AS VARCHAR) AS digit,
+      |    CASE WHEN g <= 2 THEN 'legacy' ELSE 'modern' END AS tier
+      |  FROM UNNEST(range(1, 6)) t(g))
+      |SELECT d.tier, COUNT(*) AS n_parts,
+      |  COUNT(DISTINCT p.p_brand) AS n_brands,
+      |  ROUND(SUM(p.p_retailprice), 2) AS total_price
+      |FROM part p JOIN dim d ON substr(p.p_brand, 7, 1) = d.digit
+      |GROUP BY d.tier ORDER BY d.tier""".stripMargin) { (spark, dir) =>
+    val dim = spark.range(1, 6).select(
+      col("id").cast("string").as("digit"),
+      when(col("id") <= 2, "legacy").otherwise("modern").as("tier"))
+    Tables.part(spark, dir)
+      .join(broadcast(dim), substring(col("p_brand"), 7, 1) === col("digit"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_parts"),
+        countDistinct(col("p_brand")).as("n_brands"),
+        round(sum(col("p_retailprice")), 2).as("total_price"))
+      .orderBy(col("tier"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_pricing_summary, q_top_parts, q_priority_counts, q_customer_by_region,
     q_revenue_by_priority, q_customers_no_orders, q_parts_shipped_1999,
     q_price_tiers, q_order_size_classes, q_lineitem_stats,
     q_distinct_parts_per_status, q_key_accounts_union, q_nations_customers_only,
-    q_shipping_priority, q_region_volume)
+    q_shipping_priority, q_region_volume, q_bbox_lookup, q_brand_prefix_join)
 }

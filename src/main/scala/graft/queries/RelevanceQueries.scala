@@ -96,6 +96,50 @@ object RelevanceQueries {
       .orderBy(col("label"))
   }
 
+  private val CoherenceCap = 30
+
+  /** A18 coherence, bounded: the exact variant above is O(g²) within
+    * each label — correct but a quadratic blowup on one hot key at
+    * 100 TB. This is the documented scale path: a DETERMINISTIC
+    * per-label sample (lowest `CoherenceCap` vec_ids via window top-N)
+    * bounds every group's pair count at cap²/2 while preserving an
+    * unbiased-enough coherence estimate; the oracle reproduces the same
+    * cap, so the bound itself is certified.
+    */
+  val q_label_coherence_capped = QueryDef(
+    "q_label_coherence_capped", {
+      val cap = CoherenceCap
+      s"""WITH capped AS (
+         |  SELECT vec_id, label, vd FROM (
+         |    SELECT vec_id, label,
+         |      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd,
+         |      ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+         |    FROM embeddings) t WHERE rn <= $cap),
+         |n AS (
+         |  SELECT vec_id, label, vd, sqrt(list_dot_product(vd, vd)) AS nrm
+         |  FROM capped)
+         |SELECT a.label, COUNT(*) AS n_pairs,
+         |  ROUND(AVG(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)), 4) AS avg_cos
+         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+         |GROUP BY a.label ORDER BY a.label""".stripMargin
+    }) { (spark, dir) =>
+    graft.functions.GraftFunctions.register(spark)
+    val byLabel = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("vec_id"))
+    val v = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("label"), col("embedding").cast("array<double>").as("vd"))
+      .withColumn("rn", row_number().over(byLabel))
+      .filter(col("rn") <= CoherenceCap).drop("rn")
+      .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
+    v.as("a").join(v.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.label").as("label"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(expr("dot_product(a.vd, b.vd)") / (col("a.nrm") * col("b.nrm"))), 4)
+          .as("avg_cos"))
+      .orderBy(col("label"))
+  }
+
   /** M3 centroid imputation + deterministic jitter
     * (`spatial_clustering.py:238-263`): nulls (synthesized on
     * vec_id % 10 = 0) are filled with the label centroid plus an
@@ -174,14 +218,18 @@ object RelevanceQueries {
 
   private val SearchQueryText = "fast join query on big table"
 
-  /** J9/M8 semantic search end to end: embed a query string with the
-    * same hashed encoder, metadata-filter the corpus (lang = 'en'),
-    * exact cosine top-10. Oracle: the query vector's sparse (bucket,
-    * value) pairs and its norm are computed at SQL-generation time from
-    * the same pure [[EmbeddingOps.embed]]; corpus components come from
-    * [[EmbeddingOps.gramAccSqlCtes]]. */
-  val q_semantic_search = QueryDef(
-    "q_semantic_search", {
+  /** J9/M8 semantic search builder: embed a query string with the
+    * hashed encoder, metadata-filter the corpus, exact cosine top-10.
+    * Oracle: the query vector's sparse (bucket, value) pairs and its
+    * norm are computed at SQL-generation time from the same pure
+    * [[EmbeddingOps.embed]]; corpus components come from
+    * [[EmbeddingOps.gramAccSqlCtes]]; the metadata filter is passed in
+    * both renderings (`chromadb_client.py:221-306` filter combos).
+    */
+  private def semanticSearch(
+      name: String, filterSql: String,
+      filterCol: org.apache.spark.sql.Column): QueryDef = QueryDef(
+    name, {
       val qe = EmbeddingOps.embed(SearchQueryText).map(_.toDouble)
       // query norm exactly as Spark computes it: left fold over the
       // double-cast float components in index order
@@ -189,8 +237,8 @@ object RelevanceQueries {
       val qvRows = qe.zipWithIndex
         .collect { case (v, b) if v != 0.0 => s"($b, CAST($v AS DOUBLE))" }
         .mkString(",\n    ")
-      s"""WITH en AS (SELECT doc_id, text FROM documents WHERE lang = 'en'),
-         |${EmbeddingOps.gramAccSqlCtes("en", "doc_id", "text")},
+      s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE $filterSql),
+         |${EmbeddingOps.gramAccSqlCtes("corp", "doc_id", "text")},
          |cn AS (SELECT id, sqrt(SUM(v * v)) AS cn FROM comp GROUP BY id),
          |qv(b, v) AS (VALUES
          |    $qvRows),
@@ -207,7 +255,7 @@ object RelevanceQueries {
          |WHERE rank <= 10 ORDER BY rank""".stripMargin
     }) { (spark, dir) =>
     val corpus = Tables.documents(spark, dir)
-      .filter(col("lang") === "en")
+      .filter(filterCol)
       .select(col("doc_id").as("vec_id"),
         EmbeddingOps.embedCol(col("text")).as("embedding"))
     val q = spark.range(1).select(
@@ -219,7 +267,21 @@ object RelevanceQueries {
       .orderBy(col("rank"))
   }
 
+  /** Single-filter semantic search (lang metadata filter). */
+  val q_semantic_search =
+    semanticSearch("q_semantic_search", "lang = 'en'", col("lang") === "en")
+
+  /** Multi-filter semantic search M8: metadata equality + set + text
+    * `contains` combined, mirroring the reference's borough/severity/
+    * disease-contains filter combos (`chromadb_client.py:221-306`). */
+  val q_semantic_search_multi = semanticSearch(
+    "q_semantic_search_multi",
+    "lang = 'en' AND source IN ('src3', 'src7', 'src12') AND contains(text, 'join')",
+    col("lang") === "en" && col("source").isin("src3", "src7", "src12") &&
+      col("text").contains("join"))
+
   val all: Seq[QueryDef] = Seq(
     q_relevance, q_gazetteer, q_distinct_sets, q_label_coherence,
-    q_impute_coords, q_hashed_embedding, q_semantic_search)
+    q_label_coherence_capped, q_impute_coords, q_hashed_embedding,
+    q_semantic_search, q_semantic_search_multi)
 }

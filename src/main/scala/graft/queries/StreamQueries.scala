@@ -37,6 +37,38 @@ object StreamQueries {
       .orderBy(col("hour"), col("event_type"))
   }
 
+  /** Append-mode + watermark-close variant of the hourly aggregation —
+    * the UNBOUNDED-stream shape (Complete mode re-emits the whole
+    * result every batch; append emits each window exactly once, when
+    * the watermark passes its end). In the AvailableNow drain the
+    * watermark settles at max(ts) - 1 hour, so exactly the windows
+    * whose end precedes that instant are emitted — which is what the
+    * oracle computes from the batch table.
+    */
+  val q_stream_hourly_append = QueryDef(
+    "q_stream_hourly_append",
+    """WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
+      |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+      |FROM events, mx
+      |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
+      |      <= max_ts - INTERVAL 1 HOUR
+      |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StreamingOps.parquetStream(
+      spark, s"$dir/events.parquet",
+      spark.read.parquet(s"$dir/events.parquet").schema)
+    val stream =
+      if (raw.schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val agg = StreamingOps.hourlyCounts(stream, watermark = "1 hour")
+    StreamingOps.drainToBatch(agg, OutputMode.Append())
+      .select(col("hour"), col("event_type"), col("n"),
+        round(col("total_value"), 2).as("total_value"))
+      .orderBy(col("hour"), col("event_type"))
+  }
+
   /** Cross-batch stateful streaming dedup (ST5) ≡ batch exact dedup. */
   val q_stream_dedup = QueryDef(
     "q_stream_dedup",
@@ -50,5 +82,5 @@ object StreamQueries {
       .orderBy(col("keep_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_stream_hourly, q_stream_dedup)
+  val all: Seq[QueryDef] = Seq(q_stream_hourly, q_stream_hourly_append, q_stream_dedup)
 }

@@ -41,9 +41,9 @@ object StreamingOps {
   }
 
   /** Watermarked event-time hourly aggregation of an event stream. */
-  def hourlyCounts(events: DataFrame): DataFrame =
+  def hourlyCounts(events: DataFrame, watermark: String = "1 day"): DataFrame =
     events
-      .withWatermark("ts", "1 day")
+      .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("win.start").as("hour"), col("event_type"), col("n"),
