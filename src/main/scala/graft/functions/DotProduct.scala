@@ -63,7 +63,15 @@ case class DotProduct(left: Expression, right: Expression)
   * are usable from `expr(...)` / `spark.sql(...)`.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_sig", exprs => HyperplaneSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue), "built-in")
+  }
 }

@@ -69,11 +69,15 @@ object ClusterOps {
     val home = withCell.select(
       col("pid").as("qid"), col("x").as("qx"), col("y").as("qy"),
       col("cx").as("gx"), col("cy").as("gy"))
+    // materialized once: pairs feeds the degree count, the core-core
+    // edge list AND the border-point labeling — without the checkpoint
+    // the 9x-replicate join would recompute three times
     val pairs = repl.join(home, Seq("gx", "gy"))
       .filter(col("pid") =!= col("qid"))
       .filter(pow(col("x") - col("qx"), 2) + pow(col("y") - col("qy"), 2)
         <= lit(eps * eps))
       .select(col("pid"), col("qid")).distinct()
+      .localCheckpoint()
 
     val degrees = pairs.groupBy(col("pid")).agg(count(lit(1)).as("deg"))
     // core: >= minPts neighbors (point itself included per classic defn)

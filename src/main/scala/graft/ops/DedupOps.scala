@@ -76,10 +76,13 @@ object DedupOps {
     * identical hash, so both engines see the same merged sets.
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashes = array_distinct(transform(
-      TextOps.charShingles(col(textCol), ShingleN),
-      s => TextOps.polyHash(s, ShingleN)))
-    docs.select(col(idCol).as("id"), explode(hashes).as("h"))
+    // one codegen'd rolling-hash pass per row (ShingleHashes) instead
+    // of the interpreted transform(substr)+array_distinct chain — the
+    // hash values are identical (TextOps.polyHash algebra), only the
+    // evaluation strategy changes
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol).as("id"),
+      explode(expr(s"shingle_hashes($textCol, $ShingleN)")).as("h"))
   }
 
   def shingleTableSql(table: String, idCol: String, textCol: String): String = {

@@ -127,27 +127,13 @@ object SimilarityOps {
   def hyperplaneSignature(
       vectors: DataFrame, idCol: String, vecCol: String,
       bits: Int, dim: Int): DataFrame = {
-    // h_i[d] in {-1, +1} from a deterministic integer mix. The sign
-    // comes from a WELL-MIXED bit: the low bit of odd-multiplier*x is
-    // just x&1 (would make all hyperplanes identical for even dim and
-    // collapse every signature into 2 buckets), so mix with xor-shift
-    // first and read bit 16.
-    def coeff(i: Int, d: Int): Double = {
-      var x = 2654435761L * (i * dim + d + 1)
-      x ^= x >>> 33
-      x *= 0xff51afd7ed558ccdL
-      x ^= x >>> 29
-      if (((x >>> 16) & 1L) == 0L) 1.0 else -1.0
-    }
-    val vd = VectorOps.asDouble(col(vecCol))
-    val bitCols = (0 until bits).map { i =>
-      val proj = (0 until dim).map { d =>
-        element_at(vd, d + 1) * lit(coeff(i, d))
-      }.reduce(_ + _)
-      when(proj > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    vectors.select(col(idCol).as("id"),
-      bitCols.reduce((a, b) => a + b).as("sig"))
+    // one codegen'd two-level loop per row (HyperplaneSig) — the
+    // algebraic bits×dim element_at expansion grows a 2000+-node
+    // expression tree at useful sizes; signatures are bit-identical
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    vectors
+      .select(col(idCol).as("id"), VectorOps.asDouble(col(vecCol)).as("vd"))
+      .select(col("id"), expr(s"hyperplane_sig(vd, $bits, $dim)").as("sig"))
   }
 
   /** LSH-bucketed near-duplicate candidates with OR-amplification:

@@ -45,6 +45,18 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(blocked === allPairs)
   }
 
+  test("ShingleHashes expression matches the builtin transform+polyHash formulation") {
+    graft.functions.GraftFunctions.register(spark)
+    val builtin = docs.select(col("doc_id"),
+      array_distinct(transform(
+        TextOps.charShingles(col("text"), DedupOps.ShingleN),
+        s => TextOps.polyHash(s, DedupOps.ShingleN))).as("hs"))
+    val fast = docs.select(col("doc_id"),
+      expr(s"shingle_hashes(text, ${DedupOps.ShingleN})").as("hs"))
+    val diff = builtin.exceptAll(fast).count() + fast.exceptAll(builtin).count()
+    assert(diff === 0)
+  }
+
   test("polyHash matches a reference implementation") {
     val got = spark.range(1).select(
       TextOps.polyHash(lit("abcde"), 5)).head.getLong(0)
