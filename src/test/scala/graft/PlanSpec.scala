@@ -42,6 +42,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$p")
   }
 
+  test("bbox range join broadcasts the box dimension (points never shuffle)") {
+    val p = plan("q_bbox_lookup")
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"range join must not go cartesian:\n$p")
+  }
+
+  test("prefix-key lookup join broadcasts the dimension") {
+    val p = plan("q_brand_prefix_join")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
+  }
+
   test("aggregations run partial+final hash aggregate") {
     val p = plan("q_event_type_stats")
     assert(p.contains("HashAggregate"), s"expected hash agg:\n$p")
