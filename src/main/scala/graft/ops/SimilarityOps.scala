@@ -72,8 +72,13 @@ object SimilarityOps {
     * Voronoi cells around `nCentroids` seed vectors (the lowest-id
     * vectors — deterministic; a KMeans fit is the quality upgrade),
     * then search each query only inside the `nProbe` cells whose
-    * centroids are nearest to it. Corpus assignment is one broadcast
-    * pass; per-query candidate count drops from |corpus| to
+    * centroids are nearest to it. Cell assignment is MAP-SIDE: the
+    * centroid table (nCentroids × dim doubles, broadcast-sized by
+    * construction) rides inside a codegen'd expression
+    * ([[graft.functions.NearestCentroids]]), so assigning the corpus
+    * is a shuffle-free projection — the algebraic crossJoin + window
+    * formulation shuffles the corpus twice for the same answer.
+    * Per-query candidate count drops from |corpus| to
     * ~|corpus|·nProbe/nCentroids. Recall < 1 by construction —
     * measured against [[bruteForceTopK]] in the test suite.
     */
@@ -81,27 +86,27 @@ object SimilarityOps {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    val cents = broadcast(
-      corpus.orderBy(col(idCol)).limit(nCentroids)
-        .select(col(idCol).as("cent_id"), col(vecCol).cast("array<double>").as("cv")))
+    // bounded driver materialization: exactly the rows any broadcast
+    // would collect (nCentroids vectors)
+    val centRows = corpus.orderBy(col(idCol)).limit(nCentroids)
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect()
+    val centIds = centRows.map(_.getLong(0))
+    val centVecs = centRows.map(_.getSeq[Double](1).toArray)
 
-    def assign(df: DataFrame, id: String, outCol: String, probes: Int): DataFrame = {
-      val scored = df
-        .select(col(id), col(vecCol).cast("array<double>").as("vd"))
-        .crossJoin(cents)
-        .withColumn("d", expr("dot_product(vd, cv)") /
-          (sqrt(expr("dot_product(vd, vd)")) * sqrt(expr("dot_product(cv, cv)"))))
-      val w = Window.partitionBy(col(id)).orderBy(col("d").desc, col("cent_id"))
-      scored.withColumn("r", row_number().over(w))
-        .filter(col("r") <= probes)
-        .select(col(id), col("vd"), col("cent_id").as(outCol))
+    def assign(df: DataFrame, id: String, probes: Int): DataFrame = {
+      val vd = col(vecCol).cast("array<double>")
+      df.select(col(id), vd.as("vd"),
+        explode(GraftColumnBridge.column(graft.functions.NearestCentroids(
+          GraftColumnBridge.expression(vd), centIds, centVecs, probes))).as("cell"))
     }
 
-    val corpusCells = assign(corpus, idCol, "cell", probes = 1)
+    val corpusCells = assign(corpus, idCol, probes = 1)
       .withColumnRenamed(idCol, "neighbor_id").withColumnRenamed("vd", "cv2")
       .withColumn("cn", sqrt(expr("dot_product(cv2, cv2)")))
-    val queryCells = assign(queries, idCol, "cell", probes = nProbe)
+    val queryCells = assign(queries, idCol, probes = nProbe)
       .withColumnRenamed(idCol, "query_id").withColumnRenamed("vd", "qv")
       .withColumn("qn", sqrt(expr("dot_product(qv, qv)")))
 

@@ -18,8 +18,50 @@ object ClusterQueries {
       element_at(col("embedding"), 1).cast("double").as("x"),
       element_at(col("embedding"), 2).cast("double").as("y"))
 
-  /** Grid-DBSCAN cluster profile (M1 + A11). */
-  val q_dbscan_profile = QueryDef.noOracle("q_dbscan_profile") { (spark, dir) =>
+  /** Grid-DBSCAN cluster profile (M1 + A11). DBSCAN with a min-id
+    * component label is fully deterministic, so even this iterative
+    * operator gets a REAL oracle: DuckDB rebuilds the eps-graph with a
+    * quadratic join (fine at oracle scale) and resolves components
+    * with a recursive-CTE transitive closure — MIN(reachable id) is
+    * exactly the engine's min-label propagation fixpoint. The grid
+    * bucketing is invisible to the result (any pair within eps lies in
+    * adjacent cells), which this oracle proves every round.
+    */
+  val q_dbscan_profile = QueryDef(
+    "q_dbscan_profile",
+    """WITH RECURSIVE pts AS (
+      |  SELECT vec_id AS pid, CAST(embedding[1] AS DOUBLE) AS x,
+      |    CAST(embedding[2] AS DOUBLE) AS y
+      |  FROM embeddings),
+      |pairs AS (
+      |  SELECT a.pid AS pid, b.pid AS qid
+      |  FROM pts a JOIN pts b ON a.pid <> b.pid
+      |   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      |       <= 0.02 * 0.02),
+      |deg AS (SELECT pid, COUNT(*) AS deg FROM pairs GROUP BY pid),
+      |core AS (SELECT pid FROM deg WHERE deg >= 3),
+      |edges AS (
+      |  SELECT p.pid, p.qid FROM pairs p
+      |  JOIN core a ON a.pid = p.pid JOIN core b ON b.pid = p.qid),
+      |reach AS (
+      |  SELECT pid, pid AS rid FROM core
+      |  UNION
+      |  SELECT r.pid, e.qid AS rid FROM reach r JOIN edges e ON e.pid = r.rid),
+      |labels AS (SELECT pid, MIN(rid) AS label FROM reach GROUP BY pid),
+      |border AS (
+      |  SELECT p.pid, MIN(l.label) AS blabel
+      |  FROM pairs p JOIN labels l ON l.pid = p.qid
+      |  GROUP BY p.pid),
+      |asg AS (
+      |  SELECT pts.pid, pts.x, pts.y,
+      |    COALESCE(l.label, b.blabel, -1) AS cluster_id
+      |  FROM pts LEFT JOIN labels l ON l.pid = pts.pid
+      |           LEFT JOIN border b ON b.pid = pts.pid)
+      |SELECT cluster_id, COUNT(*) AS size, ROUND(AVG(x), 6) AS centroid_x,
+      |  ROUND(AVG(y), 6) AS centroid_y, ROUND(MIN(x), 6) AS min_x,
+      |  ROUND(MAX(x), 6) AS max_x
+      |FROM asg GROUP BY cluster_id
+      |ORDER BY size DESC, cluster_id""".stripMargin) { (spark, dir) =>
     ClusterOps.clusterProfile(
       ClusterOps.dbscan(points(spark, dir), "vec_id", "x", "y",
         eps = 0.02, minPts = 4), "x", "y")

@@ -7,8 +7,14 @@ import org.apache.spark.sql.functions._
 
 /** Forecasting query surface (M4–M7): distributed Holt-Winters per
   * event_type over daily counts, plus the high-risk alert extraction.
-  * Not ANSI-SQL-expressible → rows-only driver check; semantics are
-  * property-tested in ForecastOpsSpec.
+  *
+  * Even this iterative model is oracle-checked: the per-step smoothing
+  * recurrence runs as a DuckDB RECURSIVE CTE carrying (level, trend,
+  * season-list, Σresid²) state, with `list_reduce` left-folds wherever
+  * Scala folds left — generated from the SAME α/β/γ/season constants
+  * as the engine (`ForecastOps`), so the recurrence algebra itself is
+  * certified, not just row counts. ForecastOpsSpec keeps the
+  * independent property checks.
   */
 object ForecastQueries {
 
@@ -18,16 +24,123 @@ object ForecastQueries {
         date_trunc("day", col("ts")).cast("date").as("day"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** The full Holt-Winters pipeline as DuckDB SQL (ending in CTE `hw`).
+    * Literal subtleties: smoothing constants are CAST AS DOUBLE
+    * (DuckDB parses bare `0.3` as DECIMAL, whose arithmetic diverges
+    * from the engine's double math) and complements are written
+    * `(1 - α)` exactly as the Scala computes them (the double
+    * `1 - 0.3` is NOT the double literal `0.7`).
+    */
+  private def hwSqlCtes(horizon: Int): String = {
+    val m = ForecastOps.Season
+    val a = s"CAST(${ForecastOps.Alpha} AS DOUBLE)"
+    val b = s"CAST(${ForecastOps.Beta} AS DOUBLE)"
+    val g = s"CAST(${ForecastOps.Gamma} AS DOUBLE)"
+    // newLevel expression, repeated textually where the step needs it
+    // twice (identical expression → identical IEEE value)
+    val y = s"series[t + 1]"
+    val s0 = s"season[(t % $m) + 1]"
+    val nl = s"($a * ($y - $s0) + (1 - $a) * (level + trend))"
+    s"""daily AS (
+       |  SELECT event_type AS group_key, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    COUNT(*) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (
+       |  SELECT group_key, MIN(day) AS first_day, MAX(day) AS last_day,
+       |    CAST(date_diff('day', MIN(day), MAX(day)) AS INT) + 1 AS n
+       |  FROM daily GROUP BY 1 HAVING COUNT(*) >= ${ForecastOps.MinHistory}),
+       |dense AS (
+       |  SELECT b.group_key, b.last_day, b.n,
+       |    list(CAST(COALESCE(d.cnt, 0) AS DOUBLE) ORDER BY gs.g) AS series
+       |  FROM bounds b
+       |  CROSS JOIN UNNEST(range(0, b.n)) gs(g)
+       |  LEFT JOIN daily d ON d.group_key = b.group_key
+       |    AND d.day = b.first_day + CAST(gs.g AS INT)
+       |  GROUP BY b.group_key, b.last_day, b.n),
+       |init1 AS (
+       |  SELECT *, n >= ${2 * m} AS use_season,
+       |    CASE WHEN n >= ${2 * m} THEN list_reduce(series[1:$m], (a, b) -> a + b) / $m.0
+       |         ELSE series[1] END AS init_level
+       |  FROM dense),
+       |init2 AS (
+       |  SELECT *,
+       |    CASE WHEN n >= ${2 * m} THEN
+       |        list_reduce(list_transform(range(0, $m),
+       |          i -> (series[i + ${m + 1}] - series[i + 1]) / CAST($m AS DOUBLE)),
+       |          (a, b) -> a + b) / $m.0
+       |      WHEN n > 1 THEN (series[n] - series[1]) / CAST(n - 1 AS DOUBLE)
+       |      ELSE CAST(0 AS DOUBLE) END AS init_trend,
+       |    list_transform(range(0, $m),
+       |      i -> CASE WHEN n >= ${2 * m} THEN series[i + 1] - init_level
+       |                ELSE CAST(0 AS DOUBLE) END) AS season0
+       |  FROM init1),
+       |rec AS (
+       |  SELECT group_key, last_day, n, series, use_season,
+       |    0 AS t, init_level AS level, init_trend AS trend, season0 AS season,
+       |    CAST(0 AS DOUBLE) AS sumsq
+       |  FROM init2
+       |  UNION ALL
+       |  SELECT group_key, last_day, n, series, use_season,
+       |    t + 1,
+       |    $nl AS level,
+       |    $b * ($nl - level) + (1 - $b) * trend AS trend,
+       |    list_transform(range(0, $m), i ->
+       |      CASE WHEN use_season AND i = t % $m THEN
+       |        $g * ($y - $nl) + (1 - $g) * season[i + 1]
+       |      ELSE season[i + 1] END) AS season,
+       |    sumsq + ($y - (level + trend + $s0)) * ($y - (level + trend + $s0)) AS sumsq
+       |  FROM rec WHERE t < n),
+       |fitted AS (
+       |  SELECT group_key, last_day, n, series, use_season, level, trend, season,
+       |    sqrt(sumsq / GREATEST(n, 1)) AS resid,
+       |    list_reduce(series, (a, b) -> a + b) / n AS hist_mean
+       |  FROM rec WHERE t = n),
+       |hist AS (
+       |  SELECT *, sqrt(list_reduce(list_transform(series,
+       |      v -> (v - hist_mean) * (v - hist_mean)), (a, b) -> a + b) / n) AS hist_std
+       |  FROM fitted),
+       |fc AS (
+       |  SELECT group_key, last_day, use_season,
+       |    CAST(h AS INT) AS h,
+       |    GREATEST(CAST(0 AS DOUBLE),
+       |      (level + CAST(h AS INT) * trend) + season[((n + CAST(h AS INT) - 1) % $m) + 1]) AS pred,
+       |    resid, hist_mean,
+       |    CASE WHEN hist_std > 0 THEN hist_std ELSE CAST(1 AS DOUBLE) END AS safe_std
+       |  FROM hist CROSS JOIN UNNEST(range(1, ${horizon + 1})) hs(h)),
+       |hw AS (
+       |  SELECT group_key,
+       |    last_day + h AS day,
+       |    ROUND(pred, 4) AS predicted,
+       |    ROUND(GREATEST(CAST(0 AS DOUBLE), pred - 1.96 * resid), 4) AS lower_bound,
+       |    ROUND(pred + 1.96 * resid, 4) AS upper_bound,
+       |    CASE WHEN use_season THEN 'holt_winters' ELSE 'ses_trend' END AS method,
+       |    CASE WHEN (pred - hist_mean) / safe_std > 2.5 THEN 'CRITICAL'
+       |         WHEN (pred - hist_mean) / safe_std > 1.5 THEN 'HIGH'
+       |         WHEN (pred - hist_mean) / safe_std > 0.5 THEN 'MODERATE'
+       |         ELSE 'LOW' END AS risk_level
+       |  FROM fc)""".stripMargin
+  }
+
   /** 14-day Holt-Winters forecast per event type (replaces the
     * reference's driver-side Prophet loop with `flatMapGroups`). */
-  val q_forecast_hw = QueryDef.noOracle("q_forecast_hw") { (spark, dir) =>
+  val q_forecast_hw = QueryDef(
+    "q_forecast_hw",
+    s"""WITH RECURSIVE ${hwSqlCtes(14)}
+       |SELECT * FROM hw ORDER BY group_key, day""".stripMargin) { (spark, dir) =>
     ForecastOps.holtWintersForecast(dailyByType(spark, dir), 14)
       .toDF()
       .orderBy(col("group_key"), col("day"))
   }
 
   /** Alert extraction over the forecast (M7). */
-  val q_forecast_alerts = QueryDef.noOracle("q_forecast_alerts") { (spark, dir) =>
+  val q_forecast_alerts = QueryDef(
+    "q_forecast_alerts",
+    s"""WITH RECURSIVE ${hwSqlCtes(14)}
+       |SELECT group_key, COUNT(*) AS n_alert_days, MIN(day) AS first_alert_day,
+       |  MAX(predicted) AS max_predicted
+       |FROM hw WHERE risk_level IN ('HIGH', 'CRITICAL')
+       |GROUP BY group_key
+       |ORDER BY max_predicted DESC, group_key""".stripMargin) { (spark, dir) =>
     ForecastOps.alerts(
       ForecastOps.holtWintersForecast(dailyByType(spark, dir), 14))
   }

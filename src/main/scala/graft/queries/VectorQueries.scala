@@ -78,20 +78,99 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  private val LshBands = 6
+  private val LshBandBits = 6
+  private val LshDim = 64
+
   /** LSH-bucketed near-dup variant — the 100 TB path (deterministic
-    * hyperplane signatures). No SQL oracle: recall tradeoff is checked
-    * against the brute-force result in the ScalaTest suite instead. */
-  val q_embed_neardup_lsh = QueryDef.noOracle("q_embed_neardup_lsh") { (spark, dir) =>
+    * hyperplane signatures with banded OR-amplification). Oracle: the
+    * ±1 hyperplane table is materialized at SQL-generation time from
+    * the same mix function, so DuckDB reproduces signatures → banding
+    * → candidate pairs → exact-cosine verify end to end; the recall
+    * tradeoff vs brute force is additionally asserted in DedupOpsSpec.
+    */
+  val q_embed_neardup_lsh = QueryDef(
+    "q_embed_neardup_lsh", {
+      val bits = LshBands * LshBandBits
+      val hpRows = (0 until bits).map { i =>
+        val cs = (0 until LshDim).map(d =>
+          graft.functions.HyperplaneSig.coeff(i, d, LshDim)).mkString("[", ", ", "]")
+        s"($i, $cs)"
+      }.mkString(",\n    ")
+      val bandRows = (0 until LshBands).map { j =>
+        s"SELECT id, $j AS band, (sig >> ${j * LshBandBits}) & ${(1L << LshBandBits) - 1} AS bucket FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, $vd AS vd FROM embeddings),
+         |hp(i, hv) AS (VALUES
+         |    $hpRows),
+         |sig AS (
+         |  SELECT id, CAST(SUM(CASE WHEN list_dot_product(vd, hv) > 0
+         |    THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS sig
+         |  FROM v CROSS JOIN hp GROUP BY id),
+         |buckets AS (
+         |  $bandRows),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS ida, y.id AS idb
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id < y.id),
+         |n AS (SELECT id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM v)
+         |SELECT c.ida AS vec_a, c.idb AS vec_b,
+         |  ROUND(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm), 6) AS cos_sim
+         |FROM cand c
+         |JOIN n a ON a.id = c.ida JOIN n b ON b.id = c.idb
+         |WHERE list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+    }) { (spark, dir) =>
     SimilarityOps.lshNearDupPairs(
       Tables.embeddings(spark, dir), "vec_id", "embedding",
-      bands = 6, bandBits = 6, dim = 64, threshold = 0.4)
+      bands = LshBands, bandBits = LshBandBits, dim = LshDim, threshold = 0.4)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** IVF approximate top-k — the 100 TB ANN path (probe a few Voronoi
-    * cells instead of the whole corpus). Rows-only; recall vs brute
-    * force asserted in DedupOpsSpec. */
-  val q_ann_ivf = QueryDef.noOracle("q_ann_ivf") { (spark, dir) =>
+    * cells instead of the whole corpus). The deterministic centroid
+    * pick (lowest-id vectors) + exact cosine ranking makes the WHOLE
+    * approximate pipeline — assignment included — SQL-expressible, so
+    * even the ANN query is oracle-checked, not rows-only; recall vs
+    * brute force is additionally asserted in DedupOpsSpec. */
+  val q_ann_ivf = QueryDef(
+    "q_ann_ivf",
+    s"""WITH v AS (SELECT vec_id, $vd AS vd FROM embeddings),
+       |q AS (SELECT * FROM v WHERE vec_id < 10),
+       |c AS (SELECT * FROM v WHERE vec_id >= 10),
+       |cents AS (
+       |  SELECT vec_id AS cent_id, vd AS cv,
+       |    sqrt(list_dot_product(vd, vd)) AS cnorm
+       |  FROM c ORDER BY vec_id LIMIT 16),
+       |ca AS (
+       |  SELECT vec_id AS neighbor_id, vd AS cv2,
+       |    sqrt(list_dot_product(vd, vd)) AS cn, cell FROM (
+       |    SELECT c.vec_id, c.vd, cents.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+       |        list_dot_product(c.vd, cents.cv)
+       |          / (sqrt(list_dot_product(c.vd, c.vd)) * cents.cnorm) DESC,
+       |        cents.cent_id) AS r
+       |    FROM c CROSS JOIN cents) t WHERE r = 1),
+       |qa AS (
+       |  SELECT vec_id AS query_id, vd AS qv,
+       |    sqrt(list_dot_product(vd, vd)) AS qn, cell FROM (
+       |    SELECT q.vec_id, q.vd, cents.cent_id AS cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.vd, cents.cv)
+       |          / (sqrt(list_dot_product(q.vd, q.vd)) * cents.cnorm) DESC,
+       |        cents.cent_id) AS r
+       |    FROM q CROSS JOIN cents) t WHERE r <= 4),
+       |scored AS (
+       |  SELECT qa.query_id, ca.neighbor_id,
+       |    list_dot_product(qa.qv, ca.cv2) / (qa.qn * ca.cn) AS cos
+       |  FROM qa JOIN ca USING (cell)
+       |  WHERE qa.query_id <> ca.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored) t WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     SimilarityOps.ivfTopK(
       emb.filter(col("vec_id") < 10),
