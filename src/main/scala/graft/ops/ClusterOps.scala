@@ -83,69 +83,18 @@ object ClusterOps {
     // core: >= minPts neighbors (point itself included per classic defn)
     val core = degrees.filter(col("deg") >= minPts - 1).select(col("pid"))
 
-    // connected components over core-core edges by min-label propagation
-    // localCheckpoint each round: iterative algorithms must truncate
-    // lineage or the logical plan (and closure memory) grows
-    // exponentially with iterations.
+    // connected components over core-core edges (shared CC kernel —
+    // local union-find fast path / pointer-jumping propagation at
+    // scale, see GraphOps). Isolated core points (no core neighbor)
+    // never reach the edge list: they label themselves.
     val coreEdges = pairs
       .join(core, "pid")
       .join(core.withColumnRenamed("pid", "qid"), "qid")
-      .select(col("pid"), col("qid"))
-      .localCheckpoint()
-
-    // Small-graph fast path: when the core-core edge list fits
-    // comfortably in the driver (the common case — core edges shrink
-    // with eps), a local union-find beats ~10 shuffle rounds. The
-    // distributed propagation below remains the unbounded-scale path;
-    // identical min-id-label semantics either way.
-    val edgeCount = coreEdges.count()
-    var labels =
-      if (edgeCount <= localCcMaxEdges) {
-        val spark = points.sparkSession
-        import spark.implicits._
-        val parent = scala.collection.mutable.Map[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-          r
-        }
-        coreEdges.collect().foreach { row =>
-          val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
-          if (a != b) parent(math.max(a, b)) = math.min(a, b)
-        }
-        val coreIds = core.collect().map(_.getLong(0))
-        coreIds.map(id => (id, find(id))).toSeq.toDF("pid", "label")
-          .repartition(col("pid")).localCheckpoint()
-      } else core.withColumn("label", col("pid")).localCheckpoint()
-    var labelSum = Long.MinValue
-    var changed = if (edgeCount <= localCcMaxEdges) 0L else 1L
-    var iter = 0
-    while (changed > 0 && iter < 50) {
-      val prop = coreEdges
-        .join(labels.withColumnRenamed("pid", "qid")
-          .withColumnRenamed("label", "qlabel"), "qid")
-        .groupBy(col("pid")).agg(min(col("qlabel")).as("nbrMin"))
-      val viaNbr = labels.join(prop, Seq("pid"), "left")
-        .select(col("pid"),
-          least(col("label"), coalesce(col("nbrMin"), col("label"))).as("label"))
-      // pointer jumping (label <- label(label)) turns the O(diameter)
-      // neighbor propagation into O(log n) rounds
-      val next = viaNbr.as("l1")
-        .join(viaNbr.select(col("pid").as("jpid"), col("label").as("jlabel")).as("l2"),
-          col("l1.label") === col("jpid"), "left")
-        .select(col("l1.pid").as("pid"),
-          least(col("l1.label"), coalesce(col("jlabel"), col("l1.label"))).as("label"))
-        .localCheckpoint()
-      // labels only ever decrease, so convergence == the label sum
-      // stopped falling — one aggregate instead of a join per round
-      val newSum = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
-      changed = if (newSum == labelSum) 0L else 1L
-      labelSum = newSum
-      labels = next
-      iter += 1
-    }
+      .select(col("pid").as("src"), col("qid").as("dst"))
+    val ccLabels = GraphOps.minLabelComponents(coreEdges, localCcMaxEdges)
+    val labels = core
+      .join(ccLabels.withColumnRenamed("id", "pid"), Seq("pid"), "left")
+      .select(col("pid"), coalesce(col("label"), col("pid")).as("label"))
 
     // border points: non-core with a core neighbor -> min core label
     val borderLabels = pairs

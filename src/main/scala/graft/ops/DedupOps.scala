@@ -219,6 +219,27 @@ object DedupOps {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** Near-duplicate GROUP formation: verified MinHash pairs resolved
+    * into connected components ([[GraphOps.minLabelComponents]]) with
+    * the minimum doc id as the canonical representative — the operator
+    * a dedup pipeline actually keys on (pairwise output alone cannot
+    * decide a winner when duplicates chain a~b~c). Every document gets
+    * a row; singletons are their own canonical group.
+    */
+  def dedupGroups(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val pairs = minhashNearDuplicates(docs, idCol, textCol, threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val labels = GraphOps.minLabelComponents(edges)
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("group_id"))
+      .withColumn("is_canonical", col("group_id") === col("doc_id"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** Per-doc SimHash fingerprint over weighted word hashes. */

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.ops.{DedupOps, TextOps}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-corpus curation operators beyond pairwise dedup: duplicate
+  * GROUP resolution, deterministic stratified sampling, vocabulary
+  * coverage, and text normalization — the operations that turn raw
+  * crawl shards into a training mix at 100 TB.
+  */
+object CurationQueries {
+
+  /** Near-dup groups with canonical winners: MinHash pairs (0.8) →
+    * connected components → min-id representative. Oracle resolves the
+    * same components with a recursive-CTE transitive closure over the
+    * generated MinHash pair CTEs — chained duplicates (a~b~c with no
+    * a~c pair) land in ONE group in both engines, which pairwise
+    * checks alone cannot certify.
+    */
+  val q_dedup_groups = QueryDef(
+    "q_dedup_groups", {
+      val pairCtes = DedupOps.minhashOracleSql(0.8)
+        .replaceAll("(?s)^WITH ", "").replaceAll("(?s)\nSELECT c\\.doc_a.*$", "")
+      s"""WITH RECURSIVE $pairCtes,
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sz sa ON sa.id = c.doc_a
+         |  JOIN sz sb ON sb.id = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.8),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS rid FROM nodes
+         |  UNION
+         |  SELECT r.id, e.dst AS rid FROM reach r JOIN edges e ON e.src = r.rid),
+         |lbl AS (SELECT id, MIN(rid) AS grp FROM reach GROUP BY id)
+         |SELECT d.doc_id, COALESCE(l.grp, d.doc_id) AS group_id,
+         |  (COALESCE(l.grp, d.doc_id) = d.doc_id) AS is_canonical
+         |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    DedupOps.dedupGroups(Tables.documents(spark, dir), "doc_id", "text", 0.8)
+      .orderBy(col("doc_id"))
+  }
+
+  private val SamplePerStratum = 20
+
+  /** Deterministic exact-N stratified sample: per language, the first
+    * `SamplePerStratum` docs in scrambled-hash order (id-hash, not
+    * rand(): reproducible across engines AND across runs — the
+    * property a training-mix manifest needs). At scale this is one
+    * window per stratum, no global sort.
+    */
+  val q_stratified_sample = QueryDef(
+    "q_stratified_sample",
+    s"""SELECT doc_id, lang, rn FROM (
+       |  SELECT doc_id, lang,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+       |  FROM documents) t
+       |WHERE rn <= $SamplePerStratum
+       |ORDER BY lang, rn""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("lang"))
+      .orderBy((col("doc_id") * lit(2654435761L)) % 1000003L, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= SamplePerStratum)
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Vocabulary coverage: top-30 words with cumulative share of total
+    * token mass — the tokenizer-budget panel (what fraction of the
+    * corpus do the k most frequent types cover).
+    */
+  val q_vocab_coverage = QueryDef(
+    "q_vocab_coverage", {
+      val ws = TextOps.wordsSql("text")
+      s"""WITH tf AS (
+         |  SELECT w, COUNT(*) AS n
+         |  FROM (SELECT unnest($ws) AS w FROM documents) GROUP BY w),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM tf)
+         |SELECT w AS word, n, ROUND(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+         |FROM (
+         |  SELECT w, n, CAST(SUM(n) OVER (ORDER BY n DESC, w
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM tf) t CROSS JOIN tot
+         |ORDER BY n DESC, word LIMIT 30""".stripMargin
+    }) { (spark, dir) =>
+    val tf = Tables.documents(spark, dir)
+      .select(explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(tf.agg(sum(col("n")).as("total")))
+    val w = Window.orderBy(col("n").desc, col("w"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tf.withColumn("cum", sum(col("n")).over(w))
+      .crossJoin(tot)
+      .select(col("w").as("word"), col("n"),
+        round(col("cum").cast("double") / col("total"), 6).as("cum_share"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(30)
+  }
+
+  /** Text normalization (lowercase → strip non-alnum → collapse
+    * whitespace → trim): the canonical-form column every exact-dedup
+    * and fingerprint stage upstream of tokenization wants.
+    */
+  val q_text_normalize = QueryDef(
+    "q_text_normalize",
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
+      |  CAST(len(trim(regexp_replace(regexp_replace(lower(text),
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(norm).as("norm_hash"), length(norm).as("norm_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q_dedup_groups, q_stratified_sample, q_vocab_coverage, q_text_normalize)
+}

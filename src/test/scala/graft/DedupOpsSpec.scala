@@ -45,6 +45,19 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(blocked === allPairs)
   }
 
+  test("dedupGroups puts both ends of every pair in one group, labeled by the min member") {
+    val pairs = DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val groups = DedupOps.dedupGroups(docs, "doc_id", "text", 0.8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (a, b) =>
+      assert(groups(a) === groups(b), s"pair ($a,$b) split across groups")
+    }
+    val members = groups.groupBy(_._2).view.mapValues(_.keys.min)
+    members.foreach { case (grp, minId) => assert(grp === minId) }
+    assert(groups.values.toSet.size < groups.size) // some real grouping happened
+  }
+
   test("ShingleHashes expression matches the builtin transform+polyHash formulation") {
     graft.functions.GraftFunctions.register(spark)
     val builtin = docs.select(col("doc_id"),
