@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, HyperplaneSig, ShingleHashes}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions at session build time, so a cluster deploy can
@@ -13,9 +13,21 @@ import graft.functions.DotProduct
   * for an already-built session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       exprs => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      exprs => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue)))
+    e.injectFunction((
+      new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      exprs => HyperplaneSig(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue,
+        exprs(2).eval().asInstanceOf[Number].intValue)))
+  }
 }
