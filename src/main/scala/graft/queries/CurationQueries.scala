@@ -96,14 +96,17 @@ object CurationQueries {
       .select(explode(TextOps.words(col("text"))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
     val tot = broadcast(tf.agg(sum(col("n")).as("total")))
+    // top-30 FIRST (TakeOrderedAndProject — scale-safe), then the
+    // cumulative window runs over 30 rows instead of the whole
+    // vocabulary in one partition; the prefix cumsum is identical
+    val top = tf.orderBy(col("n").desc, col("w")).limit(30)
     val w = Window.orderBy(col("n").desc, col("w"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    tf.withColumn("cum", sum(col("n")).over(w))
+    top.withColumn("cum", sum(col("n")).over(w))
       .crossJoin(tot)
       .select(col("w").as("word"), col("n"),
         round(col("cum").cast("double") / col("total"), 6).as("cum_share"))
       .orderBy(col("n").desc, col("word"))
-      .limit(30)
   }
 
   /** Text normalization (lowercase → strip non-alnum → collapse
