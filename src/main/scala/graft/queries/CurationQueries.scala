@@ -128,6 +128,44 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  private val PackBudget = 4096
+
+  /** Sequence packing (concatenate-and-chop): docs concatenated in
+    * id order within each language stream, chopped into fixed
+    * `PackBudget`-token bins — bin id = floor(tokens-before-doc /
+    * budget), the standard pretraining batch-prep step. One window +
+    * one aggregation per stratum; the stratum key is the shuffle key
+    * at scale.
+    */
+  val q_sequence_pack = QueryDef(
+    "q_sequence_pack", {
+      val ws = TextOps.wordsSql("text")
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, CAST(len($ws) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |cum AS (
+         |  SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM toks)
+         |SELECT lang, CAST(FLOOR((cum - n_tokens) / $PackBudget.0) AS BIGINT) AS bin,
+         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM cum GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+    }) { (spark, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("lang"),
+        floor((col("cum") - col("n_tokens")) / lit(PackBudget.toDouble)).as("bin"),
+        col("n_tokens"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_dedup_groups, q_stratified_sample, q_vocab_coverage, q_text_normalize)
+    q_dedup_groups, q_stratified_sample, q_vocab_coverage, q_text_normalize,
+    q_sequence_pack)
 }

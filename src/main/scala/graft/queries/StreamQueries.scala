@@ -82,5 +82,43 @@ object StreamQueries {
       .orderBy(col("keep_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_stream_hourly, q_stream_hourly_append, q_stream_dedup)
+  /** Stream–stream interval join (click attribution): purchases joined
+    * with same-user clicks from the preceding 30 minutes, both sides
+    * watermarked. AvailableNow drains every match (inner-join rows emit
+    * on match, not on watermark close), so the batch interval join is
+    * the exact oracle.
+    */
+  val q_stream_join = QueryDef(
+    "q_stream_join",
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+      |FROM events c JOIN events p ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND CAST(c.ts AS TIMESTAMP)
+      |     BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+      |         AND CAST(p.ts AS TIMESTAMP)
+      |ORDER BY click_id, purchase_id""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StreamingOps.parquetStream(
+      spark, s"$dir/events.parquet",
+      spark.read.parquet(s"$dir/events.parquet").schema)
+    val stream =
+      if (raw.schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val joined = StreamingOps.intervalJoin(
+      purchases, clicks, "purchase_ts", "click_ts",
+      "user_id", "c_user", before = "30 MINUTES", watermark = "1 hour")
+    StreamingOps.drainToBatch(joined, OutputMode.Append())
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_join)
 }

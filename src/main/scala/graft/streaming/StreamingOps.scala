@@ -120,6 +120,24 @@ object StreamingOps {
       Iterator.single(Keyed(hash, minId))
     }
 
+  /** Stream–stream interval inner join: each `left` row matches
+    * `right` rows with the same key whose event time falls in
+    * [leftTime - before, leftTime]. Watermarks on BOTH sides bound the
+    * join state (rows older than watermark + interval are evicted) —
+    * the canonical click-attribution shape, impossible in the
+    * reference's per-topic consumer loops without a database detour.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftTimeCol: String, rightTimeCol: String,
+      joinKeyLeft: String, joinKeyRight: String,
+      before: String, watermark: String): DataFrame =
+    left.withWatermark(leftTimeCol, watermark)
+      .join(right.withWatermark(rightTimeCol, watermark),
+        expr(s"""$joinKeyLeft = $joinKeyRight AND
+                |$rightTimeCol BETWEEN $leftTimeCol - INTERVAL $before
+                |               AND $leftTimeCol""".stripMargin))
+
   /** Per-batch progress capture (ST8, `relevance_consumer.py:388-444`):
     * a StreamingQueryListener accumulating input-row counts — the
     * engine-native replacement for the reference's driver-side
