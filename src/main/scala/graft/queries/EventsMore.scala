@@ -273,7 +273,28 @@ object EventsMore {
       .orderBy(col("bucket"))
   }
 
+  /** Hot-key-safe aggregation: event counts via explicit salted
+    * two-phase aggregation (`SkewOps.twoPhaseCount`, 8 salts) and
+    * exact distinct users via dedupe-then-count — the two shapes that
+    * keep a skewed key off a single reducer at 100 TB. The oracle is
+    * the PLAIN aggregation: salting must be result-invariant, and the
+    * hash check proves it every round.
+    */
+  val q_salted_agg = QueryDef(
+    "q_salted_agg",
+    """SELECT event_type, COUNT(*) AS n,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val counts = graft.ops.SkewOps.twoPhaseCount(ev, Seq("event_type"), saltFactor = 8)
+    val users = ev.select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    counts.join(users, "event_type")
+      .select(col("event_type"), col("n"), col("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
-    q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram)
+    q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg)
 }

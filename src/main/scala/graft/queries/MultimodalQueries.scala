@@ -84,5 +84,35 @@ object MultimodalQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_media_features, q_media_frames)
+  /** Resize-stub certification: deterministic byte-stride resampling
+    * to a 32×16 "pixel" budget (512 bytes). The oracle rebuilds the
+    * exact resampled byte string in SQL (same `i·(n/budget)` truncated
+    * index math via a LATERAL position scan) and compares md5 — so the
+    * partition-local resample loop, not just its row count, is
+    * certified.
+    */
+  val q_media_resize = QueryDef(
+    "q_media_resize",
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, $kindSql AS kind, text, len(text) AS n
+       |  FROM documents),
+       |resized AS (
+       |  SELECT m.media_id, m.kind,
+       |    CASE WHEN m.n <= 512 THEN m.text ELSE r.s END AS rtext
+       |  FROM m LEFT JOIN LATERAL (
+       |    SELECT string_agg(substr(m.text,
+       |        1 + CAST(FLOOR(CAST(i AS BIGINT) * (m.n / CAST(512 AS DOUBLE))) AS INT),
+       |        1), '' ORDER BY i) AS s
+       |    FROM UNNEST(range(0, 512)) t(i)) r ON TRUE)
+       |SELECT media_id, kind, CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
+       |  CAST(len(rtext) AS INT) AS out_len, md5(rtext) AS payload_md5
+       |FROM resized ORDER BY media_id""".stripMargin) { (spark, dir) =>
+    MultimodalOps.resizeStub(
+      MultimodalOps.mediaFromDocuments(Tables.documents(spark, dir)), 32, 16)
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        length(col("payload")).as("out_len"), md5(col("payload")).as("payload_md5"))
+      .orderBy(col("media_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_media_features, q_media_frames, q_media_resize)
 }
