@@ -10,9 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warm-up outside the timed region (steady-state numbers)
+    // JIT/codegen warm-up outside the timed region (steady-state
+    // numbers): a scan+shuffle and the flagship query at sf0.001 touch
+    // the parquet reader, whole-stage codegen, window and aggregate
+    // paths that otherwise land on whichever query runs first
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -31,7 +31,9 @@ object StreamQueries {
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else raw
     val agg = StreamingOps.hourlyCounts(stream)
-    StreamingOps.drainToBatch(agg, OutputMode.Complete())
+    StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(agg, OutputMode.Complete())
+    }
       .select(col("hour"), col("event_type"), col("n"),
         round(col("total_value"), 2).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
@@ -63,7 +65,9 @@ object StreamQueries {
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       else raw
     val agg = StreamingOps.hourlyCounts(stream, watermark = "1 hour")
-    StreamingOps.drainToBatch(agg, OutputMode.Append())
+    StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(agg, OutputMode.Append())
+    }
       .select(col("hour"), col("event_type"), col("n"),
         round(col("total_value"), 2).as("total_value"))
       .orderBy(col("hour"), col("event_type"))
@@ -77,9 +81,10 @@ object StreamQueries {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = StreamingOps.parquetStream(spark, s"$dir/documents.parquet", schema)
       .select(md5(col("text")).as("hash"), col("doc_id").as("id"))
-    StreamingOps.drainToBatch(
-      StreamingOps.streamingDedupFirstSeen(spark, stream))
-      .orderBy(col("keep_id"))
+    StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(
+        StreamingOps.streamingDedupFirstSeen(spark, stream))
+    }.orderBy(col("keep_id"))
   }
 
   /** Stream–stream interval join (click attribution): purchases joined
@@ -114,7 +119,11 @@ object StreamQueries {
     val joined = StreamingOps.intervalJoin(
       purchases, clicks, "purchase_ts", "click_ts",
       "user_id", "c_user", before = "30 MINUTES", watermark = "1 hour")
-    StreamingOps.drainToBatch(joined, OutputMode.Append())
+    // stream-stream join keeps 4 state stores per partition — size the
+    // state layout to the drained volume
+    StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(joined, OutputMode.Append())
+    }
       .select(col("click_id"), col("purchase_id"), col("user_id"))
       .orderBy(col("click_id"), col("purchase_id"))
   }

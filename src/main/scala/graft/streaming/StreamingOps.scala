@@ -49,6 +49,21 @@ object StreamingOps {
       .select(col("win.start").as("hour"), col("event_type"), col("n"),
         col("total_value"))
 
+  /** Scoped shuffle-partition override: stateful streaming queries
+    * create one state store per shuffle partition PER stateful
+    * operator, so a bounded drain over bench-scale data pays fixed
+    * store/commit overhead × partitions. State partition count is
+    * fixed at FIRST query start (it is the state layout!) — size it to
+    * expected state volume, not to the session's batch default.
+    * Restores the previous value after the body.
+    */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Drain a streaming DataFrame through a memory sink with
     * AvailableNow semantics and return the materialized result —
     * the bounded-drain pattern replacing the reference's
