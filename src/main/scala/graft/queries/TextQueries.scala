@@ -247,7 +247,68 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Fixed-weight logistic quality model over the q_text_quality
+    * features — "model inference as columns": the linear term and
+    * sigmoid run inside whole-stage codegen, no UDF, and the keep
+    * decision gates on the raw margin (z >= 0), which is float-exact
+    * across engines. Swapping learned weights in changes literals
+    * only.
+    */
+  val q_quality_model = QueryDef(
+    "q_quality_model", {
+      val ws = TextOps.wordsSql("text")
+      val hits = TextOps.tokenHitsSql("ws", TextOps.Stopwords)
+      // explicit floor-quantization instead of ROUND: Spark rounds via
+      // the double's exact decimal expansion, DuckDB via float
+      // arithmetic — they disagree on half-boundary values, while
+      // floor(x·10⁴ + 0.5) is the same IEEE op sequence in both
+      s"""SELECT doc_id,
+         |  FLOOR(z * 10000 + 0.5) / 10000.0 AS margin,
+         |  FLOOR((1.0 / (1.0 + exp(-z))) * 10000 + 0.5) / 10000.0 AS score,
+         |  (z >= 0) AS keep
+         |FROM (
+         |  SELECT doc_id,
+         |    CAST(-1.0 AS DOUBLE) + CAST(0.02 AS DOUBLE) * n_tokens
+         |      + CAST(0.3 AS DOUBLE) * avg_token_len
+         |      - CAST(2.0 AS DOUBLE) * stop_ratio
+         |      - CAST(4.0 AS DOUBLE) * punct_ratio AS z
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(ws) AS n_tokens,
+         |      CAST(list_sum(list_transform(ws, w -> len(w))) AS DOUBLE) / len(ws) AS avg_token_len,
+         |      CAST($hits AS DOUBLE) / len(ws) AS stop_ratio,
+         |      CAST(len(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |        / len(text) AS punct_ratio
+         |    FROM (SELECT doc_id, text, $ws AS ws FROM documents)
+         |    WHERE len(ws) > 0))
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val ws = TextOps.words(col("text"))
+    val feats = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        (aggregate(transform(col("ws"), w => length(w)), lit(0),
+          (acc, v) => acc + v).cast("double") / size(col("ws"))).as("avg_token_len"),
+        (TextOps.tokenHits(col("ws"), TextOps.Stopwords).cast("double") /
+          size(col("ws"))).as("stop_ratio"),
+        (length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("double") /
+          length(col("text"))).as("punct_ratio"))
+    val z = lit(-1.0) + lit(0.02) * col("n_tokens") + lit(0.3) * col("avg_token_len") -
+      lit(2.0) * col("stop_ratio") - lit(4.0) * col("punct_ratio")
+    feats
+      .withColumn("z", z)
+      .select(col("doc_id"),
+        (floor(col("z") * 10000 + 0.5) / lit(10000.0)).as("margin"),
+        (floor((lit(1.0) / (lit(1.0) + exp(-col("z")))) * 10000 + 0.5) / lit(10000.0))
+          .as("score"),
+        (col("z") >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_top_words, q_text_quality, q_token_stats, q_lang_stats, q_doc_hashes,
-    q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords)
+    q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords, q_quality_model)
 }

@@ -108,6 +108,51 @@ class PipelineSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("offset control: bounded triggers + checkpoint resume process each file exactly once") {
+    // ST4: the reference bounds Kafka polling with max.poll.records and
+    // resumes from committed offsets; the file source expresses the
+    // same contract with maxFilesPerTrigger (bounded batches) and the
+    // checkpoint log (exactly-once resume).
+    val srcDir = tmpDir("offsets_src")
+    val ckDir = tmpDir("offsets_ck")
+    val outDir = tmpDir("offsets_out")
+    import spark.implicits._
+    (1 to 3).foreach { i =>
+      Seq((i.toLong, s"file$i")).toDF("id", "tag")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    val schema = spark.read.parquet(srcDir).schema
+
+    def drainOnce(): Long = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        .writeStream.format("parquet")
+        .option("path", outDir)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      batches.toLong
+    }
+
+    val batches1 = drainOnce()
+    assert(batches1 === 3L, s"expected 3 bounded single-file batches, got $batches1")
+    assert(spark.read.parquet(outDir).count() === 3L)
+
+    // add one more file; resume from the checkpoint -> only the new
+    // file is processed (offsets survived the restart)
+    Seq((4L, "file4")).toDF("id", "tag")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    val batches2 = drainOnce()
+    assert(batches2 === 1L, s"resume should process exactly the new file, got $batches2")
+    assert(spark.read.parquet(outDir).count() === 4L)
+    assert(spark.read.parquet(outDir).select("id").collect().map(_.getLong(0)).sorted
+      === Array(1L, 2L, 3L, 4L))
+  }
+
   test("approx_count_distinct tracks exact within tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = ev.select(countDistinct(col("user_id"))).head.getLong(0)

@@ -53,6 +53,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
   }
 
+  test("no batch query plans a CartesianProduct") {
+    // planning-only sweep over every registered batch query: a cross
+    // product that isn't a broadcast nested loop is always a scale bug.
+    // Streaming queries are excluded (invoking them executes a drain).
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q_stream"))
+      .flatMap { name =>
+        val p = SparkEntry.queries(name)(spark, sf)
+          .queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct")) Some(name) else None
+      }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
   test("aggregations run partial+final hash aggregate") {
     val p = plan("q_event_type_stats")
     assert(p.contains("HashAggregate"), s"expected hash agg:\n$p")
