@@ -26,6 +26,22 @@ object EventsMore {
       .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
   }
 
+  /** ROLLUP over (event_type, day-of-week): the hierarchical subtotal
+    * companion to q_cube_counts' full CUBE — grand total, per-type,
+    * per-(type, dow). */
+  val q_rollup_counts = QueryDef(
+    "q_rollup_counts",
+    """SELECT event_type, isodow(CAST(date_trunc('day', ts) AS DATE)) - 1 AS dow,
+      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+      |FROM events GROUP BY ROLLUP (1, 2)
+      |ORDER BY event_type NULLS FIRST, dow NULLS FIRST""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("dow", weekday(date_trunc("day", col("ts")).cast("date")).cast("long"))
+      .rollup(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
+  }
+
   /** Gap-based sessionization (30-minute inactivity threshold): session
     * boundaries via lag + cumulative sum, then per-user session stats.
     * The canonical event-stream operator the reference's Kafka surface
@@ -296,5 +312,6 @@ object EventsMore {
 
   val all: Seq[QueryDef] = Seq(
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
-    q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg)
+    q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
+    q_rollup_counts)
 }

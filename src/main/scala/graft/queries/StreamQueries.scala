@@ -128,6 +128,63 @@ object StreamQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Native streaming sessionization: `session_window` with a
+    * 30-minute gap per user, append mode — sessions emit when the
+    * watermark passes their end (last event + gap). Oracle: the batch
+    * gap-sessionization (new session when gap >= 30 min — session
+    * windows are half-open, an exact-gap event starts a new one)
+    * filtered to sessions closed at the final watermark
+    * (ms-floored max event time - 1 hour).
+    */
+  val q_stream_sessions = QueryDef(
+    "q_stream_sessions",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN LAG(us) OVER w IS NULL
+      |           OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |sess AS (
+      |  SELECT user_id, us,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked),
+      |agg AS (
+      |  SELECT user_id, MIN(us) AS session_start_us,
+      |    MAX(us) + 1800000000 AS session_end_us, COUNT(*) AS n_events
+      |  FROM sess GROUP BY user_id, sid),
+      |wm AS (
+      |  SELECT (MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 1000) * 1000
+      |         - 3600000000 AS wm_us
+      |  FROM events)
+      |SELECT user_id, session_start_us, session_end_us, n_events
+      |FROM agg, wm WHERE session_end_us <= wm_us
+      |ORDER BY user_id, session_start_us""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StreamingOps.parquetStream(
+      spark, s"$dir/events.parquet",
+      spark.read.parquet(s"$dir/events.parquet").schema)
+    val stream =
+      if (raw.schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(agg, OutputMode.Append())
+    }
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_join)
+    q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_join,
+    q_stream_sessions)
 }
