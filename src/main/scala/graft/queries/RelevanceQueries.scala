@@ -71,28 +71,45 @@ object RelevanceQueries {
   }
 
   /** A18 in-group pairwise mean cosine (cluster semantic coherence,
-    * `spatial_clustering.py:499-519`) per label. */
+    * `spatial_clustering.py:499-519`) per label.
+    *
+    * The mean is computed over MICRO-QUANTIZED pair cosines
+    * (floor(cos·10⁶ + 0.5) as integers): a plain AVG over tens of
+    * thousands of doubles is summation-order-dependent, and Spark's
+    * partial aggregation vs DuckDB's sequential sum diverged at a
+    * rounding boundary at sf0.1. Integer sums are order-free, so both
+    * engines derive the identical double before the final
+    * quantization.
+    */
   val q_label_coherence = QueryDef(
     "q_label_coherence",
     """WITH n AS (
       |  SELECT vec_id, label, vd, sqrt(list_dot_product(vd, vd)) AS nrm
       |  FROM (SELECT vec_id, label,
       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
-      |        FROM embeddings))
-      |SELECT a.label, COUNT(*) AS n_pairs,
-      |  ROUND(AVG(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)), 4) AS avg_cos
-      |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-      |GROUP BY a.label ORDER BY a.label""".stripMargin) { (spark, dir) =>
+      |        FROM embeddings)),
+      |p AS (
+      |  SELECT a.label,
+      |    CAST(FLOOR(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)
+      |         * 1000000 + 0.5) AS BIGINT) AS ci
+      |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT label, COUNT(*) AS n_pairs,
+      |  FLOOR(CAST(SUM(ci) AS DOUBLE) / (COUNT(*) * 1000000.0) * 10000 + 0.5)
+      |    / 10000.0 AS avg_cos
+      |FROM p GROUP BY label ORDER BY label""".stripMargin) { (spark, dir) =>
     graft.functions.GraftFunctions.register(spark)
     val v = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("label"), col("embedding").cast("array<double>").as("vd"))
       .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
     v.as("a").join(v.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.label").as("label"))
+      .select(col("a.label").as("label"),
+        floor(expr("dot_product(a.vd, b.vd)") / (col("a.nrm") * col("b.nrm"))
+          * 1000000 + 0.5).cast("long").as("ci"))
+      .groupBy(col("label"))
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(expr("dot_product(a.vd, b.vd)") / (col("a.nrm") * col("b.nrm"))), 4)
-          .as("avg_cos"))
+        (floor(sum(col("ci")).cast("double") / (count(lit(1)) * lit(1000000.0))
+          * 10000 + 0.5) / lit(10000.0)).as("avg_cos"))
       .orderBy(col("label"))
   }
 
@@ -117,11 +134,16 @@ object RelevanceQueries {
          |    FROM embeddings) t WHERE rn <= $cap),
          |n AS (
          |  SELECT vec_id, label, vd, sqrt(list_dot_product(vd, vd)) AS nrm
-         |  FROM capped)
-         |SELECT a.label, COUNT(*) AS n_pairs,
-         |  ROUND(AVG(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)), 4) AS avg_cos
-         |FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-         |GROUP BY a.label ORDER BY a.label""".stripMargin
+         |  FROM capped),
+         |p AS (
+         |  SELECT a.label,
+         |    CAST(FLOOR(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)
+         |         * 1000000 + 0.5) AS BIGINT) AS ci
+         |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+         |SELECT label, COUNT(*) AS n_pairs,
+         |  FLOOR(CAST(SUM(ci) AS DOUBLE) / (COUNT(*) * 1000000.0) * 10000 + 0.5)
+         |    / 10000.0 AS avg_cos
+         |FROM p GROUP BY label ORDER BY label""".stripMargin
     }) { (spark, dir) =>
     graft.functions.GraftFunctions.register(spark)
     val byLabel = org.apache.spark.sql.expressions.Window
@@ -133,10 +155,13 @@ object RelevanceQueries {
       .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
     v.as("a").join(v.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .groupBy(col("a.label").as("label"))
+      .select(col("a.label").as("label"),
+        floor(expr("dot_product(a.vd, b.vd)") / (col("a.nrm") * col("b.nrm"))
+          * 1000000 + 0.5).cast("long").as("ci"))
+      .groupBy(col("label"))
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(expr("dot_product(a.vd, b.vd)") / (col("a.nrm") * col("b.nrm"))), 4)
-          .as("avg_cos"))
+        (floor(sum(col("ci")).cast("double") / (count(lit(1)) * lit(1000000.0))
+          * 10000 + 0.5) / lit(10000.0)).as("avg_cos"))
       .orderBy(col("label"))
   }
 
