@@ -165,7 +165,48 @@ object CurationQueries {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** Benchmark decontamination: per-document share of its shingle set
+    * that also appears in a held-out benchmark set (here: doc_id < 5
+    * stands in for the eval corpus). The benchmark shingle set is
+    * broadcast-joinable by construction (eval sets are tiny next to
+    * training corpora); contaminated = overlap above 20%. Uses the
+    * same codegen'd shingle hashing + oracle CTEs as the dedup family.
+    */
+  val q_contamination = QueryDef(
+    "q_contamination", {
+      val sh = DedupOps.shingleTableSql("documents", "doc_id", "text")
+      s"""WITH sh AS (
+         |  $sh),
+         |bench AS (SELECT DISTINCT h FROM sh WHERE id < 5),
+         |tot AS (SELECT id, COUNT(*) AS n_shingles FROM sh WHERE id >= 5 GROUP BY id),
+         |hit AS (
+         |  SELECT sh.id, COUNT(*) AS n_hits
+         |  FROM sh JOIN bench USING (h) WHERE sh.id >= 5 GROUP BY sh.id)
+         |SELECT t.id AS doc_id, t.n_shingles,
+         |  COALESCE(h.n_hits, 0) AS n_overlap,
+         |  FLOOR(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_shingles * 1000000 + 0.5)
+         |    / 1000000.0 AS overlap_ratio,
+         |  (CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_shingles > 0.2) AS contaminated
+         |FROM tot t LEFT JOIN hit h ON h.id = t.id
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val sh = DedupOps.shingleTable(Tables.documents(spark, dir), "doc_id", "text")
+      .localCheckpoint()
+    val bench = sh.filter(col("id") < 5).select(col("h")).distinct()
+    val corpus = sh.filter(col("id") >= 5)
+    val tot = corpus.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = corpus.join(broadcast(bench), "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    val ratio = coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_shingles")
+    tot.join(hits, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_overlap"),
+        (floor(ratio * 1000000 + 0.5) / lit(1000000.0)).as("overlap_ratio"),
+        (ratio > 0.2).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_dedup_groups, q_stratified_sample, q_vocab_coverage, q_text_normalize,
-    q_sequence_pack)
+    q_sequence_pack, q_contamination)
 }

@@ -308,7 +308,73 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Repetition signals: type/token ratio, top-word concentration and
+    * max immediate-repeat run length — the degenerate-text detectors
+    * (boilerplate, keyword stuffing, decode loops) every quality
+    * filter stacks next to length/stopword checks.
+    */
+  val q_repetition = QueryDef(
+    "q_repetition", {
+      val ws = TextOps.wordsSql("text")
+      s"""WITH wsd AS (
+         |  SELECT doc_id, ws FROM (SELECT doc_id, $ws AS ws FROM documents)
+         |  WHERE len(ws) > 0),
+         |expl AS (
+         |  SELECT doc_id, CAST(i AS INT) AS i, ws[CAST(i AS INT)] AS w
+         |  FROM wsd CROSS JOIN UNNEST(range(1, len(ws) + 1)) t(i)),
+         |runs AS (
+         |  SELECT doc_id, MAX(run_len) AS max_run FROM (
+         |    SELECT doc_id, COUNT(*) AS run_len FROM (
+         |      SELECT doc_id, w,
+         |        i - ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY i) AS grp
+         |      FROM expl) g
+         |    GROUP BY doc_id, w, grp) r GROUP BY doc_id),
+         |counts AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |    COUNT(*) AS n_types, MAX(c) AS top_n
+         |  FROM (SELECT doc_id, w, COUNT(*) AS c FROM expl GROUP BY 1, 2) cc
+         |  GROUP BY doc_id)
+         |SELECT c.doc_id AS doc_id, c.n_tokens, c.n_types,
+         |  FLOOR(CAST(c.n_types AS DOUBLE) / c.n_tokens * 1000000 + 0.5) / 1000000.0
+         |    AS type_token_ratio,
+         |  FLOOR(CAST(c.top_n AS DOUBLE) / c.n_tokens * 1000000 + 0.5) / 1000000.0
+         |    AS top_word_share,
+         |  r.max_run
+         |FROM counts c JOIN runs r ON r.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val ws = TextOps.words(col("text"))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) > 0)
+    val exploded = base.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("i", "w")))
+    val byWord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("w")).orderBy(col("i"))
+    val runs = exploded
+      .withColumn("grp", col("i") - row_number().over(byWord))
+      .groupBy(col("doc_id"), col("w"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("run_len")).as("max_run"))
+    val counts = exploded.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        max(col("c")).as("top_n"))
+    counts.join(runs, "doc_id")
+      .select(col("doc_id"),
+        col("n_tokens"), col("n_types"),
+        (floor(col("n_types").cast("double") / col("n_tokens") * 1000000 + 0.5)
+          / lit(1000000.0)).as("type_token_ratio"),
+        (floor(col("top_n").cast("double") / col("n_tokens") * 1000000 + 0.5)
+          / lit(1000000.0)).as("top_word_share"),
+        col("max_run"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_top_words, q_text_quality, q_token_stats, q_lang_stats, q_doc_hashes,
-    q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords, q_quality_model)
+    q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords, q_quality_model,
+    q_repetition)
 }
