@@ -229,8 +229,11 @@ object DedupOps {
   def dedupGroups(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    // materialize once: the symmetric edge union consumes `pairs`
+    // twice, which would re-run the whole MinHash pipeline per branch
     val pairs = minhashNearDuplicates(docs, idCol, textCol, threshold)
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     val labels = GraphOps.minLabelComponents(edges)
