@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators Spark lacks natively, composed from built-ins with
+  * the scale-correct shuffle shape (SURVEY.md §7.3 ladder step (a)).
+  */
+object JoinOps {
+
+  /** As-of join: each left row picks the LATEST right row with
+    * `right.ts <= left.ts` within the same key (inclusive), or nulls
+    * when none precedes. Implemented as the union + last(ignoreNulls)
+    * running window — ONE shuffle on (key), no range self-join, no
+    * per-key collect: the classic distributed as-of plan. At equal
+    * timestamps the right row wins (inclusive bound) via the tag sort.
+    *
+    * Inputs must carry unique column names apart from `keyCol`;
+    * right rows must be unique per (key, ts) — pre-aggregate ties
+    * upstream (`max_by`) or the match is nondeterministic in ANY
+    * engine.
+    */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, leftTsCol: String, rightTsCol: String,
+      rightValCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.filterNot(c => c == keyCol || c == leftTsCol)
+    val l = left.select(
+      Seq(col(keyCol), col(leftTsCol).as("_ts"), lit(0).as("_isRight")) ++
+        leftCols.map(col) ++
+        rightValCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.select(
+      Seq(col(keyCol), col(rightTsCol).as("_ts"), lit(1).as("_isRight")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rightValCols.map(col): _*)
+    // right rows sort BEFORE left rows at the same ts -> inclusive bound
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_ts"), col("_isRight").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    l.unionByName(r)
+      .select(
+        Seq(col(keyCol), col("_ts"), col("_isRight")) ++
+          leftCols.map(col) ++
+          rightValCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .filter(col("_isRight") === 0)
+      .drop("_isRight")
+      .withColumnRenamed("_ts", leftTsCol)
+  }
+}

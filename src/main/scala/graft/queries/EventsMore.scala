@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.ops.JoinOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -24,6 +25,51 @@ object EventsMore {
       .cube(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
+  }
+
+  /** As-of join (the operator Spark lacks natively; DuckDB certifies
+    * with its native ASOF JOIN): each purchase picks the user's most
+    * recent click at-or-before the purchase instant. Clicks are
+    * pre-aggregated to one row per (user, μs) with `max_by` — as-of
+    * matches at tied timestamps are nondeterministic in any engine
+    * otherwise. The engine-side plan is the union + running
+    * last(ignoreNulls) window: one shuffle, no range self-join.
+    */
+  val q_asof_join = QueryDef(
+    "q_asof_join",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |    MAX(event_id) AS click_id,
+      |    arg_max(value, event_id) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.purchase_us,
+      |  c.click_id AS last_click_id,
+      |  ROUND(c.click_value, 2) AS last_click_value,
+      |  CAST((p.purchase_us - c.click_us) // 1000000 AS BIGINT) AS gap_sec
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    JoinOps.asofJoin(purchases, clicks,
+      keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "click_us",
+      rightValCols = Seq("click_us", "click_id", "click_value"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("click_id").as("last_click_id"),
+        round(col("click_value"), 2).as("last_click_value"),
+        floor((col("purchase_us") - col("click_us")) / 1000000L).cast("long")
+          .as("gap_sec"))
+      .orderBy(col("purchase_id"))
   }
 
   /** ROLLUP over (event_type, day-of-week): the hierarchical subtotal
@@ -313,5 +359,5 @@ object EventsMore {
   val all: Seq[QueryDef] = Seq(
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
-    q_rollup_counts)
+    q_rollup_counts, q_asof_join)
 }
