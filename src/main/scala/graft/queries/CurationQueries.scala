@@ -206,7 +206,81 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  private val MixShares: Seq[(String, Double)] = Seq(
+    "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+  /** Language-mix rebalancing: given target token shares, the
+    * per-stratum sampling rate `min(1, share·total / actual)` that
+    * moves the corpus toward the target without upsampling — the
+    * data-mixing-weights computation behind every training-mix
+    * manifest. Two aggregations + a broadcast of 5 rows.
+    */
+  val q_mix_rates = QueryDef(
+    "q_mix_rates", {
+      val ws = TextOps.wordsSql("text")
+      val shares = MixShares.map { case (l, s) => s"('$l', CAST($s AS DOUBLE))" }
+        .mkString(", ")
+      s"""WITH actual AS (
+         |  SELECT lang, CAST(SUM(len($ws)) AS BIGINT) AS actual_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(SUM(actual_tokens) AS BIGINT) AS total FROM actual),
+         |tgt(lang, share) AS (VALUES $shares)
+         |SELECT a.lang AS lang, a.actual_tokens, t.share AS target_share,
+         |  FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+         |    t.share * tot.total / a.actual_tokens) * 1000000 + 0.5) / 1000000.0
+         |    AS sample_rate,
+         |  CAST(FLOOR(LEAST(CAST(1.0 AS DOUBLE),
+         |    t.share * tot.total / a.actual_tokens) * a.actual_tokens) AS BIGINT)
+         |    AS sampled_tokens
+         |FROM actual a JOIN tgt t ON t.lang = a.lang CROSS JOIN tot
+         |ORDER BY a.lang""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val actual = Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(sum(size(TextOps.words(col("text"))).cast("long")).as("actual_tokens"))
+    val tot = broadcast(actual.agg(sum(col("actual_tokens")).as("total")))
+    val tgt = broadcast(MixShares.toDF("lang", "target_share"))
+    val rate = least(lit(1.0),
+      col("target_share") * col("total") / col("actual_tokens"))
+    actual.join(tgt, "lang").crossJoin(tot)
+      .select(col("lang"), col("actual_tokens"), col("target_share"),
+        (floor(rate * 1000000 + 0.5) / lit(1000000.0)).as("sample_rate"),
+        floor(rate * col("actual_tokens")).cast("long").as("sampled_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** Quality-weighted deterministic sampling: keep a document with
+    * probability proportional to its quality weight, decided by the
+    * scrambled-id hash fraction (reproducible, engine-independent —
+    * no rand()). The standard soft-filter between hard quality gates
+    * and uniform sampling.
+    */
+  val q_weighted_sample = QueryDef(
+    "q_weighted_sample", {
+      val ws = TextOps.wordsSql("text")
+      s"""SELECT doc_id, n_tokens,
+         |  FLOOR(w * 1000000 + 0.5) / 1000000.0 AS weight
+         |FROM (
+         |  SELECT doc_id, len($ws) AS n_tokens,
+         |    LEAST(CAST(1.0 AS DOUBLE), len($ws) / CAST(100.0 AS DOUBLE)) AS w,
+         |    ((doc_id * 2654435761) % 1000000) / 1000000.0 AS frac
+         |  FROM documents) t
+         |WHERE frac < w
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val nTok = size(TextOps.words(col("text"))).cast("long")
+    val w = least(lit(1.0), nTok / lit(100.0))
+    val frac = (col("doc_id") * lit(2654435761L)) % 1000000L / lit(1000000.0)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), nTok.as("n_tokens"), w.as("w"), frac.as("frac"))
+      .filter(col("frac") < col("w"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("w") * 1000000 + 0.5) / lit(1000000.0)).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_dedup_groups, q_stratified_sample, q_vocab_coverage, q_text_normalize,
-    q_sequence_pack, q_contamination)
+    q_sequence_pack, q_contamination, q_mix_rates, q_weighted_sample)
 }
