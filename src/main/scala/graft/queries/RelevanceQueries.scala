@@ -305,8 +305,75 @@ object RelevanceQueries {
     col("lang") === "en" && col("source").isin("src3", "src7", "src12") &&
       col("text").contains("join"))
 
+  /** BM25 lexical retrieval for the same query string the semantic
+    * search uses — the keyword side of a hybrid retrieval stack
+    * (k1=1.2, b=0.75, Lucene-style idf). Per-(doc, term) contributions
+    * are floor-quantized to integer micro-units BEFORE the per-doc
+    * sum, so the score is summation-order-free across engines; the df
+    * table is broadcast-sized by construction (one row per query
+    * term).
+    */
+  val q_bm25 = QueryDef(
+    "q_bm25", {
+      val terms = SearchQueryText.split(" ").toSeq.distinct
+      val termsArr = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+      val ws = TextOps.wordsSql("text")
+      s"""WITH docs_ws AS (
+         |  SELECT doc_id, $ws AS ws FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM docs_ws),
+         |stats AS (
+         |  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         |tf AS (
+         |  SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+         |    SELECT doc_id, unnest(ws) AS w FROM docs_ws) u
+         |  WHERE list_contains($termsArr, w) GROUP BY 1, 2),
+         |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+         |contrib AS (
+         |  SELECT tf.doc_id,
+         |    CAST(FLOOR(
+         |      ln((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE))
+         |         + CAST(1.0 AS DOUBLE))
+         |      * (tf * (CAST(1.2 AS DOUBLE) + 1))
+         |      / (tf + CAST(1.2 AS DOUBLE) * (1 - CAST(0.75 AS DOUBLE)
+         |         + CAST(0.75 AS DOUBLE) * dl.dl / avgdl))
+         |      * 1000000 + 0.5) AS BIGINT) AS ci
+         |  FROM tf JOIN df USING (w) JOIN dl ON dl.doc_id = tf.doc_id
+         |  CROSS JOIN stats)
+         |SELECT doc_id, CAST(SUM(ci) AS BIGINT) AS score_micro,
+         |  CAST(SUM(ci) AS DOUBLE) / 1000000.0 AS score
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
+    }) { (spark, dir) =>
+    val terms = SearchQueryText.split(" ").toSeq.distinct
+    val docsWs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+    val dl = docsWs.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl")))
+    val tf = docsWs
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .filter(col("w").isin(terms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = broadcast(tf.groupBy(col("w")).agg(count(lit(1)).as("df")))
+    val k1 = lit(1.2)
+    val b = lit(0.75)
+    val contrib = tf.join(df, "w").join(dl, "doc_id").crossJoin(stats)
+      .select(col("doc_id"),
+        floor(
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+            * (col("tf") * (k1 + 1))
+            / (col("tf") + k1 * (lit(1) - b + b * col("dl") / col("avgdl")))
+            * 1000000 + 0.5).cast("long").as("ci"))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("ci")).as("score_micro"))
+      .select(col("doc_id"), col("score_micro"),
+        (col("score_micro").cast("double") / lit(1000000.0)).as("score"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_relevance, q_gazetteer, q_distinct_sets, q_label_coherence,
     q_label_coherence_capped, q_impute_coords, q_hashed_embedding,
-    q_semantic_search, q_semantic_search_multi)
+    q_semantic_search, q_semantic_search_multi, q_bm25)
 }
