@@ -345,8 +345,11 @@ object RelevanceQueries {
          |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
     }) { (spark, dir) =>
     val terms = SearchQueryText.split(" ").toSeq.distinct
+    // materialized once: feeds tf, dl and the corpus stats (the
+    // higher-order tokenizer is the expensive part of all three)
     val docsWs = Tables.documents(spark, dir)
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .localCheckpoint()
     val dl = docsWs.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
     val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl")))
