@@ -375,8 +375,48 @@ object RelevanceQueries {
       .limit(10)
   }
 
+  /** Hybrid retrieval: reciprocal-rank fusion (k=60) of the BM25 and
+    * semantic top-10 lists for the same query string — the standard
+    * two-tower + keyword fusion. The oracle composes the two certified
+    * sub-pipeline oracles as subqueries, so the fusion is verified on
+    * top of verified inputs. RRF terms are a two-element sum of
+    * identical doubles in both engines; the fused score is
+    * floor-quantized to micro-units.
+    */
+  val q_hybrid_search = QueryDef(
+    "q_hybrid_search", {
+      val bm25Sql = q_bm25.oracle.get
+      val semSql = q_semantic_search.oracle.get
+      s"""WITH b AS (
+         |  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+         |    AS brank
+         |  FROM ($bm25Sql) bt),
+         |s AS (
+         |  SELECT neighbor_id AS doc_id, rank AS srank FROM ($semSql) st)
+         |SELECT COALESCE(b.doc_id, s.doc_id) AS doc_id, b.brank, s.srank,
+         |  CAST(FLOOR((COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.brank), 0)
+         |            + COALESCE(CAST(1.0 AS DOUBLE) / (60 + s.srank), 0))
+         |       * 1000000 + 0.5) AS BIGINT) AS rrf_micro
+         |FROM b FULL JOIN s ON s.doc_id = b.doc_id
+         |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
+    }) { (spark, dir) =>
+    val b = q_bm25.fn(spark, dir)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))).cast("long").as("brank"))
+    val s = q_semantic_search.fn(spark, dir)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("srank"))
+    val rrf = coalesce(lit(1.0) / (lit(60) + col("brank")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60) + col("srank")), lit(0.0))
+    b.join(s, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("brank"), col("srank"),
+        floor(rrf * 1000000 + 0.5).cast("long").as("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_relevance, q_gazetteer, q_distinct_sets, q_label_coherence,
     q_label_coherence_capped, q_impute_coords, q_hashed_embedding,
-    q_semantic_search, q_semantic_search_multi, q_bm25)
+    q_semantic_search, q_semantic_search_multi, q_bm25, q_hybrid_search)
 }
