@@ -153,6 +153,18 @@ class PipelineSpec extends AnyFunSuite {
       === Array(1L, 2L, 3L, 4L))
   }
 
+  test("CSV sink round-trips with header and explicit schema read") {
+    val dir = tmpDir("csv_rt")
+    val src = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Sinks.writeCsv(src, dir)
+    val back = spark.read.option("header", "true").schema(src.schema).csv(dir)
+    assert(back.count() === src.count())
+    assert(back.agg(sum(col("user_id"))).head.getLong(0) ===
+      src.agg(sum(col("user_id"))).head.getLong(0))
+    assert(back.schema === src.schema)
+  }
+
   test("approx_count_distinct tracks exact within tolerance") {
     val ev = Tables.events(spark, sf)
     val exact = ev.select(countDistinct(col("user_id"))).head.getLong(0)
