@@ -264,11 +264,15 @@ object RelevanceQueries {
         .mkString(",\n    ")
       s"""WITH corp AS (SELECT doc_id, text FROM documents WHERE $filterSql),
          |${EmbeddingOps.gramAccSqlCtes("corp", "doc_id", "text")},
-         |cn AS (SELECT id, sqrt(SUM(v * v)) AS cn FROM comp GROUP BY id),
+         |cn AS (
+         |  SELECT id, sqrt(list_reduce(list(v * v ORDER BY b), (a, c) -> a + c))
+         |    AS cn
+         |  FROM comp GROUP BY id),
          |qv(b, v) AS (VALUES
          |    $qvRows),
          |dt AS (
-         |  SELECT comp.id, SUM(comp.v * qv.v) AS dot
+         |  SELECT comp.id,
+         |    list_reduce(list(comp.v * qv.v ORDER BY comp.b), (a, c) -> a + c) AS dot
          |  FROM comp JOIN qv USING (b) GROUP BY comp.id)
          |SELECT CAST(-1 AS BIGINT) AS query_id, rank, id AS neighbor_id,
          |  ROUND(cos, 6) AS cos_sim
