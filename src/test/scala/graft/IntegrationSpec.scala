@@ -46,6 +46,70 @@ class IntegrationSpec extends AnyFunSuite {
       stage1.filter(col("total_hits") > 0).count())
   }
 
+  test("curation pipeline end-to-end: clean -> decontaminate -> sample -> pack") {
+    import graft.ops.GraphOps
+    val docs = Tables.documents(spark, sf)
+    val n0 = docs.count()
+
+    // 1. clean: quality gate + exact dedup winners + near-dup groups
+    val quality = docs
+      .withColumn("n_tokens", size(TextOps.words(col("text"))).cast("long"))
+      .filter(col("n_tokens") >= 20)
+    val exactKeep = DedupOps.exactDedup(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val groups = DedupOps.dedupGroups(docs, "doc_id", "text", 0.8)
+    val canon = groups.filter(col("is_canonical")).select("doc_id")
+    val clean = quality.join(exactKeep, "doc_id").join(canon, "doc_id")
+    val n1 = clean.count()
+    assert(n1 > 0 && n1 <= n0)
+
+    // 2. decontaminate against the benchmark slice (doc_id < 5)
+    val sh = DedupOps.shingleTable(clean, "doc_id", "text").localCheckpoint()
+    val bench = DedupOps.shingleTable(docs.filter(col("doc_id") < 5), "doc_id", "text")
+      .select("h").distinct()
+    // threshold 0.9: the ~40-word synthetic vocab makes >20% raw
+    // shingle overlap near-universal, so only near-verbatim overlap
+    // counts as contamination at this corpus's statistics
+    val contaminated = sh.join(broadcast(bench), "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("hits"))
+      .join(sh.groupBy(col("id")).agg(count(lit(1)).as("tot")), "id")
+      .filter(col("hits").cast("double") / col("tot") > 0.9)
+      .select(col("id").as("doc_id"))
+    val decon = clean.join(contaminated, Seq("doc_id"), "left_anti")
+    val n2 = decon.count()
+    assert(n2 > 0 && n2 <= n1)
+
+    // 3. deterministic stratified sample (<= 10 per lang)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy((col("doc_id") * lit(2654435761L)) % 1000003L, col("doc_id"))
+    val sampled = decon
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10).drop("rn")
+    assert(sampled.groupBy(col("lang")).count()
+      .agg(max(col("count"))).head.getLong(0) <= 10)
+
+    // 4. pack into 1024-token bins per lang; every bin except the last
+    // per stream holds >= the budget minus one doc's max length
+    val packW = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("doc_id")).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val bins = sampled
+      .withColumn("cum", sum(col("n_tokens")).over(packW))
+      .select(col("lang"),
+        floor((col("cum") - col("n_tokens")) / lit(1024.0)).as("bin"),
+        col("n_tokens"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(sum(col("n_tokens")).as("bin_tokens"))
+    assert(bins.count() > 0)
+    val overfull = bins.filter(col("bin_tokens") >
+      lit(1024) + sampled.agg(max(col("n_tokens"))).head.getLong(0)).count()
+    assert(overfull === 0, "a pack bin exceeded budget + one max doc")
+
+    // determinism: the whole chain reproduces itself
+    val again = sampled.select("doc_id").collect().map(_.getLong(0)).sorted
+    val first = sampled.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(again.toSeq === first.toSeq)
+  }
+
   test("matview refresh reflects new data") {
     val path = Files.createTempDirectory("mv").toString + "/daily"
     val ev = Tables.events(spark, sf)
