@@ -105,6 +105,57 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document decision audit for the clean-corpus pipeline: WHY
+    * each document survives or drops (quality gate, exact-dup winner,
+    * near-dup loser) and the final keep verdict — the explainability
+    * surface an operator of the pipeline debugs with. `keep` here is
+    * certified equal to q_clean_corpus membership by construction of
+    * the same CTEs.
+    */
+  val q_dedup_decisions = QueryDef(
+    "q_dedup_decisions", {
+      val ws = graft.ops.TextOps.wordsSql("text")
+      val pairCtes = DedupOps.minhashOracleSql(0.8)
+        .replaceAll("(?s)^WITH ", "").replaceAll("(?s)\nSELECT c\\.doc_a.*$", "")
+      s"""WITH $pairCtes,
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sz sa ON sa.id = c.doc_a
+         |  JOIN sz sb ON sb.id = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.8),
+         |exact_win AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+         |SELECT d.doc_id,
+         |  (len($ws) >= 20) AS quality_pass,
+         |  (e.doc_id IS NOT NULL) AS is_exact_winner,
+         |  (l.doc_id IS NOT NULL) AS is_neardup_loser,
+         |  (len($ws) >= 20 AND e.doc_id IS NOT NULL AND l.doc_id IS NULL) AS keep
+         |FROM documents d
+         |LEFT JOIN exact_win e ON e.doc_id = d.doc_id
+         |LEFT JOIN losers l ON l.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val qualityPass = size(graft.ops.TextOps.words(col("text"))) >= 20
+    val exactWin = DedupOps.exactDedup(docs, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"), lit(true).as("_win"))
+    val losers = DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("_lose", lit(true))
+    docs.select(col("doc_id"), qualityPass.as("quality_pass"))
+      .join(exactWin, Seq("doc_id"), "left")
+      .join(losers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality_pass"),
+        coalesce(col("_win"), lit(false)).as("is_exact_winner"),
+        coalesce(col("_lose"), lit(false)).as("is_neardup_loser"),
+        (col("quality_pass") && coalesce(col("_win"), lit(false)) &&
+          !coalesce(col("_lose"), lit(false))).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_dedup_exact, q_minhash_lsh, q_simhash, q_ngram_jaccard, q_clean_corpus)
+    q_dedup_exact, q_minhash_lsh, q_simhash, q_ngram_jaccard, q_clean_corpus,
+    q_dedup_decisions)
 }
