@@ -22,12 +22,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       exprs => ShingleHashes(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue)))
+        functions.GraftFunctions.constInt(exprs(1), "shingle_hashes", 1))))
     e.injectFunction((
       new FunctionIdentifier("hyperplane_sig"),
       new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
       exprs => HyperplaneSig(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue)))
+        functions.GraftFunctions.constInt(exprs(1), "hyperplane_sig", 1),
+        functions.GraftFunctions.constInt(exprs(2), "hyperplane_sig", 2))))
   }
 }

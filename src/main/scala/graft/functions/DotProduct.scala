@@ -63,15 +63,24 @@ case class DotProduct(left: Expression, right: Expression)
   * are usable from `expr(...)` / `spark.sql(...)`.
   */
 object GraftFunctions {
+
+  /** Constant-argument extraction with a real error instead of an
+    * opaque eval crash when a column sneaks into a parameter slot. */
+  private[graft] def constInt(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      fn: String, pos: Int): Int = {
+    require(e.foldable, s"$fn: argument $pos must be a constant literal, got: $e")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "shingle_hashes", exprs => ShingleHashes(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+        constInt(exprs(1), "shingle_hashes", 1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hyperplane_sig", exprs => HyperplaneSig(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue,
-        exprs(2).eval().asInstanceOf[Number].intValue), "built-in")
+        constInt(exprs(1), "hyperplane_sig", 1),
+        constInt(exprs(2), "hyperplane_sig", 2)), "built-in")
   }
 }

@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Ranking matches the algebraic version exactly: full cosine
   * (dot/(|v|·|c|)) with left-to-right folds, `ORDER BY cos DESC,
   * cent_id` tie-break — so SQL oracles reproduce the assignment with
-  * `list_dot_product` + ROW_NUMBER. Zero vectors (cos NaN) are
-  * unassigned here while a window would rank NaN first; the corpus
-  * contract excludes zero vectors.
+  * `list_dot_product` + ROW_NUMBER. Zero INPUT vectors (all cosines
+  * NaN) return an empty assignment — explicitly unassigned, where a
+  * window formulation would rank NaN first; zero CENTROIDS remain
+  * excluded by the corpus contract (assert upstream if the corpus can
+  * contain them).
   */
 case class NearestCentroids(
     child: Expression, centIds: Array[Long], cents: Array[Array[Double]],
@@ -45,6 +47,10 @@ case class NearestCentroids(
     var i = 0
     while (i < n) { val x = a.getDouble(i); vn += x * x; i += 1 }
     vn = math.sqrt(vn)
+    // zero vector: every cosine is NaN — genuinely unassigned (a NaN
+    // would otherwise fall through the comparisons and silently take
+    // the first centroids)
+    if (vn == 0.0) return new GenericArrayData(Array.empty[Long])
     val k = math.min(nProbe, cents.length)
     val topIds = new Array[Long](k)
     val topCos = new Array[Double](k)

@@ -59,15 +59,17 @@ object CurationQueries {
     */
   val q_stratified_sample = QueryDef(
     "q_stratified_sample",
+    // (id % m) * C % m == (id * C) % m, but never overflows int64 —
+    // the raw product would at doc_id ~3.5e9 (real at 100 TB)
     s"""SELECT doc_id, lang, rn FROM (
        |  SELECT doc_id, lang,
        |    ROW_NUMBER() OVER (PARTITION BY lang
-       |      ORDER BY (doc_id * 2654435761) % 1000003, doc_id) AS rn
+       |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id) AS rn
        |  FROM documents) t
        |WHERE rn <= $SamplePerStratum
        |ORDER BY lang, rn""".stripMargin) { (spark, dir) =>
     val w = Window.partitionBy(col("lang"))
-      .orderBy((col("doc_id") * lit(2654435761L)) % 1000003L, col("doc_id"))
+      .orderBy((col("doc_id") % 1000003L * lit(2654435761L)) % 1000003L, col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), row_number().over(w).cast("long").as("rn"))
       .filter(col("rn") <= SamplePerStratum)
@@ -264,14 +266,14 @@ object CurationQueries {
          |FROM (
          |  SELECT doc_id, len($ws) AS n_tokens,
          |    LEAST(CAST(1.0 AS DOUBLE), len($ws) / CAST(100.0 AS DOUBLE)) AS w,
-         |    ((doc_id * 2654435761) % 1000000) / 1000000.0 AS frac
+         |    (((doc_id % 1000000) * 2654435761) % 1000000) / 1000000.0 AS frac
          |  FROM documents) t
          |WHERE frac < w
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
     val nTok = size(TextOps.words(col("text"))).cast("long")
     val w = least(lit(1.0), nTok / lit(100.0))
-    val frac = (col("doc_id") * lit(2654435761L)) % 1000000L / lit(1000000.0)
+    val frac = (col("doc_id") % 1000000L * lit(2654435761L)) % 1000000L / lit(1000000.0)
     Tables.documents(spark, dir)
       .select(col("doc_id"), nTok.as("n_tokens"), w.as("w"), frac.as("frac"))
       .filter(col("frac") < col("w"))

@@ -77,14 +77,21 @@ object EventsMore {
     * per-(type, dow). */
   val q_rollup_counts = QueryDef(
     "q_rollup_counts",
+    // cent-quantize BEFORE summing: the grand-total row sums the whole
+    // table's doubles, where engine summation order diverges in the
+    // last ulps — integer cent sums are order-free (PERF.md policy)
     """SELECT event_type, isodow(CAST(date_trunc('day', ts) AS DATE)) - 1 AS dow,
-      |  COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |    AS total_value
       |FROM events GROUP BY ROLLUP (1, 2)
       |ORDER BY event_type NULLS FIRST, dow NULLS FIRST""".stripMargin) { (spark, dir) =>
     Tables.events(spark, dir)
       .withColumn("dow", weekday(date_trunc("day", col("ts")).cast("date")).cast("long"))
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
       .rollup(col("event_type"), col("dow"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("cents")) / lit(100.0)).as("total_value"))
       .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
   }
 

@@ -39,14 +39,17 @@ object MultimodalQueries {
        |    -SUM((CAST(h.c AS DOUBLE) / n.n) * ln(CAST(h.c AS DOUBLE) / n.n)) AS e
        |  FROM hist h JOIN n ON n.media_id = h.media_id GROUP BY h.media_id)
        |SELECT m.media_id AS media_id, m.kind,
-       |  CAST(n.n AS BIGINT) AS n_bytes,
-       |  CAST(16 + ord(substr(m.text, 1, 1)) % 128 AS BIGINT) AS width,
-       |  CAST(16 + ord(substr(m.text, len(m.text), 1)) % 128 AS BIGINT) AS height,
-       |  ROUND(n.mean, 4) AS mean_byte,
-       |  ROUND(ent.e, 4) AS entropy_proxy
+       |  CAST(COALESCE(n.n, 0) AS BIGINT) AS n_bytes,
+       |  CAST(CASE WHEN len(m.text) = 0 THEN 0
+       |       ELSE 16 + ord(substr(m.text, 1, 1)) % 128 END AS BIGINT) AS width,
+       |  CAST(CASE WHEN len(m.text) = 0 THEN 0
+       |       ELSE 16 + ord(substr(m.text, len(m.text), 1)) % 128 END AS BIGINT)
+       |    AS height,
+       |  ROUND(COALESCE(n.mean, 0.0), 4) AS mean_byte,
+       |  ROUND(COALESCE(ent.e, 0.0), 4) AS entropy_proxy
        |FROM m
-       |JOIN n ON n.media_id = m.media_id
-       |JOIN ent ON ent.media_id = m.media_id
+       |LEFT JOIN n ON n.media_id = m.media_id
+       |LEFT JOIN ent ON ent.media_id = m.media_id
        |ORDER BY m.media_id""".stripMargin) { (spark, dir) =>
     MultimodalOps.extractFeatures(
       MultimodalOps.mediaFromDocuments(Tables.documents(spark, dir)))

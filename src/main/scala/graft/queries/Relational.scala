@@ -379,7 +379,8 @@ object Relational {
       |  FROM UNNEST(range(1, 6)) t(g))
       |SELECT d.tier, COUNT(*) AS n_parts,
       |  COUNT(DISTINCT p.p_brand) AS n_brands,
-      |  ROUND(SUM(p.p_retailprice), 2) AS total_price
+      |  CAST(SUM(CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    / 100.0 AS total_price
       |FROM part p JOIN dim d ON substr(p.p_brand, 7, 1) = d.digit
       |GROUP BY d.tier ORDER BY d.tier""".stripMargin) { (spark, dir) =>
     val dim = spark.range(1, 6).select(
@@ -390,7 +391,9 @@ object Relational {
       .groupBy(col("tier"))
       .agg(count(lit(1)).as("n_parts"),
         countDistinct(col("p_brand")).as("n_brands"),
-        round(sum(col("p_retailprice")), 2).as("total_price"))
+        // order-free cent sum (PERF.md determinism policy)
+        (sum(floor(col("p_retailprice") * 100 + 0.5).cast("long")) / lit(100.0))
+          .as("total_price"))
       .orderBy(col("tier"))
   }
 

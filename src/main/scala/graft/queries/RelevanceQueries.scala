@@ -181,7 +181,7 @@ object RelevanceQueries {
       |  SELECT *, AVG(x) OVER (PARTITION BY label) AS cx
       |  FROM pts)
       |SELECT vec_id, label,
-      |  ROUND(COALESCE(x, cx + ((vec_id * 2654435761) % 1000) / 1000.0 * 0.04 - 0.02), 6) AS x_imputed,
+      |  ROUND(COALESCE(x, cx + (((vec_id % 1000) * 2654435761) % 1000) / 1000.0 * 0.04 - 0.02), 6) AS x_imputed,
       |  (x IS NULL) AS was_imputed
       |FROM cent ORDER BY vec_id""".stripMargin) { (spark, dir) =>
     val pts = Tables.embeddings(spark, dir).select(
@@ -189,7 +189,8 @@ object RelevanceQueries {
       when(col("vec_id") % 10 === 0, lit(null))
         .otherwise(element_at(col("embedding"), 1).cast("double")).as("x"))
     val byLabel = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
-    val jitter = (col("vec_id") * lit(2654435761L)) % 1000 / lit(1000.0) * 0.04 - 0.02
+    // (id % m) * C % m == (id * C) % m without int64 overflow at scale
+    val jitter = (col("vec_id") % 1000L * lit(2654435761L)) % 1000 / lit(1000.0) * 0.04 - 0.02
     pts
       .withColumn("cx", avg(col("x")).over(byLabel))
       .select(col("vec_id"), col("label"),
@@ -283,8 +284,12 @@ object RelevanceQueries {
          |    FROM cn LEFT JOIN dt ON dt.id = cn.id) s) t
          |WHERE rank <= 10 ORDER BY rank""".stripMargin
     }) { (spark, dir) =>
+    // token-less docs embed to the zero vector (cosine undefined/NaN);
+    // exclude them like the oracle's gram CTEs implicitly do — a NaN
+    // cosine would otherwise sort FIRST under ORDER BY cos DESC
     val corpus = Tables.documents(spark, dir)
       .filter(filterCol)
+      .filter(size(TextOps.words(col("text"))) > 0)
       .select(col("doc_id").as("vec_id"),
         EmbeddingOps.embedCol(col("text")).as("embedding"))
     val q = spark.range(1).select(

@@ -49,12 +49,15 @@ object StreamQueries {
     */
   val q_stream_hourly_append = QueryDef(
     "q_stream_hourly_append",
-    """WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
+    """WITH mx AS (
+      |  SELECT make_timestamp(
+      |    (epoch_us(MAX(CAST(ts AS TIMESTAMP))) // 1000) * 1000) AS wm_base
+      |  FROM events)
       |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
       |  COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
       |FROM events, mx
       |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
-      |      <= max_ts - INTERVAL 1 HOUR
+      |      <= wm_base - INTERVAL 1 HOUR
       |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (spark, dir) =>
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = StreamingOps.parquetStream(

@@ -81,7 +81,7 @@ class IntegrationSpec extends AnyFunSuite {
 
     // 3. deterministic stratified sample (<= 10 per lang)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-      .orderBy((col("doc_id") * lit(2654435761L)) % 1000003L, col("doc_id"))
+      .orderBy((col("doc_id") % 1000003L * lit(2654435761L)) % 1000003L, col("doc_id"))
     val sampled = decon
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10).drop("rn")
     assert(sampled.groupBy(col("lang")).count()

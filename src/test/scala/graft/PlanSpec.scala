@@ -53,12 +53,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$p")
   }
 
-  test("no batch query plans a CartesianProduct") {
-    // planning-only sweep over every registered batch query: a cross
-    // product that isn't a broadcast nested loop is always a scale bug.
-    // Streaming queries are excluded (invoking them executes a drain).
+  test("no lazily-planned batch query compiles to a CartesianProduct") {
+    // sweep over the queries whose DataFrame construction does NOT
+    // execute jobs: a cross product that isn't a broadcast nested loop
+    // is always a scale bug. Excluded: streaming drains, and pipelines
+    // with eager localCheckpoint()/collect()/ML fits inside — their
+    // executedPlan starts from a checkpointed scan (upstream subplans
+    // invisible) and building them runs the heavy pipeline; those
+    // assert their plan shapes in dedicated tests instead.
+    val eager = Set(
+      "q_dedup_groups", "q_bm25", "q_hybrid_search", "q_contamination",
+      "q_dbscan_profile", "q_minhash_lsh", "q_ngram_jaccard",
+      "q_clean_corpus", "q_dedup_decisions", "q_ann_ivf", "q_kmeans_sizes",
+      "q_forecast_hw", "q_forecast_alerts")
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream"))
+      .filterNot(eager)
       .flatMap { name =>
         val p = SparkEntry.queries(name)(spark, sf)
           .queryExecution.executedPlan.toString
