@@ -39,6 +39,137 @@ object ClusterOps {
     model.fit(scaled).transform(scaled).drop("features_raw", "features")
   }
 
+  /** Fully deterministic fixed-iteration Lloyd's KMeans over
+    * standardized 2-D points — the cross-engine-certifiable variant of
+    * [[kmeans2d]] (MLlib's seeded init is deterministic per JVM but not
+    * SQL-expressible; this one is, so the driver's DuckDB oracle can
+    * replay it CTE-by-CTE):
+    *
+    *  - standardization mean/std and every per-iteration centroid are
+    *    floor-quantized to the 1e-6 grid (the repo's float-determinism
+    *    policy) so cross-engine summation-order noise in AVG/STDDEV
+    *    (~1e-12 relative) never changes a downstream comparison;
+    *  - seeds = the k lowest-id points (no RNG);
+    *  - exactly `iters` assignment→update rounds, ties on distance break
+    *    to the lowest centroid index, empty clusters keep their
+    *    previous centroid.
+    *
+    * Scale posture: per iteration ONE map-side pass over the points
+    * (assignment against k broadcast-as-literals centroids — the same
+    * bounded driver fetch as the IVF centroid table) + one k-row
+    * aggregate; no per-point shuffle, no driver materialization beyond
+    * k rows. Output: one row per centroid (cluster_id, n, cx, cy).
+    */
+  def kmeansLloyd(
+      points: DataFrame, idCol: String, xCol: String, yCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    def quant(v: Double): Double = math.floor(v * 1000000 + 0.5) / 1000000.0
+
+    val pts = points.na.drop(Seq(xCol, yCol)).select(
+      col(idCol).cast("long").as("pid"),
+      col(xCol).cast("double").as("x"),
+      col(yCol).cast("double").as("y"))
+    val st = pts.agg(
+      avg(col("x")), stddev_samp(col("x")),
+      avg(col("y")), stddev_samp(col("y"))).head()
+    val (mx, sx, my, sy) =
+      (quant(st.getDouble(0)), quant(st.getDouble(1)),
+        quant(st.getDouble(2)), quant(st.getDouble(3)))
+    val z = pts.select(col("pid"),
+      ((col("x") - lit(mx)) / lit(sx)).as("zx"),
+      ((col("y") - lit(my)) / lit(sy)).as("zy"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // seeds: the k lowest-id standardized points (bounded k-row fetch)
+    var cents: Array[(Double, Double)] = z.orderBy(col("pid")).limit(k)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+
+    def assigned = {
+      val dists = cents.zipWithIndex.map { case ((cx, cy), j) =>
+        struct(
+          ((col("zx") - lit(cx)) * (col("zx") - lit(cx)) +
+            (col("zy") - lit(cy)) * (col("zy") - lit(cy))).as("d"),
+          lit(j.toLong).as("j"))
+      }
+      z.withColumn("cid", array_min(array(dists: _*)).getField("j"))
+    }
+
+    for (_ <- 1 to iters) {
+      val upd = assigned.groupBy(col("cid"))
+        .agg(avg(col("zx")).as("nx"), avg(col("zy")).as("ny"))
+        .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+        .toMap
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        upd.get(j.toLong).map { case (nx, ny) => (quant(nx), quant(ny)) }
+          .getOrElse(old)
+      }
+    }
+
+    val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+    val centDf = cents.zipWithIndex
+      .map { case ((cx, cy), j) => (j.toLong, cx, cy) }
+      .toSeq.toDF("cluster_id", "cx", "cy")
+    val out = centDf
+      .join(sizes.withColumnRenamed("cid", "cluster_id"), Seq("cluster_id"), "left")
+      .select(col("cluster_id"), coalesce(col("n"), lit(0L)).as("n"),
+        col("cx"), col("cy"))
+      .orderBy(col("cluster_id"))
+    z.unpersist(blocking = false)
+    out
+  }
+
+  /** DuckDB oracle for [[kmeansLloyd]] over the first two embedding
+    * dims: the fixed iteration count unrolls into a plain (non-
+    * recursive) CTE chain — c0 = seeds, then per round an assignment
+    * window (min distance, tie to lowest j) and a LEFT-JOIN centroid
+    * update that keeps empty clusters — quantizing exactly where the
+    * engine quantizes.
+    */
+  def kmeansLloydOracleSql(k: Int, iters: Int): String = {
+    val q = (e: String) => s"FLOOR(($e)*1000000+0.5)/1000000.0"
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT pid, zx, zy, j AS cid FROM (
+         |    SELECT z.pid, z.zx, z.zy, c.j,
+         |      ROW_NUMBER() OVER (PARTITION BY z.pid ORDER BY
+         |        (z.zx-c.cx)*(z.zx-c.cx)+(z.zy-c.cy)*(z.zy-c.cy), c.j) AS rn
+         |    FROM z CROSS JOIN c${i - 1} c) t WHERE rn = 1),
+         |c$i AS (
+         |  SELECT c.j, COALESCE(m.nx, c.cx) AS cx, COALESCE(m.ny, c.cy) AS cy
+         |  FROM c${i - 1} c LEFT JOIN (
+         |    SELECT cid, ${q("AVG(zx)")} AS nx, ${q("AVG(zy)")} AS ny
+         |    FROM a$i GROUP BY cid) m ON m.cid = c.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pts AS (
+       |  SELECT vec_id AS pid, CAST(embedding[1] AS DOUBLE) AS x,
+       |    CAST(embedding[2] AS DOUBLE) AS y
+       |  FROM embeddings),
+       |st AS (
+       |  SELECT ${q("AVG(x)")} AS mx, ${q("STDDEV_SAMP(x)")} AS sx,
+       |         ${q("AVG(y)")} AS my, ${q("STDDEV_SAMP(y)")} AS sy
+       |  FROM pts),
+       |z AS (
+       |  SELECT pid, (x - mx)/sx AS zx, (y - my)/sy AS zy
+       |  FROM pts CROSS JOIN st),
+       |c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY pid) - 1 AS BIGINT) AS j,
+       |    zx AS cx, zy AS cy
+       |  FROM (SELECT pid, zx, zy FROM z ORDER BY pid LIMIT $k) s),
+       |$rounds,
+       |fin AS (
+       |  SELECT pid, j AS cid FROM (
+       |    SELECT z.pid, c.j,
+       |      ROW_NUMBER() OVER (PARTITION BY z.pid ORDER BY
+       |        (z.zx-c.cx)*(z.zx-c.cx)+(z.zy-c.cy)*(z.zy-c.cy), c.j) AS rn
+       |    FROM z CROSS JOIN c$iters c) t WHERE rn = 1),
+       |sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM fin GROUP BY cid)
+       |SELECT c.j AS cluster_id, COALESCE(s.n, 0) AS n, c.cx, c.cy
+       |FROM c$iters c LEFT JOIN sizes s ON s.cid = c.j
+       |ORDER BY cluster_id""".stripMargin
+  }
+
   /** Grid-based distributed DBSCAN over 2-D points.
     * Input: (idCol, xCol, yCol). Output: input columns + `cluster_id`
     * (long; -1 = noise). Deterministic: cluster id is the min point id
@@ -70,14 +201,15 @@ object ClusterOps {
       col("pid").as("qid"), col("x").as("qx"), col("y").as("qy"),
       col("cx").as("gx"), col("cy").as("gy"))
     // materialized once: pairs feeds the degree count, the core-core
-    // edge list AND the border-point labeling — without the checkpoint
-    // the 9x-replicate join would recompute three times
-    val pairs = repl.join(home, Seq("gx", "gy"))
-      .filter(col("pid") =!= col("qid"))
-      .filter(pow(col("x") - col("qx"), 2) + pow(col("y") - col("qy"), 2)
-        <= lit(eps * eps))
-      .select(col("pid"), col("qid")).distinct()
-      .localCheckpoint()
+    // edge list AND the border-point labeling — without reuse the
+    // 9x-replicate join would recompute three times (evictable eager
+    // persist, not pinned localCheckpoint: see graft.ops.Reuse)
+    val pairs = Reuse.materialized(
+      repl.join(home, Seq("gx", "gy"))
+        .filter(col("pid") =!= col("qid"))
+        .filter(pow(col("x") - col("qx"), 2) + pow(col("y") - col("qy"), 2)
+          <= lit(eps * eps))
+        .select(col("pid"), col("qid")).distinct())
 
     val degrees = pairs.groupBy(col("pid")).agg(count(lit(1)).as("deg"))
     // core: >= minPts neighbors (point itself included per classic defn)

@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** @param localMaxEdges gate for the driver union-find fast path:
+    *   2 M edges × 16 B (two boxed longs in the parent map) ≈ 32 MB of
+    *   driver heap plus the collected array — comfortably inside any
+    *   driver's memory; beyond it the distributed propagation runs.
+    *   Set 0 to force the distributed path (scale testing).
+    */
   def minLabelComponents(
       edges: DataFrame, localMaxEdges: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession

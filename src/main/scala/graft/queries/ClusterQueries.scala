@@ -117,11 +117,18 @@ object ClusterQueries {
       "n_chars", "doc_id", Seq("lang", "source"))
   }
 
-  /** Seeded KMeans cluster sizes (M2). */
-  val q_kmeans_sizes = QueryDef.noOracle("q_kmeans_sizes") { (spark, dir) =>
-    ClusterOps.kmeans2d(points(spark, dir), "x", "y", k = 5, seed = 42L)
-      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
-      .orderBy(col("cluster_id"))
+  /** KMeans cluster sizes + centroids (M2), deterministic fixed-
+    * iteration Lloyd's: lowest-id seeds, 6 rounds, quantized centroid
+    * updates — every round of the iterative fit is replayed by the
+    * oracle's unrolled CTE chain, so even this ML operator is
+    * hash-certified (the seeded-MLlib variant stays as a spec
+    * cross-check, ClusterOpsSpec).
+    */
+  val q_kmeans_sizes = QueryDef(
+    "q_kmeans_sizes",
+    ClusterOps.kmeansLloydOracleSql(k = 5, iters = 6)) { (spark, dir) =>
+    ClusterOps.kmeansLloyd(points(spark, dir), "vec_id", "x", "y",
+      k = 5, iters = 6)
   }
 
   val all: Seq[QueryDef] = Seq(q_dbscan_profile, q_cluster_profile, q_kmeans_sizes)

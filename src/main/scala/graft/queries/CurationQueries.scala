@@ -192,8 +192,10 @@ object CurationQueries {
          |FROM tot t LEFT JOIN hit h ON h.id = t.id
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
-    val sh = DedupOps.shingleTable(Tables.documents(spark, dir), "doc_id", "text")
-      .localCheckpoint()
+    // evictable eager persist, not pinned localCheckpoint (recomputable
+    // from the codegen'd shingle pass; see graft.ops.Reuse)
+    val sh = graft.ops.Reuse.materialized(
+      DedupOps.shingleTable(Tables.documents(spark, dir), "doc_id", "text"))
     val bench = sh.filter(col("id") < 5).select(col("h")).distinct()
     val corpus = sh.filter(col("id") >= 5)
     val tot = corpus.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))

@@ -355,10 +355,14 @@ object RelevanceQueries {
     }) { (spark, dir) =>
     val terms = SearchQueryText.split(" ").toSeq.distinct
     // materialized once: feeds tf, dl and the corpus stats (the
-    // higher-order tokenizer is the expensive part of all three)
-    val docsWs = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
-      .localCheckpoint()
+    // higher-order tokenizer is the expensive part of all three).
+    // Evictable eager persist, NOT localCheckpoint: checkpoint blocks
+    // pin to executor storage (query fails on executor loss; the
+    // tokenized corpus cannot be required to fit storage at 100 TB)
+    // while cache blocks evict and recompute — see graft.ops.Reuse.
+    val docsWs = graft.ops.Reuse.materialized(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), TextOps.words(col("text")).as("ws")))
     val dl = docsWs.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
     val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl")))

@@ -66,6 +66,57 @@ class ClusterOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver-side reference Lloyd's: same standardization, seeds,
+    * quantization, tie-break and empty-cluster rules as
+    * [[ClusterOps.kmeansLloyd]], written independently over collected
+    * points.
+    */
+  private def bruteLloyd(
+      points: Array[(Long, Double, Double)], k: Int, iters: Int)
+      : Array[(Long, Long, Double, Double)] = {
+    def quant(v: Double): Double = math.floor(v * 1000000 + 0.5) / 1000000.0
+    val n = points.length
+    def meanStd(vs: Array[Double]): (Double, Double) = {
+      val m = vs.sum / n
+      (quant(m), quant(math.sqrt(vs.map(v => (v - m) * (v - m)).sum / (n - 1))))
+    }
+    val (mx, sx) = meanStd(points.map(_._2))
+    val (my, sy) = meanStd(points.map(_._3))
+    val z = points.sortBy(_._1).map { case (id, x, y) =>
+      (id, (x - mx) / sx, (y - my) / sy)
+    }
+    var cents = z.take(k).map(p => (p._2, p._3))
+    def assign(): Array[Int] = z.map { case (_, zx, zy) =>
+      cents.zipWithIndex.minBy { case ((cx, cy), j) =>
+        ((zx - cx) * (zx - cx) + (zy - cy) * (zy - cy), j)
+      }._2
+    }
+    for (_ <- 1 to iters) {
+      val a = assign()
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        val mine = z.indices.filter(a(_) == j)
+        if (mine.isEmpty) old
+        else (quant(mine.map(i => z(i)._2).sum / mine.size),
+          quant(mine.map(i => z(i)._3).sum / mine.size))
+      }
+    }
+    val a = assign()
+    cents.zipWithIndex.map { case ((cx, cy), j) =>
+      (j.toLong, a.count(_ == j).toLong, cx, cy)
+    }
+  }
+
+  test("deterministic Lloyd's matches an independent driver-side Lloyd's") {
+    val local = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = bruteLloyd(local, k = 5, iters = 6).toSeq
+    val got = ClusterOps.kmeansLloyd(pts, "vec_id", "x", "y", k = 5, iters = 6)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    assert(got === want)
+    assert(got.map(_._2).sum === local.length.toLong)
+  }
+
   test("kmeans is deterministic for a fixed seed and covers all points") {
     val a = ClusterOps.kmeans2d(pts, "x", "y", 5, 42L)
       .groupBy("cluster_id").count().collect()
