@@ -82,5 +82,7 @@ object GraftFunctions {
       "hyperplane_sig", exprs => HyperplaneSig(exprs(0),
         constInt(exprs(1), "hyperplane_sig", 1),
         constInt(exprs(2), "hyperplane_sig", 2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "byte_stats", exprs => ByteStats(exprs(0)), "built-in")
   }
 }

@@ -245,7 +245,8 @@ object DedupOps {
     */
   def dedupGroups(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      localCcMaxEdges: Long = 2000000L): DataFrame = {
     // materialize once: the symmetric edge union consumes `pairs`
     // twice, which would re-run the whole MinHash pipeline per branch
     val pairs = Reuse.materialized(
@@ -253,7 +254,7 @@ object DedupOps {
         .select(col("doc_a"), col("doc_b")))
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    val labels = GraphOps.minLabelComponents(edges)
+    val labels = GraphOps.minLabelComponents(edges, localCcMaxEdges)
     docs.select(col(idCol).as("doc_id"))
       .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("group_id"))

@@ -49,6 +49,21 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** [[q_dedup_groups]] with the driver union-find gate forced OFF
+    * (`localCcMaxEdges = 0`), so the distributed min-label
+    * pointer-jumping rounds — the actual 100 TB path, which the gate
+    * otherwise hides at bench scale — run, get TIMED by the driver
+    * bench every round, and hash against the SAME certified oracle:
+    * the distributed path is thereby proven result-identical to the
+    * union-find path on every driver run, not just in specs.
+    */
+  val q_dedup_groups_dist = QueryDef(
+    "q_dedup_groups_dist", q_dedup_groups.oracle.get) { (spark, dir) =>
+    DedupOps.dedupGroups(Tables.documents(spark, dir), "doc_id", "text", 0.8,
+      localCcMaxEdges = 0L)
+      .orderBy(col("doc_id"))
+  }
+
   private val SamplePerStratum = 20
 
   /** Deterministic exact-N stratified sample: per language, the first
@@ -285,6 +300,7 @@ object CurationQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q_dedup_groups, q_stratified_sample, q_vocab_coverage, q_text_normalize,
+    q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
+    q_text_normalize,
     q_sequence_pack, q_contamination, q_mix_rates, q_weighted_sample)
 }

@@ -51,15 +51,20 @@ object MultimodalQueries {
        |LEFT JOIN n ON n.media_id = m.media_id
        |LEFT JOIN ent ON ent.media_id = m.media_id
        |ORDER BY m.media_id""".stripMargin) { (spark, dir) =>
-    MultimodalOps.extractFeatures(
-      MultimodalOps.mediaFromDocuments(Tables.documents(spark, dir)))
-      .toDF()
+    // codegen'd byte_stats expression (bit-identical to the
+    // mapPartitions decodeStub, which MultimodalOpsSpec asserts): the
+    // stats loop runs inside whole-stage codegen instead of paying a
+    // Dataset-encoder round trip per payload
+    graft.functions.GraftFunctions.register(spark)
+    MultimodalOps.mediaFromDocuments(Tables.documents(spark, dir))
       .select(col("media_id"), col("kind"),
-        col("n_bytes").cast("long").as("n_bytes"),
-        col("width").cast("long").as("width"),
-        col("height").cast("long").as("height"),
-        round(col("mean_byte"), 4).as("mean_byte"),
-        round(col("entropy_proxy"), 4).as("entropy_proxy"))
+        expr("byte_stats(payload)").as("bs"))
+      .select(col("media_id"), col("kind"),
+        col("bs.n_bytes").cast("long").as("n_bytes"),
+        col("bs.width").cast("long").as("width"),
+        col("bs.height").cast("long").as("height"),
+        round(col("bs.mean_byte"), 4).as("mean_byte"),
+        round(col("bs.entropy_proxy"), 4).as("entropy_proxy"))
       .orderBy(col("media_id"))
   }
 

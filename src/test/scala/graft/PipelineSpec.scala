@@ -288,6 +288,28 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("codegen'd byte_stats is bit-identical to the decodeStub loop") {
+    graft.functions.GraftFunctions.register(spark)
+    val media = MultimodalOps.mediaFromDocuments(Tables.documents(spark, sf))
+    val viaStub = MultimodalOps.extractFeatures(media).collect()
+      .map(f => f.media_id -> ((f.n_bytes, f.width, f.height, f.mean_byte, f.entropy_proxy)))
+      .toMap
+    val viaExpr = media
+      .select(org.apache.spark.sql.functions.col("media_id"),
+        org.apache.spark.sql.functions.expr("byte_stats(payload)").as("bs"))
+      .select("media_id", "bs.n_bytes", "bs.width", "bs.height",
+        "bs.mean_byte", "bs.entropy_proxy")
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(viaExpr === viaStub) // exact double equality: same fold order
+    // empty payload edge case: all-zero stats
+    val empty = graft.functions.ByteStats.compute(Array.empty[Byte])
+    assert(empty.getInt(0) === 0 && empty.getInt(1) === 0 && empty.getInt(2) === 0)
+    assert(empty.getDouble(3) === 0.0 && empty.getDouble(4) === 0.0)
+  }
+
   test("resize stub caps payload at the target budget, deterministic") {
     val media = MultimodalOps.mediaFromDocuments(
       Tables.documents(spark, sf).limit(20))
