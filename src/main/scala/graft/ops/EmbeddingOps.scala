@@ -3,6 +3,39 @@ package graft.ops
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.udf
 
+/** Pluggable text-embedding interface (SURVEY.md §2.10 U5): every
+  * embedding consumer (semantic search, near-dup, hybrid retrieval)
+  * goes through an `Embedder`, so swapping the deterministic hashed
+  * default for a model-backed encoder (ONNX runtime session per
+  * partition, batched `Array[String] => Array[Array[Float]]`) is a
+  * constructor argument, not a rewrite — the "pluggable later" claim
+  * as an interface. Implementations must be serializable (the column
+  * form ships to executors) and deterministic per text for the
+  * engine's certification story.
+  */
+trait Embedder extends Serializable {
+  def dim: Int
+  def embed(text: String): Array[Float]
+
+  /** Column form; default wraps [[embed]] in a UDF (the SURVEY §7.3
+    * sanctioned place for one — the per-row model call IS the
+    * operator). Model-backed implementations should override with a
+    * mapInPandas/mapPartitions batch path.
+    */
+  def embedCol(text: Column): Column = {
+    val self = this
+    udf((s: String) => self.embed(if (s == null) "" else s)).apply(text)
+  }
+}
+
+/** The default engine embedder: [[EmbeddingOps.embed]]'s hashed n-gram
+  * construction, SQL-specifiable and therefore oracle-certifiable.
+  */
+object HashedEmbedder extends Embedder {
+  val dim: Int = EmbeddingOps.Dim
+  def embed(text: String): Array[Float] = EmbeddingOps.embed(text)
+}
+
 /** Deterministic hashed n-gram text embedding (SURVEY.md §2.10 U5):
   * the engine's stand-in for the reference's MiniLM sentence encoder
   * (`embedding_consumer.py:94-153`, 384-dim at `:54`). Preserves the

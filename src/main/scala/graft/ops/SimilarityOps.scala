@@ -122,6 +122,29 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Semantic top-k over a TEXT corpus through a pluggable [[Embedder]]
+    * (default: the oracle-certified [[HashedEmbedder]]; an ONNX
+    * model encoder drops in as the argument — U5's plug point as an
+    * interface). Zero-norm corpus vectors are excluded: their cosine
+    * is NaN, which would sort above every real neighbor, and the
+    * SQL-side rendering drops them implicitly (no non-zero component
+    * rows) — the filter makes engine and oracle agree by construction
+    * for ANY embedder.
+    */
+  def semanticTopK(
+      corpus: DataFrame, idCol: String, textCol: String,
+      queryText: String, k: Int,
+      embedder: Embedder = HashedEmbedder): DataFrame = {
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("vec_id"),
+      embedder.embedCol(col(textCol)).as("embedding"))
+      .filter(exists(col("embedding"), v => v =!= 0.0f))
+    val q = spark.range(1).select(
+      lit(-1L).as("vec_id"),
+      embedder.embedCol(lit(queryText)).as("embedding"))
+    bruteForceTopK(q, c, "vec_id", "embedding", k)
+  }
+
   /** Deterministic random-hyperplane signature: bit i of the signature
     * is sign(v · h_i) where hyperplane h_i's components are derived
     * from the portable polyHash of (i, component index) — fully

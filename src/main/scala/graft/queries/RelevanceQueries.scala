@@ -284,18 +284,13 @@ object RelevanceQueries {
          |    FROM cn LEFT JOIN dt ON dt.id = cn.id) s) t
          |WHERE rank <= 10 ORDER BY rank""".stripMargin
     }) { (spark, dir) =>
-    // token-less docs embed to the zero vector (cosine undefined/NaN);
-    // exclude them like the oracle's gram CTEs implicitly do — a NaN
-    // cosine would otherwise sort FIRST under ORDER BY cos DESC
-    val corpus = Tables.documents(spark, dir)
-      .filter(filterCol)
-      .filter(size(TextOps.words(col("text"))) > 0)
-      .select(col("doc_id").as("vec_id"),
-        EmbeddingOps.embedCol(col("text")).as("embedding"))
-    val q = spark.range(1).select(
-      lit(-1L).as("vec_id"),
-      EmbeddingOps.embedCol(lit(SearchQueryText)).as("embedding"))
-    SimilarityOps.bruteForceTopK(q, corpus, "vec_id", "embedding", 10)
+    // pluggable-embedder search path (HashedEmbedder default); the
+    // zero-norm exclusion inside semanticTopK drops token-less docs
+    // (NaN cosine would sort FIRST) exactly like the oracle's gram
+    // CTEs implicitly do
+    SimilarityOps.semanticTopK(
+      Tables.documents(spark, dir).filter(filterCol),
+      "doc_id", "text", SearchQueryText, 10)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos_sim"))
       .orderBy(col("rank"))

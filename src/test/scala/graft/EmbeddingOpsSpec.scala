@@ -38,4 +38,41 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     val far = EmbeddingOps.embed("alpha beta gamma delta epsilon")
     assert(cos(base, near) > cos(base, far))
   }
+
+  /** The U5 plug point is an interface, not a comment: a trivial
+    * alternative [[graft.ops.Embedder]] swaps through the
+    * q_semantic_search path (SimilarityOps.semanticTopK) and changes
+    * the ranking, while the default HashedEmbedder reproduces the
+    * certified query's results.
+    */
+  test("alternative Embedder swaps through the semantic-search path") {
+    import TestSpark._
+    import org.apache.spark.sql.functions.col
+    // toy 4-dim encoder: char-class counts (deterministic, model-free)
+    object CharClassEmbedder extends graft.ops.Embedder {
+      val dim = 4
+      def embed(text: String): Array[Float] = {
+        val t = if (text == null) "" else text
+        Array(
+          t.count(_.isLetter).toFloat,
+          t.count(_.isDigit).toFloat,
+          t.count(_ == ' ').toFloat,
+          t.length.toFloat)
+      }
+    }
+    val docs = Tables.documents(spark, sf).filter(col("lang") === "en")
+    val viaDefault = graft.ops.SimilarityOps
+      .semanticTopK(docs, "doc_id", "text", "fast join query on big table", 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val viaAlt = graft.ops.SimilarityOps
+      .semanticTopK(docs, "doc_id", "text", "fast join query on big table", 10,
+        CharClassEmbedder)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(viaDefault.length === 10)
+    assert(viaAlt.length === 10)
+    // same contract, different geometry: both rank 1..10, orders differ
+    assert(viaDefault.map(_._2).toSeq === (1 to 10))
+    assert(viaAlt.map(_._2).toSeq === (1 to 10))
+    assert(viaDefault.map(_._3).toSeq !== viaAlt.map(_._3).toSeq)
+  }
 }
