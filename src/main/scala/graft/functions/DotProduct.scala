@@ -84,5 +84,8 @@ object GraftFunctions {
         constInt(exprs(2), "hyperplane_sig", 2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "byte_stats", exprs => ByteStats(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_fp", exprs => SimHashFp(exprs(0),
+        constInt(exprs(1), "simhash_fp", 1)), "built-in")
   }
 }

@@ -263,23 +263,22 @@ object DedupOps {
 
   // -------------------------------------------------------------- simhash
 
-  /** Per-doc SimHash fingerprint over weighted word hashes. */
+  /** Per-doc SimHash fingerprint over weighted word hashes — a pure
+    * map-side PROJECTION (codegen'd [[graft.functions.SimHashFp]]
+    * one-pass vote loop). The algebraic formulation (explode →
+    * per-word counts → 40 conditional sums) shuffles the exploded word
+    * table twice for bit-identical output; at 100 TB the signature
+    * stage now costs zero shuffles.
+    */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val wc = docs
-      .select(col(idCol).as("id"), explode(TextOps.words(col(textCol))).as("w"))
-      .groupBy(col("id"), col("w"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("h", TextOps.wordHash(col("w")))
-    val sums = (0 until SimBits).map { j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"s$j")
-    }
-    val fingerprint = (0 until SimBits).map { j =>
-      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
-    }.reduce((a, b) => a + b)
-    wc.groupBy(col("id"))
-      .agg(sums.head, sums.tail: _*)
-      .select(col("id"), fingerprint.as("simhash"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      // token-less docs are outside the fingerprint domain (the
+      // algebraic form and the oracle's unnest-based CTEs both drop
+      // them); trim != '' is the codegen'd equivalent of words > 0
+      .filter(trim(col(textCol)) =!= "")
+      .select(col(idCol).as("id"),
+        expr(s"simhash_fp($textCol, $SimBits)").as("simhash"))
   }
 
   /** Near-duplicate pairs with Hamming distance <= maxHamming, found by

@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Rounds the last distributed propagation took to converge
+    * (diagnostic; 0 after a union-find fast path). Pointer jumping
+    * bounds this by ~log₂(largest component) + 2: each round at least
+    * halves the label-chain length. Asserted ≤ log₂(n)+2 in
+    * GraphOpsSpec on real edge sets.
+    */
+  val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** @param localMaxEdges gate for the driver union-find fast path:
     *   2 M edges × 16 B (two boxed longs in the parent map) ≈ 32 MB of
     *   driver heap plus the collected array — comfortably inside any
@@ -36,6 +44,7 @@ object GraphOps {
     val nodes = e.select(col("src").as("id")).distinct()
 
     val edgeCount = e.count()
+    lastRounds.set(0)
     if (edgeCount <= localMaxEdges) {
       import spark.implicits._
       val parent = scala.collection.mutable.Map[Long, Long]()
@@ -77,6 +86,7 @@ object GraphOps {
         labels = next
         iter += 1
       }
+      lastRounds.set(iter)
       labels
     }
   }

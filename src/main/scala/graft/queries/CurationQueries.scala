@@ -299,8 +299,139 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Unigram-LM quality score: mean per-token log-probability of each
+    * document under the corpus unigram distribution — the classic
+    * cheap LM-based quality filter between heuristic gates and a real
+    * model. Per-token contributions ln(cnt_w / N) are micro-quantized
+    * BEFORE the per-doc integer sum (order-free; `ln` may differ in
+    * the last ulp between libm and the JVM — same policy as BM25).
+    * Scale: the vocabulary count table is broadcast-sized (distinct
+    * words ≪ corpus) and the per-doc aggregation is one shuffle.
+    */
+  val q_lm_quality = QueryDef(
+    "q_lm_quality", {
+      val ws = TextOps.wordsSql("text")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($ws) AS w FROM documents),
+         |vocab AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w),
+         |n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+         |contrib AS (
+         |  SELECT toks.doc_id,
+         |    CAST(FLOOR(ln(CAST(cnt AS DOUBLE) / total) * 1000000 + 0.5) AS BIGINT)
+         |      AS ci
+         |  FROM toks JOIN vocab USING (w) CROSS JOIN n)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(FLOOR(CAST(SUM(ci) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         |    AS avg_logprob_micro
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
+    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val n = broadcast(vocab.agg(sum(col("cnt")).as("total")))
+    toks.join(broadcast(vocab), "w").crossJoin(n)
+      .select(col("doc_id"),
+        floor(log(col("cnt").cast("double") / col("total")) * 1000000 + 0.5)
+          .cast("long").as("ci"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        floor(sum(col("ci")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("avg_logprob_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Near-duplication rate per source — the data-quality rollup a
+    * crawl-snapshot triage starts from: how much of each source is
+    * near-dup losers. Composes the certified MinHash pair CTEs; the
+    * per-source aggregation is a broadcast-sized rollup.
+    */
+  val q_dup_rate_by_source = QueryDef(
+    "q_dup_rate_by_source", {
+      val pairCtes = DedupOps.minhashOracleSql(0.8)
+        .replaceAll("(?s)^WITH ", "").replaceAll("(?s)\nSELECT c\\.doc_a.*$", "")
+      s"""WITH $pairCtes,
+         |pairs AS (
+         |  SELECT c.doc_a, c.doc_b
+         |  FROM cand c
+         |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         |  JOIN sz sa ON sa.id = c.doc_a
+         |  JOIN sz sb ON sb.id = c.doc_b
+         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.8),
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(l.doc_id) AS BIGINT) AS n_losers,
+         |  FLOOR(CAST(COUNT(l.doc_id) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+         |    / 10000.0 AS dup_rate
+         |FROM documents d LEFT JOIN losers l ON l.doc_id = d.doc_id
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val losers = DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.8)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("_lose", lit(1L))
+    docs.select(col("doc_id"), col("source"))
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("_lose")).as("n_losers"))
+      .select(col("source"), col("n_docs"), col("n_losers"),
+        (floor(col("n_losers").cast("double") / col("n_docs") * 10000 + 0.5)
+          / lit(10000.0)).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  /** Cross-source shingle overlap: Jaccard similarity between the
+    * DISTINCT discriminative-shingle sets of every source pair — the
+    * crawl-snapshot / cross-dump contamination matrix. Candidate
+    * generation is the inverted index again (pair meets only on a
+    * shared shingle; per-shingle fan-out ≤ n_sources²) and the output
+    * is bounded by n_sources² rows — broadcast-sized at any corpus
+    * scale.
+    */
+  val q_source_overlap = QueryDef(
+    "q_source_overlap", {
+      val shCtes = DedupOps.discriminativeShinglesSqlCtes("documents", "doc_id", "text")
+      s"""WITH $shCtes,
+         |ssh AS (
+         |  SELECT DISTINCT d.source, sh.h
+         |  FROM sh JOIN documents d ON d.doc_id = sh.id),
+         |ssz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM ssh GROUP BY source),
+         |inter AS (
+         |  SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM ssh a JOIN ssh b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT i.source_a, i.source_b, i.inter,
+         |  FLOOR(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) * 10000 + 0.5)
+         |    / 10000.0 AS jaccard
+         |FROM inter i
+         |JOIN ssz sa ON sa.source = i.source_a
+         |JOIN ssz sb ON sb.source = i.source_b
+         |ORDER BY source_a, source_b""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val ssh = DedupOps.discriminativeShingles(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+      .select(col("source"), col("h")).distinct()
+    val ssz = ssh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    ssh.as("a").join(ssh.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(ssz.withColumnRenamed("source", "source_a").withColumnRenamed("n", "na"),
+        "source_a")
+      .join(ssz.withColumnRenamed("source", "source_b").withColumnRenamed("n", "nb"),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("inter"),
+        (floor(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))
+          * 10000 + 0.5) / lit(10000.0)).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
-    q_text_normalize,
-    q_sequence_pack, q_contamination, q_mix_rates, q_weighted_sample)
+    q_text_normalize, q_sequence_pack, q_contamination, q_mix_rates,
+    q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap)
 }

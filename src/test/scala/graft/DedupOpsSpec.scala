@@ -45,6 +45,29 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(blocked === allPairs)
   }
 
+  test("codegen'd simhash_fp equals the algebraic explode-count-vote formulation") {
+    // the pre-round-3 shuffle formulation, kept here as the reference
+    val wc = docs
+      .select(col("doc_id").as("id"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("id"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", TextOps.wordHash(col("w")))
+    val sums = (0 until DedupOps.SimBits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"s$j")
+    }
+    val fingerprint = (0 until DedupOps.SimBits).map { j =>
+      when(col(s"s$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val algebraic = wc.groupBy(col("id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("id"), fingerprint.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mapSide = DedupOps.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(mapSide === algebraic) // same domain (token-less filtered), same bits
+  }
+
   test("dedupGroups puts both ends of every pair in one group, labeled by the min member") {
     val pairs = DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))

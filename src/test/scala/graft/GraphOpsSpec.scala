@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{DedupOps, GraphOps}
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The connected-components kernel, pinned three ways:
+  *  - distributed pointer-jumping ≡ driver union-find on real edge
+  *    sets AND adversarial topologies;
+  *  - convergence in ≤ log₂(n) + 2 rounds even on a path graph
+  *    (diameter n — plain neighbor-min propagation would need n
+  *    rounds; pointer jumping is the reason it doesn't);
+  *  - ≡ GraphX `connectedComponents` (the documented unbounded-scale
+  *    drop-in), so the "drop-in" claim is an executed equivalence, not
+  *    a comment.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def edgesDf(pairs: Seq[(Long, Long)]) = {
+    import spark.implicits._
+    val sym = pairs ++ pairs.map { case (a, b) => (b, a) }
+    sym.toDF("src", "dst")
+  }
+
+  private def log2(n: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1, n - 1))
+
+  test("distributed path matches union-find on the real minhash edge set") {
+    val pairs = DedupOps.minhashNearDuplicates(
+      Tables.documents(spark, sf), "doc_id", "text", 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs.nonEmpty)
+    val e = edgesDf(pairs)
+    val local = labelsOf(GraphOps.minLabelComponents(e, Long.MaxValue))
+    val dist = labelsOf(GraphOps.minLabelComponents(e, 0L))
+    assert(dist === local)
+    val n = local.size.toLong
+    assert(GraphOps.lastRounds.get() <= log2(n) + 2,
+      s"rounds=${GraphOps.lastRounds.get()} for n=$n nodes")
+  }
+
+  test("path graph (max diameter) converges in <= log2(n)+2 rounds") {
+    // 257-node path 0-1-2-...-256: neighbor-min alone needs 256 rounds
+    val n = 257L
+    val e = edgesDf((0L until n - 1).map(i => (i, i + 1)))
+    val dist = labelsOf(GraphOps.minLabelComponents(e, 0L))
+    assert(dist.size === n.toInt)
+    assert(dist.values.forall(_ == 0L)) // one component, min id 0
+    assert(GraphOps.lastRounds.get() <= log2(n) + 2,
+      s"rounds=${GraphOps.lastRounds.get()} for a $n-node path")
+  }
+
+  test("kernel matches GraphX connectedComponents (scale drop-in)") {
+    val pairs = DedupOps.minhashNearDuplicates(
+      Tables.documents(spark, sf), "doc_id", "text", 0.8)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val e = edgesDf(pairs)
+    val mine = labelsOf(GraphOps.minLabelComponents(e, 0L))
+    val gx = Graph.fromEdges(
+      spark.sparkContext.parallelize(pairs.map { case (a, b) => Edge(a, b, ()) }),
+      defaultValue = ())
+      .connectedComponents().vertices.collect().toMap
+    // GraphX labels components by min vertex id too
+    assert(mine === gx.map { case (k, v) => (k: Long) -> (v: Long) })
+  }
+}
