@@ -40,7 +40,9 @@ object SimHashFp {
     * assumed (UTF-16 unit = codepoint), as documented for wordHash.
     */
   def compute(u: UTF8String, bits: Int): Long = {
-    val s = u.toString.toLowerCase
+    // Locale.ROOT: String.toLowerCase() is locale-sensitive (tr_TR
+    // maps I→ı) while Spark's lower() is not — must match lower()
+    val s = u.toString.toLowerCase(java.util.Locale.ROOT)
     val len = s.length
     val votes = new Array[Int](bits)
     var i = 0

@@ -328,7 +328,10 @@ object CurationQueries {
     }) { (spark, dir) =>
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
-    val vocab = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // materialized: the total-tokens branch would otherwise re-run the
+    // corpus explode+groupBy (vocab is vocabulary-sized — tiny)
+    val vocab = graft.ops.Reuse.materialized(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("cnt")))
     val n = broadcast(vocab.agg(sum(col("cnt")).as("total")))
     toks.join(broadcast(vocab), "w").crossJoin(n)
       .select(col("doc_id"),

@@ -53,4 +53,42 @@ object KernelProperties extends Properties("graft.kernels") {
         c.toLong * math.pow(31, s.length - 1 - i).toLong
       }.sum
     }
+
+  /** Naive reference SimHash (distinct-word counts then weighted
+    * votes) — the formulation [[graft.functions.SimHashFp]]'s
+    * per-occurrence one-pass loop must equal exactly.
+    */
+  private def naiveSimhash(t: String, bits: Int): Long = {
+    val words = t.toLowerCase(java.util.Locale.ROOT)
+      .split(" ").filter(_.nonEmpty)
+    val counts = words.groupBy(identity).view.mapValues(_.length)
+    val votes = new Array[Long](bits)
+    counts.foreach { case (w, cnt) =>
+      val h = (0 until 8).foldLeft(0L)((a, k) =>
+        a * 31 + (if (k < w.length) w.charAt(k).toLong else 32L))
+      (0 until bits).foreach { j =>
+        votes(j) += (if (((h >> j) & 1L) == 1L) cnt.toLong else -cnt.toLong)
+      }
+    }
+    (0 until bits).map(j => if (votes(j) > 0) 1L << j else 0L).sum
+  }
+
+  property("SimHashFp one-pass votes equal the count-weighted reference") =
+    Prop.forAll(text) { t =>
+      graft.functions.SimHashFp.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), 40) ==
+        naiveSimhash(t, 40)
+    }
+
+  property("ByteStats matches the decodeStub loop on arbitrary payloads") =
+    Prop.forAll(Gen.listOf(Gen.choose(-128, 127).map(_.toByte))) { bs =>
+      val payload = bs.toArray
+      val want = graft.ops.MultimodalOps.decodeStub(
+        graft.ops.MultimodalOps.MediaRow(0L, "image", payload))
+      val got = graft.functions.ByteStats.compute(payload)
+      got.getInt(0) == want.n_bytes && got.getInt(1) == want.width &&
+        got.getInt(2) == want.height &&
+        got.getDouble(3) == want.mean_byte &&
+        got.getDouble(4) == want.entropy_proxy
+    }
 }
