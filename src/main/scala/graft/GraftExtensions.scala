@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, HyperplaneSig, ShingleHashes}
+import graft.functions.{ByteStats, DotProduct, HyperplaneSig, ShingleHashes, SimHashFp}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions at session build time, so a cluster deploy can
@@ -29,5 +29,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HyperplaneSig(exprs.head,
         functions.GraftFunctions.constInt(exprs(1), "hyperplane_sig", 1),
         functions.GraftFunctions.constInt(exprs(2), "hyperplane_sig", 2))))
+    e.injectFunction((
+      new FunctionIdentifier("byte_stats"),
+      new ExpressionInfo(classOf[ByteStats].getName, "byte_stats"),
+      exprs => ByteStats(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("simhash_fp"),
+      new ExpressionInfo(classOf[SimHashFp].getName, "simhash_fp"),
+      exprs => SimHashFp(exprs.head,
+        functions.GraftFunctions.constInt(exprs(1), "simhash_fp", 1))))
   }
 }
