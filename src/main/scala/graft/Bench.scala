@@ -4,12 +4,11 @@ import java.nio.file.{Files, Paths}
 
 /** Driver benchmark: times every registered query at the given SF and
   * prints ONE JSON line. The driver captures only the LAST 2000 chars
-  * of stdout, so the line must stay under that budget: per-query keys
-  * drop the uniform `q_` prefix and values are seconds trimmed to 2
-  * decimals. Full names + nanosecond-precision timings are written to
-  * `BENCH_DETAIL.json` in the working directory (committed per round)
-  * so the complete per-query diff survives even if the line ever grows
-  * past the budget.
+  * of stdout, so the line carries the slowest queries (full names,
+  * 2-decimal seconds) up to a hard char budget; EVERY query's timing
+  * is written at full precision to `BENCH_DETAIL.json` in the working
+  * directory (committed per round) so the complete per-query diff
+  * survives regardless of the stdout budget.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,7 +35,7 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     try SparkEntry.queries("q_minhash_lsh")(spark, warmDir).count()
     catch { case _: Throwable => () }
-    releaseCaches(spark)
+    graft.ops.Reuse.releaseAllCaches(spark)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -44,7 +43,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       // deterministic memory baseline between queries: persisted blocks
       // from one query must not pressure (or feed) the next
-      releaseCaches(spark)
+      graft.ops.Reuse.releaseAllCaches(spark)
       name -> dt
     }
 
@@ -77,14 +76,5 @@ object Bench {
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{${sb.result()}},"all_queries_in":"BENCH_DETAIL.json","sf":"$sfDir"}""")
     spark.stop()
-  }
-
-  /** Drop every cached/persisted block: cached DataFrames (the query
-    * paths persist shared subplans) and any still-pinned localCheckpoint
-    * RDDs from iterative kernels.
-    */
-  private def releaseCaches(spark: SparkSession): Unit = {
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
   }
 }

@@ -111,13 +111,16 @@ object ClusterOps {
     val centDf = cents.zipWithIndex
       .map { case ((cx, cy), j) => (j.toLong, cx, cy) }
       .toSeq.toDF("cluster_id", "cx", "cy")
-    val out = centDf
+    // z stays persisted: the returned plan is lazy and reads z through
+    // `assigned` when the caller finally acts — an unpersist here
+    // would silently drop the cache before that pass (harness code
+    // releases all caches between queries; library callers unpersist
+    // after their action if they care)
+    centDf
       .join(sizes.withColumnRenamed("cid", "cluster_id"), Seq("cluster_id"), "left")
       .select(col("cluster_id"), coalesce(col("n"), lit(0L)).as("n"),
         col("cx"), col("cy"))
       .orderBy(col("cluster_id"))
-    z.unpersist(blocking = false)
-    out
   }
 
   /** DuckDB oracle for [[kmeansLloyd]] over the first two embedding

@@ -236,6 +236,26 @@ object DedupOps {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** CTE text rendering [[minhashOracleSql]]'s pipeline up to a
+    * `pairs(doc_a, doc_b)` relation of verified near-duplicates —
+    * the shared building block for every oracle that composes on top
+    * of the certified pair set (groups, decisions, clean corpus,
+    * per-source rates). Callers prepend `WITH ` (or `WITH RECURSIVE `)
+    * and add their own consuming CTEs/SELECT.
+    */
+  def minhashPairsSqlCtes(threshold: Double): String = {
+    val pairCtes = minhashOracleSql(threshold)
+      .replaceAll("(?s)^WITH ", "").replaceAll("(?s)\nSELECT c\\.doc_a.*$", "")
+    s"""$pairCtes,
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM cand c
+       |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sz sa ON sa.id = c.doc_a
+       |  JOIN sz sb ON sb.id = c.doc_b
+       |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= $threshold)""".stripMargin
+  }
+
   /** Near-duplicate GROUP formation: verified MinHash pairs resolved
     * into connected components ([[GraphOps.minLabelComponents]]) with
     * the minimum doc id as the canonical representative — the operator
@@ -271,14 +291,15 @@ object DedupOps {
     * stage now costs zero shuffles.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import org.apache.spark.sql.GraftColumnBridge
+    val fp = GraftColumnBridge.column(graft.functions.SimHashFp(
+      GraftColumnBridge.expression(col(textCol)), SimBits))
     docs
       // token-less docs are outside the fingerprint domain (the
       // algebraic form and the oracle's unnest-based CTEs both drop
       // them); trim != '' is the codegen'd equivalent of words > 0
       .filter(trim(col(textCol)) =!= "")
-      .select(col(idCol).as("id"),
-        expr(s"simhash_fp($textCol, $SimBits)").as("simhash"))
+      .select(col(idCol).as("id"), fp.as("simhash"))
   }
 
   /** Near-duplicate pairs with Hamming distance <= maxHamming, found by

@@ -74,7 +74,10 @@ object EmbeddingOps {
   /** Embed one text (pure function, exposed for tests). */
   def embed(text: String): Array[Float] = {
     val acc = new Array[Double](Dim)
-    val words = text.toLowerCase.split(" ").filter(_.nonEmpty)
+    // Locale.ROOT: default-locale toLowerCase is locale-sensitive
+    // (tr_TR maps I→ı) while Spark's lower() — which the oracle's
+    // rendering mirrors — is not
+    val words = text.toLowerCase(java.util.Locale.ROOT).split(" ").filter(_.nonEmpty)
     def add(gram: String): Unit = {
       val h = gramHash(gram)
       val idx = (h % Dim).toInt

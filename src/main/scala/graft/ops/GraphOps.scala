@@ -27,7 +27,10 @@ object GraphOps {
     * (diagnostic; 0 after a union-find fast path). Pointer jumping
     * bounds this by ~log₂(largest component) + 2: each round at least
     * halves the label-chain length. Asserted ≤ log₂(n)+2 in
-    * GraphOpsSpec on real edge sets.
+    * GraphOpsSpec on real edge sets. DIAGNOSTIC ONLY: a process-wide
+    * cell — concurrent minLabelComponents calls clobber each other's
+    * value, so read it only in single-threaded harness/spec code,
+    * never for control flow.
     */
   val lastRounds = new java.util.concurrent.atomic.AtomicInteger(0)
 

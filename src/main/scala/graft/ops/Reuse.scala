@@ -23,6 +23,18 @@ import org.apache.spark.storage.StorageLevel
   * between queries.
   */
 object Reuse {
+
+  /** Drop every cached/persisted block — cached DataFrames, persisted
+    * RDDs from [[materialized]], and any still-pinned localCheckpoint
+    * RDDs from iterative kernels. Harness code (Bench/Verify/probes)
+    * calls this between queries for a deterministic memory baseline.
+    */
+  def releaseAllCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   def materialized(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     // UnsafeRow-layer cache: persist the physical RDD (rows copied —

@@ -21,16 +21,7 @@ object CurationQueries {
     */
   val q_dedup_groups = QueryDef(
     "q_dedup_groups", {
-      val pairCtes = DedupOps.minhashOracleSql(0.8)
-        .replaceAll("(?s)^WITH ", "").replaceAll("(?s)\nSELECT c\\.doc_a.*$", "")
-      s"""WITH RECURSIVE $pairCtes,
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c
-         |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |  JOIN sz sa ON sa.id = c.doc_a
-         |  JOIN sz sb ON sb.id = c.doc_b
-         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.8),
+      s"""WITH RECURSIVE ${DedupOps.minhashPairsSqlCtes(0.8)},
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -351,16 +342,7 @@ object CurationQueries {
     */
   val q_dup_rate_by_source = QueryDef(
     "q_dup_rate_by_source", {
-      val pairCtes = DedupOps.minhashOracleSql(0.8)
-        .replaceAll("(?s)^WITH ", "").replaceAll("(?s)\nSELECT c\\.doc_a.*$", "")
-      s"""WITH $pairCtes,
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c
-         |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |  JOIN sz sa ON sa.id = c.doc_a
-         |  JOIN sz sb ON sb.id = c.doc_b
-         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.8),
+      s"""WITH ${DedupOps.minhashPairsSqlCtes(0.8)},
          |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
          |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(COUNT(l.doc_id) AS BIGINT) AS n_losers,
@@ -415,9 +397,12 @@ object CurationQueries {
          |ORDER BY source_a, source_b""".stripMargin
     }) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    val ssh = DedupOps.discriminativeShingles(docs, "doc_id", "text")
-      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
-      .select(col("source"), col("h")).distinct()
+    // materialized: ssh feeds ssz AND both sides of the aliased
+    // self-join (fresh expression ids defeat exchange reuse)
+    val ssh = graft.ops.Reuse.materialized(
+      DedupOps.discriminativeShingles(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+        .select(col("source"), col("h")).distinct())
     val ssz = ssh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     ssh.as("a").join(ssh.as("b"),
         col("a.h") === col("b.h") && col("a.source") < col("b.source"))

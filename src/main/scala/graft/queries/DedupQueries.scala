@@ -70,16 +70,7 @@ object DedupQueries {
   val q_clean_corpus = QueryDef(
     "q_clean_corpus", {
       val ws = graft.ops.TextOps.wordsSql("text")
-      val pairCtes = DedupOps.minhashOracleSql(0.8)
-        .replaceAll("(?s)^WITH ", "").replaceAll("(?s)\nSELECT c\\.doc_a.*$", "")
-      s"""WITH $pairCtes,
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c
-         |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |  JOIN sz sa ON sa.id = c.doc_a
-         |  JOIN sz sb ON sb.id = c.doc_b
-         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.8),
+      s"""WITH ${DedupOps.minhashPairsSqlCtes(0.8)},
          |quality AS (
          |  SELECT doc_id, CAST(len($ws) AS BIGINT) AS n_tokens
          |  FROM documents WHERE len($ws) >= 20),
@@ -115,16 +106,7 @@ object DedupQueries {
   val q_dedup_decisions = QueryDef(
     "q_dedup_decisions", {
       val ws = graft.ops.TextOps.wordsSql("text")
-      val pairCtes = DedupOps.minhashOracleSql(0.8)
-        .replaceAll("(?s)^WITH ", "").replaceAll("(?s)\nSELECT c\\.doc_a.*$", "")
-      s"""WITH $pairCtes,
-         |pairs AS (
-         |  SELECT c.doc_a, c.doc_b
-         |  FROM cand c
-         |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-         |  JOIN sz sa ON sa.id = c.doc_a
-         |  JOIN sz sb ON sb.id = c.doc_b
-         |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.8),
+      s"""WITH ${DedupOps.minhashPairsSqlCtes(0.8)},
          |exact_win AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
          |losers AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
          |SELECT d.doc_id,

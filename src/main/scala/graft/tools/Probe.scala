@@ -22,10 +22,7 @@ object Probe {
       println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    def reset(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    }
+    def reset(): Unit = graft.ops.Reuse.releaseAllCaches(spark)
 
     val docs = Tables.documents(spark, sfDir)
     t("docs.count")(docs.count())

@@ -22,10 +22,7 @@ object ProbeDbscan {
       println(f"[probe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    def reset(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    }
+    def reset(): Unit = graft.ops.Reuse.releaseAllCaches(spark)
     val pts = Tables.embeddings(spark, sfDir).select(
       col("vec_id"),
       element_at(col("embedding"), 1).cast("double").as("x"),

@@ -30,10 +30,7 @@ object ProbeScale {
       println(f"[scale] $name%-30s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$r")
       r
     }
-    def reset(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-    }
+    def reset(): Unit = graft.ops.Reuse.releaseAllCaches(spark)
 
     val docs0 = Tables.documents(spark, sfDir)
     val docs = (0 until k).map(i =>
