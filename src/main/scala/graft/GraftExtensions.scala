@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ByteStats, DotProduct, HyperplaneSig, ShingleHashes, SimHashFp}
+import graft.functions.{ByteStats, DotProduct, HyperplaneSig, ShingleHashes, SimHashFp, TokenizeWs}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions at session build time, so a cluster deploy can
@@ -38,5 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashFp].getName, "simhash_fp"),
       exprs => SimHashFp(exprs.head,
         functions.GraftFunctions.constInt(exprs(1), "simhash_fp", 1))))
+    e.injectFunction((
+      new FunctionIdentifier("tokenize_ws"),
+      new ExpressionInfo(classOf[TokenizeWs].getName, "tokenize_ws"),
+      exprs => TokenizeWs(exprs.head)))
   }
 }

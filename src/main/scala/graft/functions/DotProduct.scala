@@ -87,5 +87,7 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash_fp", exprs => SimHashFp(exprs(0),
         constInt(exprs(1), "simhash_fp", 1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "tokenize_ws", exprs => TokenizeWs(exprs(0)), "built-in")
   }
 }

@@ -19,8 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Non-empty whitespace tokens of the lowercased text. */
-  def words(text: Column): Column =
+  /** Non-empty whitespace tokens of the lowercased text — codegen'd
+    * one-pass [[graft.functions.TokenizeWs]] (the builtin
+    * `filter(split(lower(..)))` pays an interpreted lambda per token;
+    * this primitive feeds 18 call sites). Bit-identical tokens
+    * (a KernelProperties property and a corpus-wide spec assert the
+    * equivalence against [[wordsBuiltin]]).
+    */
+  def words(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.TokenizeWs(
+      GraftColumnBridge.expression(text)))
+  }
+
+  /** The pre-round-3 builtin formulation (spec reference). */
+  def wordsBuiltin(text: Column): Column =
     filter(split(lower(text), " "), w => length(w) > 0)
 
   /** SQL rendering of [[words]] for the DuckDB oracle. */

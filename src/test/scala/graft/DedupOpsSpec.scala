@@ -45,6 +45,14 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(blocked === allPairs)
   }
 
+  test("codegen'd TokenizeWs equals the builtin split+filter over the corpus") {
+    val viaExpr = docs.select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaBuiltin = docs.select(col("doc_id"), TextOps.wordsBuiltin(col("text")).as("ws"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaExpr === viaBuiltin)
+  }
+
   test("codegen'd simhash_fp equals the algebraic explode-count-vote formulation") {
     // the pre-round-3 shuffle formulation, kept here as the reference
     val wc = docs

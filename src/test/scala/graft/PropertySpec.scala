@@ -80,6 +80,19 @@ object KernelProperties extends Properties("graft.kernels") {
         naiveSimhash(t, 40)
     }
 
+  property("TokenizeWs equals lower+split+filter on arbitrary spaced text") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.alphaUpperChar, Gen.alphaLowerChar, Gen.const(' '), Gen.const('é')))
+      .map(_.mkString)) { t =>
+      val want = t.toLowerCase(java.util.Locale.ROOT)
+        .split(" ", -1).filter(_.nonEmpty).toSeq
+      val got = graft.functions.TokenizeWs.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSeq
+      got == want
+    }
+
   property("ByteStats matches the decodeStub loop on arbitrary payloads") =
     Prop.forAll(Gen.listOf(Gen.choose(-128, 127).map(_.toByte))) { bs =>
       val payload = bs.toArray
