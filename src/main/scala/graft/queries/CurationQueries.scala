@@ -418,8 +418,41 @@ object CurationQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Email-address pattern valid (and identical in semantics) in both
+    * Java regex (Spark) and RE2 (DuckDB): character classes, +, and a
+    * bounded repetition only.
+    */
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+
+  /** PII scrub: count and redact email-shaped spans — the standard
+    * pre-training redaction pass, certified end-to-end (count + md5 of
+    * the scrubbed text). Pure codegen'd column algebra; the pattern set
+    * extends per deployment (phone/SSN/etc. are more alternations in
+    * the same shape). On this synthetic corpus every count is 0 and
+    * scrubbed == original — the certification is of the operator
+    * plumbing (dialect-portable pattern, replace-all semantics), which
+    * is exactly what a user pointing the engine at a real corpus
+    * relies on.
+    */
+  val q_pii_scrub = QueryDef(
+    "q_pii_scrub",
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(lower(text), '$EmailRe')) AS BIGINT)
+       |    AS n_emails,
+       |  md5(regexp_replace(lower(text), '$EmailRe', '<EMAIL>', 'g'))
+       |    AS scrubbed_md5
+       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(lower(col("text")), lit(EmailRe)).cast("long").as("n_emails"),
+        md5(regexp_replace(lower(col("text")), EmailRe, "<EMAIL>"))
+          .as("scrubbed_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_contamination, q_mix_rates,
-    q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap)
+    q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
+    q_pii_scrub)
 }

@@ -288,6 +288,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PII scrub redacts planted emails (live semantics, not just the zero-match corpus)") {
+    import spark.implicits._
+    import graft.queries.CurationQueries
+    val planted = Seq(
+      (1L, "contact Bob.Smith+spam@Example-Mail.co.uk for data"),
+      (2L, "two hits a@b.io and c.d@e.org here"),
+      (3L, "no pii at all")).toDF("doc_id", "text")
+    // route through the same expression the query uses
+    val re = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val out = planted.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      org.apache.spark.sql.functions.regexp_count(
+        org.apache.spark.sql.functions.lower($"text"),
+        org.apache.spark.sql.functions.lit(re)).as("n"),
+      org.apache.spark.sql.functions.regexp_replace(
+        org.apache.spark.sql.functions.lower($"text"), re, "<EMAIL>").as("scrubbed"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getString(2)))).toMap
+    assert(out(1L)._1 === 1)
+    assert(out(1L)._2 === "contact <EMAIL> for data")
+    assert(out(2L)._1 === 2)
+    assert(out(2L)._2 === "two hits <EMAIL> and <EMAIL> here")
+    assert(out(3L) === ((0, "no pii at all")))
+    // the registered query runs and returns one row per document
+    val q = CurationQueries.q_pii_scrub.fn(spark, sf)
+    assert(q.count() === Tables.documents(spark, sf).count())
+  }
+
   test("codegen'd byte_stats is bit-identical to the decodeStub loop") {
     graft.functions.GraftFunctions.register(spark)
     val media = MultimodalOps.mediaFromDocuments(Tables.documents(spark, sf))
