@@ -77,10 +77,11 @@ object ClusterOps {
     val (mx, sx, my, sy) =
       (quant(st.getDouble(0)), quant(st.getDouble(1)),
         quant(st.getDouble(2)), quant(st.getDouble(3)))
-    val z = pts.select(col("pid"),
+    // UnsafeRow-layer cache (see Reuse): consumed by the seed fetch,
+    // every assignment round, and the final sizes pass
+    val z = Reuse.materialized(pts.select(col("pid"),
       ((col("x") - lit(mx)) / lit(sx)).as("zx"),
-      ((col("y") - lit(my)) / lit(sy)).as("zy"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ((col("y") - lit(my)) / lit(sy)).as("zy")))
 
     // seeds: the k lowest-id standardized points (bounded k-row fetch)
     var cents: Array[(Double, Double)] = z.orderBy(col("pid")).limit(k)
@@ -93,7 +94,7 @@ object ClusterOps {
             (col("zy") - lit(cy)) * (col("zy") - lit(cy))).as("d"),
           lit(j.toLong).as("j"))
       }
-      z.withColumn("cid", array_min(array(dists: _*)).getField("j"))
+      z.withColumn("cid", array_min(array(dists.toIndexedSeq: _*)).getField("j"))
     }
 
     for (_ <- 1 to iters) {

@@ -83,7 +83,7 @@ object GraphOps {
           .select(col("l1.id").as("id"),
             least(col("l1.label"), coalesce(col("jlabel"), col("l1.label"))).as("label"))
           .localCheckpoint()
-        val newSum = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+        val newSum = next.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
         changed = if (newSum == labelSum) 0L else 1L
         labelSum = newSum
         labels = next

@@ -22,6 +22,6 @@ object KafkaIO {
       else coalesce(present.map(c => col(c).cast("string")): _*)
     df.select(
       key.as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("value"))
   }
 }

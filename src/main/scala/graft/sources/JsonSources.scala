@@ -102,6 +102,6 @@ object JsonSources {
       loc("zip").as("zip"),
       loc("lat").cast("double").as("lat"),
       loc("lon").cast("double").as("lon"),
-      to_json(struct(df.columns.map(col): _*)).as("raw"))
+      to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("raw"))
   }
 }

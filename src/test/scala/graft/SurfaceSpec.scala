@@ -49,6 +49,30 @@ class SurfaceSpec extends AnyFunSuite {
     new GraftExtensions().apply(e)
   }
 
+  test("a session built with GraftExtensions resolves every native function from SQL") {
+    // a sibling session over the same context, built the way a cluster
+    // deploy would (--conf spark.sql.extensions=graft.GraftExtensions)
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(e => new GraftExtensions().apply(e))
+      .getOrCreate()
+    try {
+      assert(s2.sql("SELECT dot_product(array(1.0D,2.0D), array(3.0D,4.0D))")
+        .head().getDouble(0) === 11.0)
+      assert(s2.sql("SELECT size(tokenize_ws('A b  C'))").head().getInt(0) === 3)
+      assert(s2.sql("SELECT size(shingle_hashes('abcdef', 5))").head().getInt(0) === 2)
+      assert(s2.sql("SELECT simhash_fp('a b', 40)").head().getLong(0) !== 0L)
+      assert(s2.sql("SELECT byte_stats(cast('ab' as binary)).n_bytes")
+        .head().getInt(0) === 2)
+      assert(s2.sql("SELECT hyperplane_sig(array(1.0D, -1.0D), 8, 2)").count() === 1)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(spark)
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("streaming progress listener observes all input rows") {
     val cap = new StreamingOps.ProgressCapture
     spark.streams.addListener(cap)
