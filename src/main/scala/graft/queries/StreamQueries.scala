@@ -90,6 +90,43 @@ object StreamQueries {
     }.orderBy(col("keep_id"))
   }
 
+  /** Stream–static enrichment join — the canonical streaming-enrich
+    * shape (events stream joined to a static dimension table, then
+    * aggregated). The static side is a plain batch DataFrame: Spark
+    * plans the join STATELESS (no watermark, no state store; at scale
+    * the dim side broadcasts), which is exactly why this shape is the
+    * first choice over stream–stream joins when one side is slowly
+    * changing. Certified: drained result ≡ the batch join+agg oracle.
+    */
+  val q_stream_enrich = QueryDef(
+    "q_stream_enrich",
+    """SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS value_cents
+      |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY 1 ORDER BY segment""".stripMargin) { (spark, dir) =>
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = StreamingOps.parquetStream(
+      spark, s"$dir/events.parquet",
+      spark.read.parquet(s"$dir/events.parquet").schema)
+    val stream =
+      if (raw.schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      else raw
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enriched = stream
+      .join(dim, col("c_custkey") === col("user_id"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("value_cents"))
+    StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(enriched, OutputMode.Complete())
+    }
+      .select(col("segment"), col("n"), col("value_cents"))
+      .orderBy(col("segment"))
+  }
+
   /** Stream–stream interval join (click attribution): purchases joined
     * with same-user clicks from the preceding 30 minutes, both sides
     * watermarked. AvailableNow drains every match (inner-join rows emit
@@ -188,6 +225,7 @@ object StreamQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_join,
+    q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
+    q_stream_join,
     q_stream_sessions)
 }
