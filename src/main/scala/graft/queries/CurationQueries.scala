@@ -422,7 +422,7 @@ object CurationQueries {
     * Java regex (Spark) and RE2 (DuckDB): character classes, +, and a
     * bounded repetition only.
     */
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 
   /** PII scrub: count and redact email-shaped spans — the standard
     * pre-training redaction pass, certified end-to-end (count + md5 of

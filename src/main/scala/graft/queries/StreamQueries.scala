@@ -22,14 +22,7 @@ object StreamQueries {
     """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
       |  COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StreamingOps.parquetStream(
-      spark, s"$dir/events.parquet",
-      spark.read.parquet(s"$dir/events.parquet").schema)
-    val stream =
-      if (raw.schema("ts").dataType.typeName == "long")
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+    val stream = StreamingOps.eventsStream(spark, dir)
     val agg = StreamingOps.hourlyCounts(stream)
     StreamingOps.withShufflePartitions(spark, 8) {
       StreamingOps.drainToBatch(agg, OutputMode.Complete())
@@ -59,14 +52,7 @@ object StreamQueries {
       |WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
       |      <= wm_base - INTERVAL 1 HOUR
       |GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StreamingOps.parquetStream(
-      spark, s"$dir/events.parquet",
-      spark.read.parquet(s"$dir/events.parquet").schema)
-    val stream =
-      if (raw.schema("ts").dataType.typeName == "long")
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+    val stream = StreamingOps.eventsStream(spark, dir)
     val agg = StreamingOps.hourlyCounts(stream, watermark = "1 hour")
     StreamingOps.withShufflePartitions(spark, 8) {
       StreamingOps.drainToBatch(agg, OutputMode.Append())
@@ -105,14 +91,7 @@ object StreamQueries {
       |    AS value_cents
       |FROM events e JOIN customer c ON c.c_custkey = e.user_id
       |GROUP BY 1 ORDER BY segment""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StreamingOps.parquetStream(
-      spark, s"$dir/events.parquet",
-      spark.read.parquet(s"$dir/events.parquet").schema)
-    val stream =
-      if (raw.schema("ts").dataType.typeName == "long")
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+    val stream = StreamingOps.eventsStream(spark, dir)
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"), col("c_mktsegment"))
     val enriched = stream
@@ -142,14 +121,7 @@ object StreamQueries {
       |     BETWEEN CAST(p.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
       |         AND CAST(p.ts AS TIMESTAMP)
       |ORDER BY click_id, purchase_id""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StreamingOps.parquetStream(
-      spark, s"$dir/events.parquet",
-      spark.read.parquet(s"$dir/events.parquet").schema)
-    val stream =
-      if (raw.schema("ts").dataType.typeName == "long")
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+    val stream = StreamingOps.eventsStream(spark, dir)
     val clicks = stream.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("click_ts"))
@@ -202,14 +174,7 @@ object StreamQueries {
       |SELECT user_id, session_start_us, session_end_us, n_events
       |FROM agg, wm WHERE session_end_us <= wm_us
       |ORDER BY user_id, session_start_us""".stripMargin) { (spark, dir) =>
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = StreamingOps.parquetStream(
-      spark, s"$dir/events.parquet",
-      spark.read.parquet(s"$dir/events.parquet").schema)
-    val stream =
-      if (raw.schema("ts").dataType.typeName == "long")
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      else raw
+    val stream = StreamingOps.eventsStream(spark, dir)
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))

@@ -27,6 +27,22 @@ object StreamingOps {
     * single-file path works too — `basePath` is pinned to its parent
     * directory (the file source requires a directory basePath).
     */
+  /** The events table as a stream with its INT64-nanos timestamp
+    * normalized to a proper TIMESTAMP — the one place the nanos
+    * gotcha is handled for streaming readers (mirror of
+    * `Tables.events` for the batch path; integer `ts DIV 1000`, NOT
+    * double division, which loses microseconds).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{expr, timestamp_micros, col}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val raw = parquetStream(spark, path, spark.read.parquet(path).schema)
+    if (raw.schema("ts").dataType.typeName == "long")
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw.withColumn("ts", col("ts"))
+  }
+
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     if (!path.endsWith(".parquet")) spark.readStream.schema(schema).parquet(path)
     else {

@@ -295,8 +295,9 @@ class PipelineSpec extends AnyFunSuite {
       (1L, "contact Bob.Smith+spam@Example-Mail.co.uk for data"),
       (2L, "two hits a@b.io and c.d@e.org here"),
       (3L, "no pii at all")).toDF("doc_id", "text")
-    // route through the same expression the query uses
-    val re = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    // the query's own pattern — a local copy would silently go stale
+    // when the pattern set grows
+    val re = CurationQueries.EmailRe
     val out = planted.select(
       org.apache.spark.sql.functions.col("doc_id"),
       org.apache.spark.sql.functions.regexp_count(

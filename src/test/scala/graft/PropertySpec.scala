@@ -84,7 +84,12 @@ object KernelProperties extends Properties("graft.kernels") {
     Prop.forAll(Gen.listOf(Gen.oneOf(
       Gen.alphaUpperChar, Gen.alphaLowerChar, Gen.const(' '), Gen.const('é')))
       .map(_.mkString)) { t =>
-      val want = t.toLowerCase(java.util.Locale.ROOT)
+      // reference lowercase goes through UTF8String.toLowerCase — the
+      // routine Spark's lower() (and therefore the product) must match;
+      // a String.toLowerCase(ROOT) reference would diverge on non-ROOT
+      // default-locale JVMs for non-ASCII input (tr_TR I→ı)
+      val want = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+        .toLowerCase.toString
         .split(" ", -1).filter(_.nonEmpty).toSeq
       val got = graft.functions.TokenizeWs.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString(t))
