@@ -450,9 +450,113 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-aware soft dedup sampling: instead of keeping ONE canonical
+    * doc per near-dup class (hard dedup), keep each member with
+    * probability 1/√(class size) — the modern recipe that preserves a
+    * frequency signal (√k copies of a k-duplicated doc survive in
+    * expectation) without letting boilerplate dominate. Composes the
+    * certified connected-components groups; the keep decision is the
+    * deterministic id-hash fraction, so the sample is reproducible and
+    * cross-engine identical. √k and the 1e-6-grid rate are IEEE-
+    * identical on identical integer sizes in both engines.
+    */
+  val q_soft_dedup_sample = QueryDef(
+    "q_soft_dedup_sample", {
+      s"""WITH RECURSIVE ${DedupOps.minhashPairsSqlCtes(0.8)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS rid FROM nodes
+         |  UNION
+         |  SELECT r.id, e.dst AS rid FROM reach r JOIN edges e ON e.src = r.rid),
+         |lbl AS (SELECT id, MIN(rid) AS grp FROM reach GROUP BY id),
+         |grps AS (
+         |  SELECT d.doc_id, COALESCE(l.grp, d.doc_id) AS group_id
+         |  FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+         |sizes AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size
+         |          FROM grps GROUP BY group_id)
+         |SELECT g.doc_id, g.group_id, s.group_size,
+         |  FLOOR(1.0 / sqrt(CAST(s.group_size AS DOUBLE)) * 1000000 + 0.5)
+         |    / 1000000.0 AS sample_rate,
+         |  ((((g.doc_id % 1000000) * 2654435761) % 1000000) / 1000000.0
+         |    < FLOOR(1.0 / sqrt(CAST(s.group_size AS DOUBLE)) * 1000000 + 0.5)
+         |      / 1000000.0) AS kept
+         |FROM grps g JOIN sizes s ON s.group_id = g.group_id
+         |ORDER BY g.doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val groups = DedupOps.dedupGroups(Tables.documents(spark, dir),
+      "doc_id", "text", 0.8)
+      .select(col("doc_id"), col("group_id"))
+    val sizes = groups.groupBy(col("group_id")).agg(count(lit(1)).as("group_size"))
+    val rate = floor(lit(1.0) / sqrt(col("group_size").cast("double"))
+      * 1000000 + 0.5) / lit(1000000.0)
+    val frac = (col("doc_id") % 1000000L * lit(2654435761L)) % 1000000L / lit(1000000.0)
+    groups.join(sizes, "group_id")
+      .select(col("doc_id"), col("group_id"), col("group_size"),
+        rate.as("sample_rate"), (frac < rate).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Bigram conditional-LM quality score: mean ln P(w_i | w_{i-1})
+    * under the corpus bigram distribution — one model order above
+    * [[q_lm_quality]]'s unigram score and a sharper fluency signal
+    * (repetitive boilerplate scores high on unigrams but its
+    * transitions give it away). Context counts come from the bigram
+    * table itself, so the conditional sums to 1 over observed
+    * continuations. Same micro-quantized order-free sum policy; both
+    * count tables are vocabulary-bounded (broadcast side).
+    */
+  val q_bigram_lm = QueryDef(
+    "q_bigram_lm", {
+      val ws = TextOps.wordsSql("text")
+      s"""WITH docs_ws AS (
+         |  SELECT doc_id, $ws AS ws FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+         |  FROM docs_ws CROSS JOIN UNNEST(range(1, len(ws))) t(i)),
+         |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+         |contrib AS (
+         |  SELECT bg.doc_id,
+         |    CAST(FLOOR(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1000000 + 0.5) AS BIGINT)
+         |      AS ci
+         |  FROM bg JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+         |          JOIN c1 ON c1.w1 = bg.w1)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(FLOOR(CAST(SUM(ci) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+         |    AS avg_logprob_micro
+         |FROM contrib GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docsWs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2) // sequence(1, 0) would count DOWN
+    val bg = docsWs.select(col("doc_id"),
+      explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+        .as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"))
+    val c2 = graft.ops.Reuse.materialized(
+      bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    bg.join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .select(col("doc_id"),
+        floor(log(col("c2").cast("double") / col("c1")) * 1000000 + 0.5)
+          .cast("long").as("ci"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        floor(sum(col("ci")).cast("double") / count(lit(1)) + 0.5)
+          .cast("long").as("avg_logprob_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_contamination, q_mix_rates,
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
-    q_pii_scrub)
+    q_pii_scrub, q_soft_dedup_sample, q_bigram_lm)
 }
