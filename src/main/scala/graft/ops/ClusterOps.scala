@@ -74,12 +74,18 @@ object ClusterOps {
     val st = pts.agg(
       avg(col("x")), stddev_samp(col("x")),
       avg(col("y")), stddev_samp(col("y"))).head()
+    // a constant column (or a single point) has stddev 0/NaN/NULL —
+    // substitute 1.0 so z-scores stay finite; the oracle applies the
+    // same CASE, keeping the engine/oracle identity on degenerate input
+    def safeStd(v: Double): Double = { val q = quant(v); if (q > 0) q else 1.0 }
+    def num(i: Int): Double =
+      if (st.isNullAt(i)) Double.NaN else st.getDouble(i)
     val (mx, sx, my, sy) =
-      (quant(st.getDouble(0)), quant(st.getDouble(1)),
-        quant(st.getDouble(2)), quant(st.getDouble(3)))
+      (quant(num(0)), safeStd(num(1)), quant(num(2)), safeStd(num(3)))
     // UnsafeRow-layer cache (see Reuse): consumed by the seed fetch,
-    // every assignment round, and the final sizes pass
-    val z = Reuse.materialized(pts.select(col("pid"),
+    // every assignment round, and the final sizes pass; released before
+    // return — this function owns the whole cache lifecycle
+    val (z, zCache) = Reuse.materializedHandle(pts.select(col("pid"),
       ((col("x") - lit(mx)) / lit(sx)).as("zx"),
       ((col("y") - lit(my)) / lit(sy)).as("zy")))
 
@@ -108,19 +114,18 @@ object ClusterOps {
       }
     }
 
+    // final sizes are k rows — collect them now (same bounded driver
+    // fetch as every update round) so z can be unpersisted HERE and the
+    // function leaves no pinned blocks behind: the returned DataFrame
+    // is k local rows, fully decoupled from the cache lifecycle
     val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n"))
-    val centDf = cents.zipWithIndex
-      .map { case ((cx, cy), j) => (j.toLong, cx, cy) }
-      .toSeq.toDF("cluster_id", "cx", "cy")
-    // z stays persisted: the returned plan is lazy and reads z through
-    // `assigned` when the caller finally acts — an unpersist here
-    // would silently drop the cache before that pass (harness code
-    // releases all caches between queries; library callers unpersist
-    // after their action if they care)
-    centDf
-      .join(sizes.withColumnRenamed("cid", "cluster_id"), Seq("cluster_id"), "left")
-      .select(col("cluster_id"), coalesce(col("n"), lit(0L)).as("n"),
-        col("cx"), col("cy"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    zCache.close()
+    cents.zipWithIndex
+      .map { case ((cx, cy), j) =>
+        (j.toLong, sizes.getOrElse(j.toLong, 0L), cx, cy)
+      }
+      .toSeq.toDF("cluster_id", "n", "cx", "cy")
       .orderBy(col("cluster_id"))
   }
 
@@ -133,6 +138,9 @@ object ClusterOps {
     */
   def kmeansLloydOracleSql(k: Int, iters: Int): String = {
     val q = (e: String) => s"FLOOR(($e)*1000000+0.5)/1000000.0"
+    // same degenerate-input guard as the engine: stddev NULL/0 -> 1.0
+    val qs = (e: String) =>
+      s"CASE WHEN COALESCE(${q(e)}, 0) > 0 THEN ${q(e)} ELSE 1.0 END"
     val rounds = (1 to iters).map { i =>
       s"""a$i AS (
          |  SELECT pid, zx, zy, j AS cid FROM (
@@ -151,8 +159,8 @@ object ClusterOps {
        |    CAST(embedding[2] AS DOUBLE) AS y
        |  FROM embeddings),
        |st AS (
-       |  SELECT ${q("AVG(x)")} AS mx, ${q("STDDEV_SAMP(x)")} AS sx,
-       |         ${q("AVG(y)")} AS my, ${q("STDDEV_SAMP(y)")} AS sy
+       |  SELECT ${q("AVG(x)")} AS mx, ${qs("STDDEV_SAMP(x)")} AS sx,
+       |         ${q("AVG(y)")} AS my, ${qs("STDDEV_SAMP(y)")} AS sy
        |  FROM pts),
        |z AS (
        |  SELECT pid, (x - mx)/sx AS zx, (y - my)/sy AS zy
@@ -178,6 +186,10 @@ object ClusterOps {
     * Input: (idCol, xCol, yCol). Output: input columns + `cluster_id`
     * (long; -1 = noise). Deterministic: cluster id is the min point id
     * in the component.
+    *
+    * Cache contract: the returned plan reads an eagerly-persisted pair
+    * table (evictable, recomputable). Long-lived sessions should call
+    * [[Reuse.releaseAllCaches]] between jobs.
     */
   def dbscan(
       points: DataFrame, idCol: String, xCol: String, yCol: String,

@@ -147,6 +147,12 @@ object DedupOps {
   /** LSH candidate pairs → exact-Jaccard verified near-duplicates.
     * Output: (doc_a, doc_b, jaccard) for pairs with jaccard >= threshold
     * among pairs sharing at least one band bucket.
+    *
+    * Cache contract: the returned plan reads an eagerly-persisted
+    * shingle table (evictable, recomputable). Long-lived sessions that
+    * call this repeatedly should call [[Reuse.releaseAllCaches]]
+    * between jobs — the blocks are not pinned, but disk-resident ones
+    * only vanish on release or session end.
     */
   def minhashNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
@@ -262,6 +268,9 @@ object DedupOps {
     * a dedup pipeline actually keys on (pairwise output alone cannot
     * decide a winner when duplicates chain a~b~c). Every document gets
     * a row; singletons are their own canonical group.
+    *
+    * Cache contract: as [[minhashNearDuplicates]] — call
+    * [[Reuse.releaseAllCaches]] between jobs in long-lived sessions.
     */
   def dedupGroups(
       docs: DataFrame, idCol: String, textCol: String,
@@ -366,6 +375,9 @@ object DedupOps {
     * never meet; per-shingle fan-out bounded by MaxDf² — linear-ish at
     * scale, though the MinHash-LSH path above is still the cheaper one
     * on a 100 TB corpus).
+    *
+    * Cache contract: as [[minhashNearDuplicates]] — call
+    * [[Reuse.releaseAllCaches]] between jobs in long-lived sessions.
     */
   def ngramJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,

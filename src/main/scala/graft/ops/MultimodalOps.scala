@@ -10,14 +10,18 @@ import org.apache.spark.sql.functions._
   * one JVM call per partition, vectorizable inside, no per-row
   * driver involvement).
   *
-  * ==== STUB BOUNDARY ====
-  * Real codec libraries (image/audio/video) are not available in this
-  * environment, so [[decodeStub]] is a clearly-marked DETERMINISTIC
-  * FAKE: it derives pseudo-dimensions and channel statistics from the
-  * bytes themselves. The Spark-side contract — schema, binary
-  * batching, partition-local execution, deterministic output — is the
-  * real, tested surface; swapping the fake for an ONNX/javacv decoder
-  * changes only the function body.
+  * ==== DECODE BOUNDARY ====
+  * Images decode for REAL via the JDK's `javax.imageio`
+  * ([[ImageCodec]]): PNG/JPEG payloads yield true raster dimensions and
+  * pixel statistics, certified against closed-form oracles
+  * (q_image_decode / q_image_resize). Audio/video codecs are not
+  * available in this environment, so non-image bytes fall back to
+  * [[decodeStub]] — a clearly-marked DETERMINISTIC FAKE deriving
+  * pseudo-dimensions and channel statistics from the bytes themselves.
+  * The Spark-side contract — schema, binary batching, partition-local
+  * execution, deterministic output — is identical on both branches;
+  * swapping the fake for an ONNX/javacv decoder changes only the
+  * function body.
   */
 object MultimodalOps {
 
@@ -57,6 +61,18 @@ object MultimodalOps {
       entropy_proxy = entropy)
   }
 
+  /** Real decode first (ImageIO probes magic bytes — arbitrary binary
+    * returns None fast), stub statistics for everything else.
+    */
+  def decodeAny(r: MediaRow): MediaFeatures =
+    ImageCodec.decode(r.payload) match {
+      case Some(d) =>
+        MediaFeatures(
+          r.media_id, r.kind, r.payload.length,
+          d.width, d.height, d.meanPx, d.entropyProxy)
+      case None => decodeStub(r)
+    }
+
   /** Partition-local feature extraction over a binary media column.
     * Input df columns: (media_id long, kind string, payload binary).
     */
@@ -65,7 +81,7 @@ object MultimodalOps {
     import spark.implicits._
     df.select(col("media_id").cast("long"), col("kind"), col("payload"))
       .as[MediaRow]
-      .mapPartitions(_.map(decodeStub))
+      .mapPartitions(_.map(decodeAny))
   }
 
   /** Deterministic frame sampling: split the payload into `frames`
@@ -116,6 +132,66 @@ object MultimodalOps {
         (r.media_id, r.kind, targetW, targetH, out)
       })
       .toDF("media_id", "kind", "width", "height", "payload")
+  }
+
+  /** Real-image fixture table: one deterministic gray-pattern image per
+    * document, alternating PNG/JPEG, dimensions a pure function of the
+    * id (even, 8–22 px — small enough to encode thousands per second,
+    * large enough that the PNG bytes are genuinely DEFLATE-compressed).
+    * The closed-form pattern lets the DuckDB oracle compute the expected
+    * decode output without a codec.
+    */
+  def imageFixtures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + (id % 8) * 2).toInt
+        val h = (8 + ((id / 8) % 8) * 2).toInt
+        val fmt = if (id % 2 == 0) "png" else "jpeg"
+        (id, fmt, ImageCodec.encode(ImageCodec.renderPattern(w, h, id), fmt))
+      })
+      .toDF("media_id", "fmt", "payload")
+  }
+
+  /** Real ImageIO decode of an image-payload table to exact integer
+    * pixel statistics. Input: (media_id long, fmt string, payload
+    * binary); undecodable payloads are dropped (None).
+    */
+  def decodeImages(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("fmt"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, fmt, payload) =>
+        ImageCodec.decode(payload).map(d =>
+          (id, fmt, d.width.toLong, d.height.toLong, d.pxSum, d.pxSqSum))
+      })
+      .toDF("media_id", "fmt", "width", "height", "px_sum", "px_sqsum")
+  }
+
+  /** Real image resize: decode, exact 2×2 box-average downsample,
+    * re-encode as PNG, decode AGAIN for the emitted statistics — so the
+    * output certifies the full decode→resample→encode→decode loop, not
+    * just the arithmetic. Input rows must be losslessly decodable with
+    * even dimensions (the PNG fixtures).
+    */
+  def resizeImagesHalf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload))
+        if (img == null) None
+        else {
+          val resized = ImageCodec.encode(ImageCodec.boxHalve(img), "png")
+          ImageCodec.decode(resized).map(d =>
+            (id, d.width.toLong, d.height.toLong, d.pxSum, d.pxSqSum, resized))
+        }
+      })
+      .toDF("media_id", "width", "height", "px_sum", "px_sqsum", "payload")
   }
 
   /** Build a synthetic media table from the documents table (UTF-8

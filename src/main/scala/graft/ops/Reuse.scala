@@ -35,7 +35,16 @@ object Reuse {
       .foreach(_.unpersist(blocking = false))
   }
 
-  def materialized(df: DataFrame): DataFrame = {
+  def materialized(df: DataFrame): DataFrame = materializedHandle(df)._1
+
+  /** As [[materialized]], plus a release handle for callers that OWN
+    * the cache lifecycle (their last action over the materialized plan
+    * happens before they return — e.g. kmeansLloyd's k-row collects).
+    * Ops that return a LAZY plan reading the cache cannot release
+    * eagerly; their scaladoc documents the
+    * [[releaseAllCaches]]-between-jobs contract instead.
+    */
+  def materializedHandle(df: DataFrame): (DataFrame, AutoCloseable) = {
     import org.apache.spark.sql.GraftColumnBridge
     // UnsafeRow-layer cache: persist the physical RDD (rows copied —
     // toRdd iterators reuse row buffers) instead of Dataset.persist's
@@ -48,6 +57,7 @@ object Reuse {
       .map(_.copy())
       .persist(StorageLevel.MEMORY_AND_DISK)
     rdd.count() // eager: downstream branches race to fill a lazy cache
-    GraftColumnBridge.internalCreateDataFrame(df.sparkSession, rdd, df.schema)
+    val out = GraftColumnBridge.internalCreateDataFrame(df.sparkSession, rdd, df.schema)
+    (out, () => { rdd.unpersist(blocking = false); () })
   }
 }

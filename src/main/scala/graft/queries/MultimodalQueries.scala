@@ -122,5 +122,82 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_media_features, q_media_frames, q_media_resize)
+  /** REAL image decode certification: payloads are genuine PNG/JPEG
+    * bytes (JDK ImageIO encode of a deterministic gray pattern), decoded
+    * back with ImageIO in the mapPartitions path. The oracle computes
+    * the expected decode output in closed form from the generator
+    * formula — PNG is lossless so exact integer pixel sums certify the
+    * raster content; JPEG is lossy so only its dimensions are certified
+    * (pixel sums masked NULL on both sides; content checked within a
+    * tolerance band in ImageCodecSpec instead).
+    */
+  val q_image_decode = QueryDef(
+    "q_image_decode",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+      |    8 + (doc_id % 8) * 2 AS w,
+      |    8 + ((doc_id // 8) % 8) * 2 AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT media_id, SUM(g) AS s, SUM(g * g) AS sq FROM (
+      |    SELECT m.media_id AS media_id,
+      |      ((i % m.w) * 31 + (i // m.w) * 17 + m.media_id * 7) % 256 AS g
+      |    FROM m CROSS JOIN UNNEST(range(0, m.w * m.h)) t(i))
+      |  GROUP BY 1)
+      |SELECT m.media_id AS media_id, m.fmt AS fmt,
+      |  CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+      |  CASE WHEN m.fmt = 'png' THEN CAST(px.s AS BIGINT) END AS px_sum,
+      |  CASE WHEN m.fmt = 'png' THEN CAST(px.sq AS BIGINT) END AS px_sqsum
+      |FROM m JOIN px ON px.media_id = m.media_id
+      |ORDER BY m.media_id""".stripMargin) { (spark, dir) =>
+    val decoded = MultimodalOps.decodeImages(
+      MultimodalOps.imageFixtures(Tables.documents(spark, dir)))
+    decoded.select(
+      col("media_id"), col("fmt"), col("width"), col("height"),
+      // JPEG decode is real but lossy — its pixel sums aren't a pure
+      // function of the pattern, so the certificate masks them NULL
+      when(col("fmt") === "png", col("px_sum")).as("px_sum"),
+      when(col("fmt") === "png", col("px_sqsum")).as("px_sqsum"))
+      .orderBy(col("media_id"))
+  }
+
+  /** REAL image resize certification: PNG fixtures decoded, 2×2
+    * box-averaged, re-encoded as PNG, decoded again — emitted pixel sums
+    * must equal the oracle's closed-form box-average of the generator
+    * pattern, certifying the whole decode→resample→encode→decode loop.
+    */
+  val q_image_resize = QueryDef(
+    "q_image_resize",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    (8 + (doc_id % 8) * 2) // 2 AS ow,
+      |    (8 + ((doc_id // 8) % 8) * 2) // 2 AS oh
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |px AS (
+      |  SELECT media_id, SUM(g) AS s, SUM(g * g) AS sq FROM (
+      |    SELECT m.media_id AS media_id,
+      |      (((2 * (i % m.ow)) * 31 + (2 * (i // m.ow)) * 17 + m.media_id * 7) % 256
+      |       + ((2 * (i % m.ow) + 1) * 31 + (2 * (i // m.ow)) * 17 + m.media_id * 7) % 256
+      |       + ((2 * (i % m.ow)) * 31 + (2 * (i // m.ow) + 1) * 17 + m.media_id * 7) % 256
+      |       + ((2 * (i % m.ow) + 1) * 31 + (2 * (i // m.ow) + 1) * 17 + m.media_id * 7) % 256
+      |      ) // 4 AS g
+      |    FROM m CROSS JOIN UNNEST(range(0, m.ow * m.oh)) t(i))
+      |  GROUP BY 1)
+      |SELECT m.media_id AS media_id,
+      |  CAST(m.ow AS BIGINT) AS width, CAST(m.oh AS BIGINT) AS height,
+      |  CAST(px.s AS BIGINT) AS px_sum, CAST(px.sq AS BIGINT) AS px_sqsum
+      |FROM m JOIN px ON px.media_id = m.media_id
+      |ORDER BY m.media_id""".stripMargin) { (spark, dir) =>
+    MultimodalOps.resizeImagesHalf(
+      MultimodalOps.imageFixtures(Tables.documents(spark, dir))
+        .where(col("fmt") === "png"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("px_sum"), col("px_sqsum"))
+      .orderBy(col("media_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q_media_features, q_media_frames, q_media_resize,
+    q_image_decode, q_image_resize)
 }

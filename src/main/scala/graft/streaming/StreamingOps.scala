@@ -80,12 +80,32 @@ object StreamingOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** RocksDB state store class name (bundled with Spark 4). */
+  val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Upgrade the streaming state store to the scale-safe RocksDB
+    * provider unless the caller explicitly chose one. The default
+    * HDFS-backed provider keeps every version of every store IN
+    * EXECUTOR HEAP — fine at bench scale, an OOM ceiling at 100 TB
+    * drained volume. RocksDB keeps state off-heap and spills to local
+    * disk, so state capacity scales with disk, not heap. State layout
+    * is fixed at FIRST query start, hence the single funnel here.
+    */
+  def ensureScaleSafeStateStore(spark: SparkSession): Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val cur = spark.conf.get(key, "")
+    if (cur.isEmpty || cur.endsWith("HDFSBackedStateStoreProvider"))
+      spark.conf.set(key, RocksDbProvider)
+  }
+
   /** Drain a streaming DataFrame through a memory sink with
     * AvailableNow semantics and return the materialized result —
     * the bounded-drain pattern replacing the reference's
     * empty-batch-counting stop loop.
     */
   def drainToBatch(stream: DataFrame, outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    ensureScaleSafeStateStore(stream.sparkSession)
     val name = "drain_" + UUID.randomUUID().toString.replace("-", "")
     val q = stream.writeStream
       .format("memory")

@@ -117,6 +117,32 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum === local.length.toLong)
   }
 
+  test("two successive kmeansLloyd calls leave no pinned blocks") {
+    graft.ops.Reuse.releaseAllCaches(spark)
+    ClusterOps.kmeansLloyd(pts, "vec_id", "x", "y", k = 3, iters = 2).collect()
+    ClusterOps.kmeansLloyd(pts, "vec_id", "x", "y", k = 3, iters = 2).collect()
+    // unpersist is async — poll until the registry drains
+    val deadline = System.currentTimeMillis() + 10000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
+  test("constant coordinate column: stddev guard keeps output finite") {
+    import spark.implicits._
+    val const = Seq((1L, 5.0, 1.0), (2L, 5.0, 2.0), (3L, 5.0, 3.0))
+      .toDF("vec_id", "x", "y")
+    val out = ClusterOps.kmeansLloyd(const, "vec_id", "x", "y", k = 2, iters = 2)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+      assert(!r.getDouble(3).isNaN && !r.getDouble(3).isInfinite)
+    }
+    assert(out.map(_.getLong(1)).sum === 3L)
+  }
+
   test("kmeans is deterministic for a fixed seed and covers all points") {
     val a = ClusterOps.kmeans2d(pts, "x", "y", 5, 42L)
       .groupBy("cluster_id").count().collect()
