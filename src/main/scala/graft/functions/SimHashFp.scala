@@ -40,9 +40,11 @@ object SimHashFp {
     * assumed (UTF-16 unit = codepoint), as documented for wordHash.
     */
   def compute(u: UTF8String, bits: Int): Long = {
-    // Locale.ROOT: String.toLowerCase() is locale-sensitive (tr_TR
-    // maps I→ı) while Spark's lower() is not — must match lower()
-    val s = u.toString.toLowerCase(java.util.Locale.ROOT)
+    // UTF8String.toLowerCase IS the routine Spark's lower() (and
+    // TokenizeWs) runs — sharing it keeps fingerprints identical to
+    // the algebraic lower()-based formulation for ANY input, where
+    // String.toLowerCase(ROOT) could diverge on non-ASCII text
+    val s = u.toLowerCase.toString
     val len = s.length
     val votes = new Array[Int](bits)
     var i = 0

@@ -206,17 +206,20 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** DuckDB oracle for [[minhashNearDuplicates]] over `documents` —
-    * generated from the same hash constants, including the banding.
+  /** Shared CTE chain of the MinHash oracle pipeline up to the
+    * candidate/verification relations (`sh`, `sig`, `buckets`, `cand`,
+    * `sz`, `inter`) — the single source both [[minhashOracleSql]] and
+    * [[minhashPairsSqlCtes]] compose on (CTE-only builder + final
+    * SELECT, so composition never string-strips a query tail).
     */
-  def minhashOracleSql(threshold: Double): String = {
+  private def minhashBaseCtes: String = {
     val mins = (0 until K).map(i =>
       s"MIN((${hashA(i)} * (h % $P) + ${hashB(i)}) % $P) AS m$i").mkString(",\n    ")
     val bucketRows = (0 until Bands).map { j =>
       val ms = (j * RowsPerBand until (j + 1) * RowsPerBand).map(i => s"CAST(m$i AS VARCHAR)")
       s"SELECT id, $j AS band, concat_ws('_', ${ms.mkString(", ")}) AS bucket FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH ${discriminativeShinglesSqlCtes("documents", "doc_id", "text")},
+    s"""${discriminativeShinglesSqlCtes("documents", "doc_id", "text")},
        |sig AS (
        |  SELECT id, $mins
        |  FROM sh GROUP BY id),
@@ -231,7 +234,14 @@ object DedupOps {
        |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS inter
        |  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
        |  WHERE EXISTS (SELECT 1 FROM cand c WHERE c.doc_a = a.id AND c.doc_b = b.id)
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[minhashNearDuplicates]] over `documents` —
+    * generated from the same hash constants, including the banding.
+    */
+  def minhashOracleSql(threshold: Double): String =
+    s"""WITH $minhashBaseCtes
        |SELECT c.doc_a, c.doc_b,
        |  ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
        |FROM cand c
@@ -240,19 +250,16 @@ object DedupOps {
        |JOIN sz sb ON sb.id = c.doc_b
        |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= $threshold
        |ORDER BY 1, 2""".stripMargin
-  }
 
-  /** CTE text rendering [[minhashOracleSql]]'s pipeline up to a
+  /** CTE text rendering the MinHash pipeline up to a
     * `pairs(doc_a, doc_b)` relation of verified near-duplicates —
     * the shared building block for every oracle that composes on top
     * of the certified pair set (groups, decisions, clean corpus,
     * per-source rates). Callers prepend `WITH ` (or `WITH RECURSIVE `)
     * and add their own consuming CTEs/SELECT.
     */
-  def minhashPairsSqlCtes(threshold: Double): String = {
-    val pairCtes = minhashOracleSql(threshold)
-      .replaceAll("(?s)^WITH ", "").replaceAll("(?s)\nSELECT c\\.doc_a.*$", "")
-    s"""$pairCtes,
+  def minhashPairsSqlCtes(threshold: Double): String =
+    s"""$minhashBaseCtes,
        |pairs AS (
        |  SELECT c.doc_a, c.doc_b
        |  FROM cand c
@@ -260,7 +267,6 @@ object DedupOps {
        |  JOIN sz sa ON sa.id = c.doc_a
        |  JOIN sz sb ON sb.id = c.doc_b
        |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= $threshold)""".stripMargin
-  }
 
   /** Near-duplicate GROUP formation: verified MinHash pairs resolved
     * into connected components ([[GraphOps.minLabelComponents]]) with

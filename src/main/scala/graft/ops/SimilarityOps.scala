@@ -82,19 +82,75 @@ object SimilarityOps {
     * ~|corpus|·nProbe/nCentroids. Recall < 1 by construction —
     * measured against [[bruteForceTopK]] in the test suite.
     */
+  /** Deterministic d-dim Lloyd's refinement of the IVF centroid table —
+    * the quality upgrade over first-k-by-id seeds, same bounded driver
+    * state (k × dim doubles = exactly the broadcast-sized centroid
+    * table). Seeds = the k lowest-id corpus vectors micro-quantized to
+    * the 1e-6 grid; each round assigns map-side (cosine, via the
+    * codegen'd [[graft.functions.NearestCentroids]], probes = 1) and
+    * recomputes each cell's element-wise mean with the repo's
+    * float-determinism policy (per-term integer micro-units before the
+    * order-free SUM, floor-quantized mean) so a DuckDB oracle replays
+    * every round CTE-by-CTE ([[graft.queries.VectorQueries]]
+    * q_ann_ivf). Empty cells keep their previous centroid; zero-norm
+    * vectors are unassigned and never pull a centroid.
+    */
+  def learnedCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Array[Array[Double]] = {
+    import org.apache.spark.sql.GraftColumnBridge
+    def quant(v: Double): Double = math.floor(v * 1000000 + 0.5) / 1000000.0
+    val vd = col(vecCol).cast("array<double>")
+    var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
+      .select(vd).collect()
+      .map(_.getSeq[Double](0).toArray.map(quant))
+    val ids = Array.tabulate(cents.length)(_.toLong)
+    for (_ <- 1 to iters) {
+      val assigned = corpus.select(vd.as("vd"),
+        explode(GraftColumnBridge.column(graft.functions.NearestCentroids(
+          GraftColumnBridge.expression(vd), ids, cents, 1))).as("cell"))
+      // k×dim bounded collect: per-(cell, dim) integer micro-unit sums
+      val upd = assigned
+        .select(col("cell"), posexplode(col("vd")).as(Seq("idx", "v")))
+        .groupBy(col("cell"), col("idx"))
+        .agg(sum(floor(col("v") * 1000000 + 0.5).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getLong(0))
+      cents = cents.zipWithIndex.map { case (old, j) =>
+        upd.get(j.toLong) match {
+          case Some(rows) =>
+            val next = old.clone()
+            rows.foreach { r =>
+              next(r.getInt(1)) =
+                math.floor(r.getLong(2).toDouble / r.getLong(3) + 0.5) / 1000000.0
+            }
+            next
+          case None => old
+        }
+      }
+    }
+    cents
+  }
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nCentroids: Int, nProbe: Int): DataFrame = {
+      nCentroids: Int, nProbe: Int, learnIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     graft.functions.GraftFunctions.register(queries.sparkSession)
     // bounded driver materialization: exactly the rows any broadcast
     // would collect (nCentroids vectors)
-    val centRows = corpus.orderBy(col(idCol)).limit(nCentroids)
-      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
-      .collect()
-    val centIds = centRows.map(_.getLong(0))
-    val centVecs = centRows.map(_.getSeq[Double](1).toArray)
+    val (centIds, centVecs) =
+      if (learnIters > 0) {
+        val learned = learnedCentroids(corpus, idCol, vecCol, nCentroids, learnIters)
+        (Array.tabulate(learned.length)(_.toLong), learned)
+      } else {
+        val centRows = corpus.orderBy(col(idCol)).limit(nCentroids)
+          .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+          .collect()
+        (centRows.map(_.getLong(0)), centRows.map(_.getSeq[Double](1).toArray))
+      }
 
     def assign(df: DataFrame, id: String, probes: Int): DataFrame = {
       val vd = col(vecCol).cast("array<double>")

@@ -128,21 +128,65 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Unrolled deterministic Lloyd's rounds for the IVF centroid table
+    * (mirror of [[SimilarityOps.learnedCentroids]]): assignment by
+    * cosine (ROW_NUMBER, ties to lowest cell), update = element-wise
+    * mean under the repo's float-determinism policy (per-term integer
+    * micro-units before the order-free SUM, floor-quantized mean),
+    * empty cells keep their previous centroid via LEFT JOIN COALESCE.
+    * Expects CTEs `c` (corpus: vec_id, vd) in scope; emits `c0..c$iters`.
+    */
+  private def lloydCentroidCtes(nCentroids: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT vd, j AS cell FROM (
+         |    SELECT c.vec_id, c.vd, p.j,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+         |        list_dot_product(c.vd, p.cv)
+         |          / (sqrt(list_dot_product(c.vd, c.vd))
+         |             * sqrt(list_dot_product(p.cv, p.cv))) DESC,
+         |        p.j) AS r
+         |    FROM c CROSS JOIN c${i - 1} p) t WHERE r = 1),
+         |u$i AS (
+         |  SELECT cell, i AS idx,
+         |    CAST(SUM(CAST(FLOOR(vd[CAST(i AS INT)] * 1000000 + 0.5) AS BIGINT))
+         |      AS DOUBLE) AS s,
+         |    COUNT(*) AS n
+         |  FROM a$i CROSS JOIN UNNEST(range(1, len(vd) + 1)) t(i)
+         |  GROUP BY 1, 2),
+         |m$i AS (
+         |  SELECT cell, list(FLOOR(s / n + 0.5) / 1000000.0 ORDER BY idx) AS mv
+         |  FROM u$i GROUP BY 1),
+         |c$i AS (
+         |  SELECT p.j, COALESCE(m.mv, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN m$i m ON m.cell = p.j)""".stripMargin
+    }.mkString(",\n")
+    s"""c0 AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j,
+       |    list_transform(vd, x -> FLOOR(x * 1000000 + 0.5) / 1000000.0) AS cv
+       |  FROM (SELECT vec_id, vd FROM c ORDER BY vec_id LIMIT $nCentroids) s),
+       |$rounds""".stripMargin
+  }
+
+  private val IvfLearnIters = 2
+
   /** IVF approximate top-k — the 100 TB ANN path (probe a few Voronoi
-    * cells instead of the whole corpus). The deterministic centroid
-    * pick (lowest-id vectors) + exact cosine ranking makes the WHOLE
-    * approximate pipeline — assignment included — SQL-expressible, so
-    * even the ANN query is oracle-checked, not rows-only; recall vs
-    * brute force is additionally asserted in DedupOpsSpec. */
+    * cells instead of the whole corpus). Centroids are LEARNED with the
+    * deterministic d-dim Lloyd's refinement (seeds = lowest-id vectors,
+    * micro-quantized mean updates), so the WHOLE approximate pipeline —
+    * learning, assignment, ranking — stays SQL-expressible and the ANN
+    * query is oracle-checked, not rows-only; the recall uplift vs the
+    * first-k-by-id seeds is asserted in DedupOpsSpec. */
   val q_ann_ivf = QueryDef(
     "q_ann_ivf",
     s"""WITH v AS (SELECT vec_id, $vd AS vd FROM embeddings),
        |q AS (SELECT * FROM v WHERE vec_id < 10),
        |c AS (SELECT * FROM v WHERE vec_id >= 10),
+       |${lloydCentroidCtes(nCentroids = 16, iters = IvfLearnIters)},
        |cents AS (
-       |  SELECT vec_id AS cent_id, vd AS cv,
-       |    sqrt(list_dot_product(vd, vd)) AS cnorm
-       |  FROM c ORDER BY vec_id LIMIT 16),
+       |  SELECT j AS cent_id, cv,
+       |    sqrt(list_dot_product(cv, cv)) AS cnorm
+       |  FROM c$IvfLearnIters),
        |ca AS (
        |  SELECT vec_id AS neighbor_id, vd AS cv2,
        |    sqrt(list_dot_product(vd, vd)) AS cn, cell FROM (
@@ -175,7 +219,8 @@ object VectorQueries {
     SimilarityOps.ivfTopK(
       emb.filter(col("vec_id") < 10),
       emb.filter(col("vec_id") >= 10),
-      "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+      "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4,
+      learnIters = IvfLearnIters)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos_sim"))
       .orderBy(col("query_id"), col("rank"))

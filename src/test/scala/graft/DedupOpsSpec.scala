@@ -127,17 +127,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(nSig > 8, s"signatures collapsed to $nSig buckets")
   }
 
-  test("IVF topK has reasonable recall vs brute force") {
+  test("IVF topK has reasonable recall vs brute force; learned centroids lift it") {
     import org.apache.spark.sql.functions.col
     val q = emb.filter(col("vec_id") < 10)
     val c = emb.filter(col("vec_id") >= 10)
     val brute = SimilarityOps.bruteForceTopK(q, c, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = SimilarityOps.ivfTopK(q, c, "vec_id", "embedding", 5, 16, 4)
-      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    assert(ivf.size === brute.size) // k results per query either way
-    val recall = (ivf intersect brute).size.toDouble / brute.size
-    assert(recall >= 0.25, s"IVF recall too low: $recall")
+    def recallOf(learnIters: Int): Double = {
+      val ivf = SimilarityOps.ivfTopK(q, c, "vec_id", "embedding", 5, 16, 4,
+        learnIters = learnIters)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(ivf.size === brute.size) // k results per query either way
+      (ivf intersect brute).size.toDouble / brute.size
+    }
+    val seeded = recallOf(0)
+    val learned = recallOf(2)
+    assert(seeded >= 0.25, s"IVF recall too low: $seeded")
+    info(s"IVF recall@5: first-k seeds $seeded, learned (2 Lloyd rounds) $learned")
+    assert(learned >= seeded,
+      s"learning centroids must not hurt recall: $learned < $seeded")
+    assert(learned >= 0.4, s"learned-centroid recall too low: $learned")
   }
 
   test("brute-force topK returns k ordered neighbors per query") {

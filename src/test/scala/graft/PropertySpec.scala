@@ -59,7 +59,11 @@ object KernelProperties extends Properties("graft.kernels") {
     * per-occurrence one-pass loop must equal exactly.
     */
   private def naiveSimhash(t: String, bits: Int): Long = {
-    val words = t.toLowerCase(java.util.Locale.ROOT)
+    // lowercase through UTF8String.toLowerCase — the routine Spark's
+    // lower() runs (see the TokenizeWs property below for why a
+    // String.toLowerCase(ROOT) reference would mask a divergence)
+    val words = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      .toLowerCase.toString
       .split(" ").filter(_.nonEmpty)
     val counts = words.groupBy(identity).view.mapValues(_.length)
     val votes = new Array[Long](bits)
