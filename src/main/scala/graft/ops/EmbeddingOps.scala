@@ -36,6 +36,82 @@ object HashedEmbedder extends Embedder {
   def embed(text: String): Array[Float] = EmbeddingOps.embed(text)
 }
 
+/** A minimal LEARNED embedder proving the [[Embedder]] plug point with
+  * semantics the hashed construction cannot produce: term vectors are
+  * distributional — dimension j of term t counts how often t co-occurs
+  * (same document) with the j-th most frequent corpus term — so terms
+  * sharing contexts embed similarly even with ZERO literal overlap
+  * (the hash embedder scores unrelated single words at cosine 0
+  * unless their grams collide). Text embedding = L2-normalized sum of
+  * known-term vectors; unknown-only text embeds to the zero vector.
+  *
+  * Training ([[TermVectorEmbedder.fit]]) is one distributed pass:
+  * tokenize ([[TextOps.words]]), two frequency top-k's (vocab and
+  * context terms — both bounded driver fetches), then a same-document
+  * word×context-word co-occurrence count where the context side is
+  * broadcast-filtered to `dim` terms, so per-document fan-out is
+  * bounded by min(docLen, dim) — never docLen². Driver state =
+  * vocabSize × dim counts, bounded by construction.
+  */
+final class TermVectorEmbedder private (
+    val dim: Int, table: Map[String, Array[Float]]) extends Embedder {
+
+  def termVector(w: String): Option[Array[Float]] = table.get(w)
+
+  def embed(text: String): Array[Float] = {
+    // lowercase through UTF8String.toLowerCase — the routine Spark's
+    // lower() (and TextOps.words) runs
+    val words = org.apache.spark.unsafe.types.UTF8String.fromString(
+      if (text == null) "" else text)
+      .toLowerCase.toString.split(" ").filter(_.nonEmpty)
+    val acc = new Array[Double](dim)
+    words.foreach(w => table.get(w).foreach { v =>
+      var i = 0
+      while (i < dim) { acc(i) += v(i); i += 1 }
+    })
+    val nrm = math.sqrt(acc.map(v => v * v).sum)
+    if (nrm == 0) new Array[Float](dim)
+    else acc.map(v => (v / nrm).toFloat)
+  }
+}
+
+object TermVectorEmbedder {
+
+  /** Learn term vectors from a document corpus. Deterministic: all
+    * ties break lexicographically.
+    */
+  def fit(
+      docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      dim: Int, vocabSize: Int): TermVectorEmbedder = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, desc, explode, lit}
+    val words = docs.select(col(idCol).as("id"),
+      explode(TextOps.words(col(textCol))).as("w"))
+    def topTerms(n: Int): Array[String] = words
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("w")).limit(n)
+      .collect().map(_.getString(0))
+    val ctxTerms = topTerms(dim) // dimension j = co-occurrence with ctxTerms(j)
+    val vocab = topTerms(vocabSize)
+    val ctxIdx = ctxTerms.zipWithIndex.toMap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ctxDf = broadcast(ctxTerms.toSeq.toDF("cw"))
+    val vocabDf = broadcast(vocab.toSeq.toDF("vw"))
+    val cooc = words.join(vocabDf, col("w") === col("vw")).select(col("id"), col("w"))
+      .join(words.toDF("id2", "cw2").join(ctxDf, col("cw2") === col("cw"))
+        .select(col("id2"), col("cw2")), col("id") === col("id2"))
+      .filter(col("w") =!= col("cw2"))
+      .groupBy(col("w"), col("cw2")).agg(count(lit(1)).as("n"))
+      .collect() // bounded: at most vocabSize × dim rows
+    val table = cooc.groupBy(_.getString(0)).map { case (w, rows) =>
+      val v = new Array[Float](dim)
+      rows.foreach(r => v(ctxIdx(r.getString(1))) = r.getLong(2).toFloat)
+      w -> v
+    }
+    new TermVectorEmbedder(dim, table)
+  }
+}
+
 /** Deterministic hashed n-gram text embedding (SURVEY.md §2.10 U5):
   * the engine's stand-in for the reference's MiniLM sentence encoder
   * (`embedding_consumer.py:94-153`, 384-dim at `:54`). Preserves the

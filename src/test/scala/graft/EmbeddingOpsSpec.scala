@@ -39,6 +39,59 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(cos(base, near) > cos(base, far))
   }
 
+  // --- learned TermVectorEmbedder through the Embedder plug point ---
+
+  private lazy val fixtureDocs = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Seq(
+      (1L, "cat purrs softly"), (2L, "cat meows loudly"),
+      (3L, "kitten purrs softly"), (4L, "kitten meows loudly"),
+      (5L, "dog barks loudly"), (6L, "dog growls fiercely"))
+      .toDF("doc_id", "text")
+  }
+
+  private lazy val learned =
+    graft.ops.TermVectorEmbedder.fit(fixtureDocs, "doc_id", "text",
+      dim = 8, vocabSize = 20)
+
+  test("learned embedder: training is deterministic and vectors unit-norm") {
+    val again = graft.ops.TermVectorEmbedder.fit(fixtureDocs, "doc_id", "text",
+      dim = 8, vocabSize = 20)
+    for (w <- Seq("cat", "kitten", "dog", "purrs")) {
+      assert(learned.embed(w).toSeq === again.embed(w).toSeq)
+      val nrm = math.sqrt(learned.embed(w).map(v => v.toDouble * v).sum)
+      assert(math.abs(nrm - 1.0) < 1e-5)
+    }
+    assert(learned.embed("zyxwv unknown terms").forall(_ == 0.0f))
+  }
+
+  test("learned embedder captures distributional similarity the hash cannot") {
+    // cat and kitten share CONTEXTS (purrs/meows/softly/loudly), not
+    // characters; dog's contexts differ. The learned space must rank
+    // kitten closer to cat than dog is — while the hashed embedder
+    // scores both single-word pairs at ~0 (no shared grams).
+    val catKitten = cos(learned.embed("cat"), learned.embed("kitten"))
+    val catDog = cos(learned.embed("cat"), learned.embed("dog"))
+    assert(catKitten > catDog + 0.2,
+      s"learned: cos(cat,kitten)=$catKitten vs cos(cat,dog)=$catDog")
+    val h = (a: String, b: String) =>
+      cos(EmbeddingOps.embed(a), EmbeddingOps.embed(b))
+    assert(math.abs(h("cat", "kitten")) < 0.01 && math.abs(h("cat", "dog")) < 0.01)
+  }
+
+  test("learned embedder swaps through semanticTopK (q_semantic_search path)") {
+    val res = graft.ops.SimilarityOps.semanticTopK(
+      fixtureDocs, "doc_id", "text", queryText = "kitten", k = 3,
+      embedder = learned)
+      .collect()
+    assert(res.length === 3)
+    // kitten-context docs (cat/kitten ones) outrank the dog docs
+    val topIds = res.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id"))
+    assert(Set(1L, 2L, 3L, 4L).contains(topIds.head),
+      s"top neighbor should be a cat/kitten doc, got ${topIds.toSeq}")
+  }
+
   /** The U5 plug point is an interface, not a comment: a trivial
     * alternative [[graft.ops.Embedder]] swaps through the
     * q_semantic_search path (SimilarityOps.semanticTopK) and changes
