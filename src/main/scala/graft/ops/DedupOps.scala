@@ -414,4 +414,55 @@ object DedupOps {
        |FROM inter i JOIN sz sa ON sa.id = i.doc_a JOIN sz sb ON sb.id = i.doc_b
        |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Asymmetric shingle CONTAINMENT near-duplicates: containment =
+    * |shingles(small) ∩ shingles(big)| / |shingles(small)| — the
+    * partial-duplication detector Jaccard structurally misses (a
+    * paragraph fully embedded in a much longer document has high
+    * containment but low Jaccard, because the union is dominated by
+    * the big doc). Output is DIRECTED: (contained_doc, container_doc)
+    * where the contained side is the smaller shingle set (ties → the
+    * lower id, which the `a.id < b.id` join order makes exact).
+    * Same inverted-index candidate shape as [[ngramJaccardPairs]] —
+    * per-shingle fan-out bounded by the MaxDf df-cap, never all-pairs.
+    *
+    * Cache contract: as [[minhashNearDuplicates]] — call
+    * [[Reuse.releaseAllCaches]] between jobs in long-lived sessions.
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sh = Reuse.materialized(discriminativeShingles(docs, idCol, textCol))
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select(
+        when(col("na") <= col("nb"), col("doc_a")).otherwise(col("doc_b"))
+          .as("contained_doc"),
+        when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
+          .as("container_doc"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  def containmentOracleSql(threshold: Double): String =
+    s"""WITH ${discriminativeShinglesSqlCtes("documents", "doc_id", "text")},
+       |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+       |inter AS (
+       |  SELECT a.id AS doc_a, b.id AS doc_b, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT
+       |  CASE WHEN sa.n <= sb.n THEN i.doc_a ELSE i.doc_b END AS contained_doc,
+       |  CASE WHEN sa.n <= sb.n THEN i.doc_b ELSE i.doc_a END AS container_doc,
+       |  ROUND(CAST(i.inter AS DOUBLE) / LEAST(sa.n, sb.n), 4) AS containment
+       |FROM inter i JOIN sz sa ON sa.id = i.doc_a JOIN sz sb ON sb.id = i.doc_b
+       |WHERE CAST(i.inter AS DOUBLE) / LEAST(sa.n, sb.n) >= $threshold
+       |ORDER BY contained_doc, container_doc""".stripMargin
 }

@@ -60,6 +60,15 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Asymmetric containment near-dup: the partial-duplication detector
+    * (doc embedded in a longer doc) that symmetric Jaccard misses. */
+  val q_containment_pairs = QueryDef(
+    "q_containment_pairs",
+    DedupOps.containmentOracleSql(0.9)) { (spark, dir) =>
+    DedupOps.containmentPairs(Tables.documents(spark, dir), "doc_id", "text", 0.9)
+      .orderBy(col("contained_doc"), col("container_doc"))
+  }
+
   /** End-to-end training-corpus cleaning: quality gate (>= 20 tokens)
     * → exact dedup (min-id winner per content hash) → near-duplicate
     * removal (MinHash-LSH pairs at 0.8; the higher id of each pair
@@ -138,6 +147,7 @@ object DedupQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q_dedup_exact, q_minhash_lsh, q_simhash, q_ngram_jaccard, q_clean_corpus,
+    q_dedup_exact, q_minhash_lsh, q_simhash, q_ngram_jaccard,
+    q_containment_pairs, q_clean_corpus,
     q_dedup_decisions)
 }

@@ -33,6 +33,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(lsh === exact)
   }
 
+  test("containment catches a doc embedded in a longer doc that jaccard misses") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val long = short + " phi chi psi omega one two three four five six " +
+      "seven eight nine ten eleven twelve thirteen fourteen fifteen sixteen"
+    val planted = Seq((1L, short), (2L, long)).toDF("doc_id", "text")
+    // appending words preserves every k-shingle of the prefix, so the
+    // short doc is FULLY contained in the long one...
+    val cont = DedupOps.containmentPairs(planted, "doc_id", "text", 0.9).collect()
+    assert(cont.length === 1)
+    assert(cont.head.getLong(0) === 1L) // contained = the short doc
+    assert(cont.head.getLong(1) === 2L)
+    assert(cont.head.getDouble(2) === 1.0)
+    // ...while symmetric jaccard stays low (union dominated by the
+    // long doc) — the case this operator exists for
+    val jac = DedupOps.ngramJaccardPairs(planted, "doc_id", "text", 0.9).collect()
+    assert(jac.isEmpty)
+  }
+
   test("simhash chunk blocking is exact at radius < chunks") {
     val sh = DedupOps.simhash(docs, "doc_id", "text")
     val allPairs = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
