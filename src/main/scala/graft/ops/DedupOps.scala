@@ -135,13 +135,38 @@ object DedupOps {
   /** Per-doc minhash signature columns m0..m{K-1} over the
     * discriminative shingle set.
     */
-  def minhashSignature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    sigFromShingles(discriminativeShingles(docs, idCol, textCol))
+
+  /** Per-id K-column signature of an exploded (id, h) shingle table. */
+  private def sigFromShingles(sh: DataFrame): DataFrame = {
     val h = col("h") % P
     val aggs = (0 until K).map(i =>
       min((lit(hashA(i)) * h + lit(hashB(i))) % P).as(s"m$i"))
-    discriminativeShingles(docs, idCol, textCol)
-      .groupBy(col("id"))
-      .agg(aggs.head, aggs.tail: _*)
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a signature table → distinct candidate pairs
+    * (doc_a < doc_b). Band bucket = the band's raw minhash longs as
+    * join keys (no string concat: equality of the longs ⇔ equality of
+    * the concatenated bucket string the oracle renders, and long-tuple
+    * hashing shuffles less than decimal strings).
+    */
+  private def lshCandidatePairs(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { j =>
+      val ms = (j * RowsPerBand until (j + 1) * RowsPerBand).zipWithIndex
+        .map { case (i, r) => col(s"m$i").as(s"b$r") }
+      struct((lit(j).as("band") +: ms): _*)
+    }
+    val keys = Seq("band") ++ (0 until RowsPerBand).map(r => s"b$r")
+    val buckets = sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select((col("id") +: keys.map(k => col(s"bb.$k"))): _*)
+    buckets.as("x").join(buckets.as("y"),
+        keys.map(k => col(s"x.$k") === col(s"y.$k"))
+          .reduce(_ && _) && col("x.id") < col("y.id"))
+      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
+      .distinct()
   }
 
   /** LSH candidate pairs → exact-Jaccard verified near-duplicates.
@@ -161,28 +186,7 @@ object DedupOps {
     // signature AND both sides of the verify join (see Reuse for why
     // eager-persist rather than localCheckpoint or nothing)
     val sh = Reuse.materialized(discriminativeShingles(docs, idCol, textCol))
-    val h = col("h") % P
-    val aggs = (0 until K).map(i =>
-      min((lit(hashA(i)) * h + lit(hashB(i))) % P).as(s"m$i"))
-    val sig = sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-    // band bucket = the band's 4 raw minhash longs as join keys (no
-    // string concat: equality of the 4 longs ⇔ equality of the
-    // concatenated bucket string the oracle renders, and long-tuple
-    // hashing shuffles less than decimal strings)
-    val bandCols = (0 until Bands).map { j =>
-      val ms = (j * RowsPerBand until (j + 1) * RowsPerBand).zipWithIndex
-        .map { case (i, r) => col(s"m$i").as(s"b$r") }
-      struct((lit(j).as("band") +: ms): _*)
-    }
-    val keys = Seq("band") ++ (0 until RowsPerBand).map(r => s"b$r")
-    val buckets = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select((col("id") +: keys.map(k => col(s"bb.$k"))): _*)
-    val cand = buckets.as("x").join(buckets.as("y"),
-        keys.map(k => col(s"x.$k") === col(s"y.$k"))
-          .reduce(_ && _) && col("x.id") < col("y.id"))
-      .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
-      .distinct()
+    val cand = lshCandidatePairs(sigFromShingles(sh))
 
     // candidate-DRIVEN exact-Jaccard verify: explode each candidate
     // pair against its two shingle sets (two equi-joins) instead of
@@ -449,6 +453,144 @@ object DedupOps {
         when(col("na") <= col("nb"), col("doc_b")).otherwise(col("doc_a"))
           .as("container_doc"),
         round(col("containment"), 4).as("containment"))
+  }
+
+  // --------------------------------------- signature-accuracy estimate
+
+  /** MinHash signature-accuracy audit: for every LSH candidate pair,
+    * the signature-ESTIMATED Jaccard (fraction of the K minhash
+    * components that agree — the unbiased estimator the sketch is
+    * built on) next to the EXACT shingle Jaccard and the absolute
+    * error. This is the measurement a pipeline operator tunes K /
+    * banding against: at 100 TB nobody re-verifies every candidate
+    * with exact set intersection, so the estimator's observed error
+    * distribution on a sample IS the dedup quality bound. Estimates
+    * are exact multiples of 1/K (binary-exact in double for K=16), so
+    * engine and oracle agree bit-for-bit.
+    *
+    * Candidates with zero common shingles (possible: a band of K/4
+    * hash agreements does not imply set overlap) surface with
+    * jaccard = 0 — the estimator's false-positive tail, kept visible
+    * on purpose.
+    *
+    * Cache contract: as [[minhashNearDuplicates]] — call
+    * [[Reuse.releaseAllCaches]] between jobs in long-lived sessions.
+    */
+  def minhashEstimatePairs(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = Reuse.materialized(discriminativeShingles(docs, idCol, textCol))
+    val sig = Reuse.materialized(sigFromShingles(sh))
+    // cand feeds the exact-intersection join AND the final select
+    val cand = Reuse.materialized(lshCandidatePairs(sig))
+    val inter = cand
+      .join(sh.select(col("id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val eq = (0 until K).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("a"), col("doc_a") === col("a.id"))
+      .join(sig.as("b"), col("doc_b") === col("b.id"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sz.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("i0", coalesce(col("inter"), lit(0L)))
+      .withColumn("est_jaccard", eq.cast("double") / K)
+      .withColumn("jaccard",
+        col("i0").cast("double") / (col("na") + col("nb") - col("i0")))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jaccard"), 4).as("est_jaccard"),
+        round(col("jaccard"), 4).as("jaccard"),
+        round(abs(col("est_jaccard") - col("jaccard")), 4).as("abs_err"))
+  }
+
+  /** DuckDB oracle for [[minhashEstimatePairs]] over `documents`. */
+  def minhashEstimateOracleSql: String = {
+    val eq = (0 until K).map(i =>
+      s"CASE WHEN sa.m$i = sb.m$i THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH $minhashBaseCtes
+       |SELECT c.doc_a, c.doc_b,
+       |  ROUND(CAST($eq AS DOUBLE) / $K, 4) AS est_jaccard,
+       |  ROUND(CAST(COALESCE(i.inter, 0) AS DOUBLE)
+       |    / (za.n + zb.n - COALESCE(i.inter, 0)), 4) AS jaccard,
+       |  ROUND(ABS(CAST($eq AS DOUBLE) / $K
+       |    - CAST(COALESCE(i.inter, 0) AS DOUBLE)
+       |      / (za.n + zb.n - COALESCE(i.inter, 0))), 4) AS abs_err
+       |FROM cand c
+       |JOIN sig sa ON sa.id = c.doc_a
+       |JOIN sig sb ON sb.id = c.doc_b
+       |LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |JOIN sz za ON za.id = c.doc_a
+       |JOIN sz zb ON zb.id = c.doc_b
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------ segment-level ("line") dedup
+
+  val SegWords = 10
+
+  /** CCNet-style line-level dedup, delimiter-free: each document is
+    * cut into consecutive [[SegWords]]-word segments (the fixed-width
+    * analogue of "lines" for corpora without newline structure), a
+    * segment occurring in more than one document is kept only in the
+    * lowest-id document, and each doc reports its segment counts plus
+    * the md5 of its CLEANED text (kept segments re-joined in order) —
+    * the per-doc artifact a curation pipeline writes back. Two
+    * shuffles (segment groupBy + per-doc re-aggregation), linear in
+    * corpus size — the same inverted-index shape as exact dedup, one
+    * granularity finer.
+    */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = SegWords
+    val segs = docs
+      .select(col(idCol).as("doc_id"), TextOps.words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(ws) / $w.0) as int) - 1),
+           |  i -> array_join(slice(ws, i * $w + 1, $w), ' '))""".stripMargin))
+        .as(Seq("seg_idx", "seg")))
+    val dup = segs.groupBy(col("seg"))
+      .agg(count_distinct(col("doc_id")).as("ndocs"),
+        min(col("doc_id")).as("first_doc"))
+    segs.join(dup, "seg")
+      .withColumn("keep",
+        col("ndocs") === 1 || col("doc_id") === col("first_doc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept_segs"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ")).as("clean_hash"))
+  }
+
+  /** DuckDB oracle for [[segmentDedup]] over `documents`. */
+  def segmentDedupOracleSql: String = {
+    val w = SegWords
+    s"""WITH wt AS (
+       |  SELECT doc_id, ${TextOps.wordsSql("text")} AS ws FROM documents),
+       |segs AS (
+       |  SELECT doc_id, t.i AS seg_idx,
+       |    array_to_string(ws[(t.i * $w + 1):(t.i * $w + $w)], ' ') AS seg
+       |  FROM wt CROSS JOIN
+       |    UNNEST(range(CAST(ceil(len(ws) / $w.0) AS BIGINT))) t(i)
+       |  WHERE len(ws) > 0),
+       |dup AS (
+       |  SELECT seg, COUNT(DISTINCT doc_id) AS ndocs, MIN(doc_id) AS first_doc
+       |  FROM segs GROUP BY seg),
+       |k AS (
+       |  SELECT s.doc_id, s.seg_idx, s.seg,
+       |    (d.ndocs = 1 OR s.doc_id = d.first_doc) AS keep
+       |  FROM segs s JOIN dup d USING (seg))
+       |SELECT doc_id, COUNT(*) AS n_segs,
+       |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_segs,
+       |  md5(COALESCE(
+       |    string_agg(seg, ' ' ORDER BY seg_idx) FILTER (WHERE keep),
+       |    '')) AS clean_hash
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   def containmentOracleSql(threshold: Double): String =

@@ -69,6 +69,27 @@ object DedupQueries {
       .orderBy(col("contained_doc"), col("container_doc"))
   }
 
+  /** MinHash signature-accuracy audit over the LSH candidates:
+    * estimated (component-agreement) vs exact Jaccard with absolute
+    * error — the measurement K/banding are tuned against, since at
+    * scale the estimator replaces exact verification. */
+  val q_minhash_est = QueryDef(
+    "q_minhash_est",
+    DedupOps.minhashEstimateOracleSql) { (spark, dir) =>
+    DedupOps.minhashEstimatePairs(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Delimiter-free line-level (10-word-segment) dedup: cross-doc
+    * duplicated segments kept only in the lowest-id doc; per-doc kept
+    * counts + cleaned-text md5. */
+  val q_segment_dedup = QueryDef(
+    "q_segment_dedup",
+    DedupOps.segmentDedupOracleSql) { (spark, dir) =>
+    DedupOps.segmentDedup(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** End-to-end training-corpus cleaning: quality gate (>= 20 tokens)
     * → exact dedup (min-id winner per content hash) → near-duplicate
     * removal (MinHash-LSH pairs at 0.8; the higher id of each pair
@@ -148,6 +169,6 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(
     q_dedup_exact, q_minhash_lsh, q_simhash, q_ngram_jaccard,
-    q_containment_pairs, q_clean_corpus,
+    q_containment_pairs, q_minhash_est, q_segment_dedup, q_clean_corpus,
     q_dedup_decisions)
 }

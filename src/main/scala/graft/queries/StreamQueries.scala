@@ -140,6 +140,69 @@ object StreamQueries {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** LEFT-OUTER stream–stream interval join: every purchase emits —
+    * matched rows on match (as the inner join), and purchases with NO
+    * same-user click in the preceding 30 minutes emit a null-click row
+    * once the watermark proves no matching click can still arrive
+    * (left time < watermark). PROBED, not assumed (ProbeOuterJoin):
+    * each `withWatermark` sits on an already-FILTERED branch, so its
+    * node only sees its own event subset and the global watermark is
+    * min(max click ts, max purchase ts, ms-floored) - 1h — a branch
+    * with no recent events holds back every outer emission, the real
+    * production caveat of per-branch watermarks. The AvailableNow
+    * drain's trailing no-data micro-batch performs the final state
+    * eviction at exactly that watermark (no extra join-interval
+    * delay on the purchase side: a purchase's last matchable click
+    * arrives at its own event time).
+    * Null click_id is surfaced as -1: a sentinel both engines ORDER BY
+    * identically (Spark sorts nulls first, DuckDB last — a raw NULL
+    * would be a false hash mismatch on identical results).
+    */
+  val q_stream_join_outer = QueryDef(
+    "q_stream_join_outer",
+    """WITH wm AS (
+      |  SELECT make_timestamp((LEAST(
+      |      epoch_us(MAX(CASE WHEN event_type = 'click'
+      |        THEN CAST(ts AS TIMESTAMP) END)),
+      |      epoch_us(MAX(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(ts AS TIMESTAMP) END))) // 1000) * 1000)
+      |    - INTERVAL 1 HOUR AS w
+      |  FROM events),
+      |clicks AS (
+      |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.click_id, p.purchase_id, p.user_id
+      |FROM purch p JOIN clicks c ON c.user_id = p.user_id
+      |  AND c.cts BETWEEN p.pts - INTERVAL 30 MINUTE AND p.pts
+      |UNION ALL
+      |SELECT -1 AS click_id, p.purchase_id, p.user_id
+      |FROM purch p, wm
+      |WHERE p.pts < wm.w AND NOT EXISTS (
+      |  SELECT 1 FROM clicks c WHERE c.user_id = p.user_id
+      |    AND c.cts BETWEEN p.pts - INTERVAL 30 MINUTE AND p.pts)
+      |ORDER BY purchase_id, click_id""".stripMargin) { (spark, dir) =>
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val joined = StreamingOps.intervalJoin(
+      purchases, clicks, "purchase_ts", "click_ts",
+      "user_id", "c_user", before = "30 MINUTES", watermark = "1 hour",
+      joinType = "leftOuter")
+    StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(joined, OutputMode.Append())
+    }
+      .select(coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        col("purchase_id"), col("user_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Native streaming sessionization: `session_window` with a
     * 30-minute gap per user, append mode — sessions emit when the
     * watermark passes their end (last event + gap). Oracle: the batch
@@ -191,6 +254,6 @@ object StreamQueries {
 
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
-    q_stream_join,
+    q_stream_join, q_stream_join_outer,
     q_stream_sessions)
 }

@@ -182,12 +182,14 @@ object StreamingOps {
       left: DataFrame, right: DataFrame,
       leftTimeCol: String, rightTimeCol: String,
       joinKeyLeft: String, joinKeyRight: String,
-      before: String, watermark: String): DataFrame =
+      before: String, watermark: String,
+      joinType: String = "inner"): DataFrame =
     left.withWatermark(leftTimeCol, watermark)
       .join(right.withWatermark(rightTimeCol, watermark),
         expr(s"""$joinKeyLeft = $joinKeyRight AND
                 |$rightTimeCol BETWEEN $leftTimeCol - INTERVAL $before
-                |               AND $leftTimeCol""".stripMargin))
+                |               AND $leftTimeCol""".stripMargin),
+        joinType)
 
   /** Per-batch progress capture (ST8, `relevance_consumer.py:388-444`):
     * a StreamingQueryListener accumulating input-row counts — the

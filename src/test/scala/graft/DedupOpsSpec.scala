@@ -53,6 +53,41 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(jac.isEmpty)
   }
 
+  test("minhash estimate: identical docs estimate 1.0; error bounded by construction") {
+    val est = DedupOps.minhashEstimatePairs(docs, "doc_id", "text").collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val (e, j, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(e >= 0.0 && e <= 1.0)
+      // est is a multiple of 1/K
+      assert(math.abs(e * DedupOps.K - math.round(e * DedupOps.K)) < 1e-9)
+      assert(math.abs(err - math.abs(e - j)) < 1e-3)
+      // identical shingle sets (exact jaccard 1) force identical
+      // signatures — the estimator cannot miss them
+      if (j === 1.0) assert(e === 1.0)
+    }
+  }
+
+  test("segment dedup keeps a cross-doc duplicated segment only in the lowest id") {
+    import spark.implicits._
+    val seg = "one two three four five six seven eight nine ten" // exactly 10 words
+    val d1 = seg + " aa bb cc dd ee ff gg hh ii jj"
+    val d2 = seg + " kk ll mm nn oo pp qq rr ss tt"
+    val planted = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val out = DedupOps.segmentDedup(planted, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    assert(out.length === 2)
+    // doc 1: both segments kept (it owns the shared one)
+    assert(out(0).getLong(1) === 2L && out(0).getLong(2) === 2L)
+    // doc 2: the shared first segment dropped, its own tail kept
+    assert(out(1).getLong(1) === 2L && out(1).getLong(2) === 1L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(3) === md5hex(d1))
+    assert(out(1).getString(3) === md5hex("kk ll mm nn oo pp qq rr ss tt"))
+  }
+
   test("simhash chunk blocking is exact at radius < chunks") {
     val sh = DedupOps.simhash(docs, "doc_id", "text")
     val allPairs = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
