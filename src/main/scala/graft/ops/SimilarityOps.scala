@@ -178,6 +178,55 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Product-quantization ANN with asymmetric scoring (ADC) — the
+    * MEMORY-bound scale path, complementary to IVF's compute-bound
+    * one: the corpus is stored as `subspaces` small centroid CODES
+    * (one byte each at codebookSize <= 256) instead of `dim` floats —
+    * 64× compression at dim=64/M=4 — queries stay exact, and ranking
+    * runs against the RECONSTRUCTED corpus (concatenation of each
+    * sub-space's chosen centroid). At 100 TB the code table + the
+    * driver-bounded codebooks (M × Kc × dim/M doubles — exactly
+    * broadcast-sized) replace the full vector table in memory;
+    * encoding and reconstruction are shuffle-free projections via the
+    * same codegen'd [[graft.functions.NearestCentroids]] kernel as
+    * IVF.
+    *
+    * Spherical variant: sub-space assignment ranks by cosine (the
+    * repo's deterministic assignment kernel), not classical L2 —
+    * appropriate here because the end metric is cosine similarity and
+    * it keeps every stage replayable CTE-by-CTE in the DuckDB oracle
+    * (codebooks are learned per sub-space with the same micro-
+    * quantized deterministic Lloyd's as IVF, [[learnedCentroids]] on
+    * the slice). Recall vs [[bruteForceTopK]] is asserted in the spec.
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      subspaces: Int, codebookSize: Int, learnIters: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val subDim = dim / subspaces
+    require(subDim * subspaces == dim, "dim must split evenly into subspaces")
+    val vd = col(vecCol).cast("array<double>")
+    val codebooks: Seq[Array[Array[Double]]] = (0 until subspaces).map { s =>
+      val sliced = corpus.select(col(idCol),
+        slice(vd, s * subDim + 1, subDim).as("sv"))
+      learnedCentroids(sliced, idCol, "sv", codebookSize, learnIters)
+    }
+    val reconCol = concat((0 until subspaces).map { s =>
+      val cents = codebooks(s)
+      val ids = Array.tabulate(cents.length)(_.toLong)
+      val code = element_at(GraftColumnBridge.column(graft.functions.NearestCentroids(
+        GraftColumnBridge.expression(slice(vd, s * subDim + 1, subDim)),
+        ids, cents, 1)), 1)
+      val centLits = array(cents.map(c => array(c.map(lit): _*)): _*)
+      element_at(centLits, code.cast("int") + 1)
+    }: _*)
+    val recon = corpus.select(col(idCol), reconCol.as("recon"))
+    val q = queries.select(col(idCol), vd.as("recon"))
+    bruteForceTopK(q, recon, idCol, "recon", k)
+  }
+
   /** Semantic top-k over a TEXT corpus through a pluggable [[Embedder]]
     * (default: the oracle-certified [[HashedEmbedder]]; an ONNX
     * model encoder drops in as the argument — U5's plug point as an

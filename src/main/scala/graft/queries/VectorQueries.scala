@@ -134,11 +134,15 @@ object VectorQueries {
     * mean under the repo's float-determinism policy (per-term integer
     * micro-units before the order-free SUM, floor-quantized mean),
     * empty cells keep their previous centroid via LEFT JOIN COALESCE.
-    * Expects CTEs `c` (corpus: vec_id, vd) in scope; emits `c0..c$iters`.
+    * Expects CTEs `$src` (corpus: vec_id, vd) in scope; emits
+    * `${tag}c0..${tag}c$iters` (and per-round helpers `${tag}a/u/m$i`)
+    * — the tag keeps several instantiations composable in one WITH
+    * (one per PQ sub-space).
     */
-  private def lloydCentroidCtes(nCentroids: Int, iters: Int): String = {
+  private def lloydCentroidCtes(
+      nCentroids: Int, iters: Int, src: String = "c", tag: String = ""): String = {
     val rounds = (1 to iters).map { i =>
-      s"""a$i AS (
+      s"""${tag}a$i AS (
          |  SELECT vd, j AS cell FROM (
          |    SELECT c.vec_id, c.vd, p.j,
          |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
@@ -146,25 +150,25 @@ object VectorQueries {
          |          / (sqrt(list_dot_product(c.vd, c.vd))
          |             * sqrt(list_dot_product(p.cv, p.cv))) DESC,
          |        p.j) AS r
-         |    FROM c CROSS JOIN c${i - 1} p) t WHERE r = 1),
-         |u$i AS (
+         |    FROM $src c CROSS JOIN ${tag}c${i - 1} p) t WHERE r = 1),
+         |${tag}u$i AS (
          |  SELECT cell, i AS idx,
          |    CAST(SUM(CAST(FLOOR(vd[CAST(i AS INT)] * 1000000 + 0.5) AS BIGINT))
          |      AS DOUBLE) AS s,
          |    COUNT(*) AS n
-         |  FROM a$i CROSS JOIN UNNEST(range(1, len(vd) + 1)) t(i)
+         |  FROM ${tag}a$i CROSS JOIN UNNEST(range(1, len(vd) + 1)) t(i)
          |  GROUP BY 1, 2),
-         |m$i AS (
+         |${tag}m$i AS (
          |  SELECT cell, list(FLOOR(s / n + 0.5) / 1000000.0 ORDER BY idx) AS mv
-         |  FROM u$i GROUP BY 1),
-         |c$i AS (
+         |  FROM ${tag}u$i GROUP BY 1),
+         |${tag}c$i AS (
          |  SELECT p.j, COALESCE(m.mv, p.cv) AS cv
-         |  FROM c${i - 1} p LEFT JOIN m$i m ON m.cell = p.j)""".stripMargin
+         |  FROM ${tag}c${i - 1} p LEFT JOIN ${tag}m$i m ON m.cell = p.j)""".stripMargin
     }.mkString(",\n")
-    s"""c0 AS (
+    s"""${tag}c0 AS (
        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j,
        |    list_transform(vd, x -> FLOOR(x * 1000000 + 0.5) / 1000000.0) AS cv
-       |  FROM (SELECT vec_id, vd FROM c ORDER BY vec_id LIMIT $nCentroids) s),
+       |  FROM (SELECT vec_id, vd FROM $src ORDER BY vec_id LIMIT $nCentroids) s),
        |$rounds""".stripMargin
   }
 
@@ -226,6 +230,88 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // M=8/K=16 probed as the recall/cost knee on this corpus (ProbePq:
+  // 4/8 → 0.06, 8/16 → 0.28, 16/32 → 0.48 recall@5 at rising cost) —
+  // near-isotropic synthetic vectors are PQ's worst case, so the
+  // probe, not a textbook default, picked the config
+  private val PqM = 8 // sub-spaces
+  private val PqK = 16 // centroids per sub-space codebook
+  private val PqIters = 1
+  private val PqDim = 64
+
+  /** Product-quantization ANN (ADC, spherical) — the MEMORY-bound
+    * scale path next to IVF's compute-bound one: corpus stored as
+    * [[PqM]] one-byte codes (64× compression), queries exact, ranking
+    * against the reconstructed corpus. Codebooks, encoding,
+    * reconstruction and ranking all replay CTE-by-CTE in the oracle
+    * (per-sub-space deterministic Lloyd's via the tagged
+    * [[lloydCentroidCtes]]); recall vs brute force is asserted in
+    * DedupOpsSpec.
+    */
+  val q_ann_pq = QueryDef(
+    "q_ann_pq", {
+      val subDim = PqDim / PqM
+      val subs = (0 until PqM).map { s =>
+        s"""sub$s AS (
+           |  SELECT vec_id, vd[${s * subDim + 1}:${(s + 1) * subDim}] AS vd
+           |  FROM c)""".stripMargin
+      }.mkString(",\n")
+      val lloyds = (0 until PqM)
+        .map(s => lloydCentroidCtes(PqK, PqIters, src = s"sub$s", tag = s"s$s"))
+        .mkString(",\n")
+      val encs = (0 until PqM).map { s =>
+        s"""cb$s AS (
+           |  SELECT j, cv, sqrt(list_dot_product(cv, cv)) AS cn
+           |  FROM s${s}c$PqIters),
+           |enc$s AS (
+           |  SELECT vec_id, j AS code FROM (
+           |    SELECT v.vec_id, b.j,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |        list_dot_product(v.vd, b.cv)
+           |          / (sqrt(list_dot_product(v.vd, v.vd)) * b.cn) DESC,
+           |        b.j) AS r
+           |    FROM sub$s v CROSS JOIN cb$s b) t WHERE r = 1)""".stripMargin
+      }.mkString(",\n")
+      val reconJoin = (0 until PqM).map(s =>
+        s"JOIN enc$s e$s ON e$s.vec_id = c.vec_id " +
+          s"JOIN s${s}c$PqIters r$s ON r$s.j = e$s.code").mkString("\n  ")
+      val reconList = (1 until PqM).foldLeft("r0.cv")((acc, s) =>
+        s"list_concat($acc, r$s.cv)")
+      s"""WITH v AS (SELECT vec_id, $vd AS vd FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id < 10),
+         |c AS (SELECT * FROM v WHERE vec_id >= 10),
+         |$subs,
+         |$lloyds,
+         |$encs,
+         |recon AS (
+         |  SELECT c.vec_id, $reconList AS rv
+         |  FROM c
+         |  $reconJoin),
+         |nq AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM q),
+         |nc AS (SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS nrm
+         |       FROM recon),
+         |scored AS (
+         |  SELECT nq.vec_id AS query_id, nc.vec_id AS neighbor_id,
+         |    list_dot_product(nq.vd, nc.rv) / (nq.nrm * nc.nrm) AS cos
+         |  FROM nq JOIN nc ON nq.vec_id <> nc.vec_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.pqTopK(
+      emb.filter(col("vec_id") < 10),
+      emb.filter(col("vec_id") >= 10),
+      "vec_id", "embedding", k = 5,
+      subspaces = PqM, codebookSize = PqK, learnIters = PqIters, dim = PqDim)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf)
+    q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
+    q_ann_pq)
 }
