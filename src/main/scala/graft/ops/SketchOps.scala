@@ -90,6 +90,85 @@ object SketchOps {
           col("n_exact").cast("double"), 4).as("rel_err"))
   }
 
+  // ------------------------------------------------- count-min sketch
+
+  val CmsD = 4 // hash rows
+  val CmsW = 1024 // counters per row
+
+  /** Count-min heavy-hitter estimation over the corpus word stream:
+    * build the d×w counter sketch (portable Mersenne-family hashes,
+    * pure integer SUMs — order-free by construction), then read back
+    * the exact top-`topK` words' estimates as `min` over their d
+    * counters. Output: (word, n_exact, n_cms, overestimate), where
+    * `n_cms >= n_exact` ALWAYS (the CMS one-sided guarantee — asserted
+    * in the spec) and the overestimate is the collision mass the
+    * d·w sketch admits at this stream size.
+    *
+    * Scale shape: the sketch table is AT MOST d·w rows regardless of
+    * input (partial map-side SUMs; one shuffle of counter partials);
+    * the read-back joins the top-k words against d·k counter cells.
+    * This is the bounded-memory frequency layer a 100 TB pipeline
+    * uses where exact per-token counts would need a vocabulary-sized
+    * shuffle.
+    */
+  def cmsTopWords(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val words = docs.select(
+      explode(TextOps.words(col(textCol))).as("w"))
+    // portable per-row word hash, re-mixed per sketch row with the
+    // MinHash a/b family (DedupOps constants) — independent-ish rows
+    val h0 = TextOps.wordHash(col("w")) % Mersenne
+    val rowIdx = (d: Int) =>
+      ((lit(DedupOps.hashA(d)) * h0 + lit(DedupOps.hashB(d))) % Mersenne) % CmsW
+    val cells = (0 until CmsD).map(d =>
+      struct(lit(d).as("d"), rowIdx(d).as("idx")))
+    val sketch = words
+      .select(explode(array(cells: _*)).as("c"))
+      .groupBy(col("c.d").as("d"), col("c.idx").as("idx"))
+      .agg(count(lit(1)).as("cnt"))
+    val exactTop = words.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("w"))
+      .limit(topK)
+    val probes = exactTop.select(col("w"), col("n_exact"),
+      explode(array((0 until CmsD).map(d =>
+        struct(lit(d).as("d"), rowIdx(d).as("idx"))): _*)).as("c"))
+      .select(col("w"), col("n_exact"), col("c.d"), col("c.idx"))
+    probes.join(sketch, Seq("d", "idx"))
+      .groupBy(col("w"), col("n_exact"))
+      .agg(min(col("cnt")).as("n_cms"))
+      .select(col("w"), col("n_exact"), col("n_cms"),
+        (col("n_cms") - col("n_exact")).as("overestimate"))
+  }
+
+  /** DuckDB oracle for [[cmsTopWords]] over `documents`. */
+  def cmsTopWordsOracleSql(topK: Int): String = {
+    val h0 = s"(${TextOps.wordHashSql("w")}) % $Mersenne"
+    def rowIdx(d: Int) =
+      s"((${DedupOps.hashA(d)} * h0 + ${DedupOps.hashB(d)}) % $Mersenne) % $CmsW"
+    val cellRows = (0 until CmsD).map(d =>
+      s"SELECT $d AS d, ${rowIdx(d)} AS idx FROM wh").mkString("\n  UNION ALL ")
+    val probeRows = (0 until CmsD).map(d =>
+      s"SELECT w, n_exact, $d AS d, ${rowIdx(d)} AS idx FROM topw")
+      .mkString("\n  UNION ALL ")
+    s"""WITH wordsx AS (
+       |  SELECT unnest(${TextOps.wordsSql("text")}) AS w FROM documents),
+       |wh AS (SELECT w, $h0 AS h0 FROM wordsx),
+       |cells AS (
+       |  $cellRows),
+       |sketch AS (
+       |  SELECT d, idx, COUNT(*) AS cnt FROM cells GROUP BY d, idx),
+       |topw AS (
+       |  SELECT w, h0, COUNT(*) AS n_exact FROM wh GROUP BY w, h0
+       |  ORDER BY n_exact DESC, w LIMIT $topK),
+       |probes AS (
+       |  $probeRows)
+       |SELECT p.w, p.n_exact, MIN(s.cnt) AS n_cms,
+       |  MIN(s.cnt) - p.n_exact AS overestimate
+       |FROM probes p JOIN sketch s ON s.d = p.d AND s.idx = p.idx
+       |GROUP BY p.w, p.n_exact
+       |ORDER BY p.n_exact DESC, p.w""".stripMargin
+  }
+
   /** DuckDB oracle for [[hllDistinct]]. */
   def hllDistinctOracleSql(table: String, groupCol: String, keyCol: String): String = {
     val h0 = TextOps.polyHashSql(s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 8)", 8)

@@ -373,8 +373,21 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Count-min-sketch heavy hitters: the exact top-20 words read back
+    * through the d×w counter sketch ([[graft.ops.SketchOps]]) — a
+    * bounded-memory frequency layer whose one-sided guarantee
+    * (estimate >= truth) and collision overestimate are both part of
+    * the certified output. Sketch size is d·w rows at ANY corpus
+    * size. */
+  val q_cms_topwords = QueryDef(
+    "q_cms_topwords",
+    graft.ops.SketchOps.cmsTopWordsOracleSql(20)) { (spark, dir) =>
+    graft.ops.SketchOps.cmsTopWords(Tables.documents(spark, dir), "text", 20)
+      .orderBy(col("n_exact").desc, col("w"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_top_words, q_text_quality, q_token_stats, q_lang_stats, q_doc_hashes,
     q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords, q_quality_model,
-    q_repetition)
+    q_repetition, q_cms_topwords)
 }

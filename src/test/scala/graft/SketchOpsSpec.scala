@@ -32,6 +32,26 @@ class SketchOpsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("CMS estimates are one-sided (>= truth) for EVERY word, tight for heavy hitters") {
+    val rows = SketchOps.cmsTopWords(docs, "text", topK = 100000).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS undercounted '${r.getString(0)}': ${r.getLong(2)} < ${r.getLong(1)}")
+    }
+    // classic CMS bound: overestimate <= e/w * stream length with
+    // probability 1 - e^-d per word; check the top-20 stay within a
+    // loose multiple of that expectation
+    val streamLen = rows.map(_.getLong(1)).sum
+    val bound = 8.0 * streamLen / SketchOps.CmsW
+    rows.sortBy(-_.getLong(1)).take(20).foreach { r =>
+      assert(r.getLong(3) <= bound,
+        s"'${r.getString(0)}' overestimate ${r.getLong(3)} > $bound")
+    }
+  }
+
   test("HLL counts a disjoint union as the merged register state") {
     // sketch mergeability: computing over the union equals computing
     // over parts and MAX-merging registers — here certified end-to-end
