@@ -146,24 +146,32 @@ object DedupOps {
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding over a signature table → distinct candidate pairs
-    * (doc_a < doc_b). Band bucket = the band's raw minhash longs as
-    * join keys (no string concat: equality of the longs ⇔ equality of
-    * the concatenated bucket string the oracle renders, and long-tuple
+  private val bandKeys: Seq[String] =
+    Seq("band") ++ (0 until RowsPerBand).map(r => s"b$r")
+
+  /** Exploded (id, band, bucket-keys…) table of a signature table.
+    * Band bucket = the band's raw minhash longs as join keys (no
+    * string concat: equality of the longs ⇔ equality of the
+    * concatenated bucket string the oracle renders, and long-tuple
     * hashing shuffles less than decimal strings).
     */
-  private def lshCandidatePairs(sig: DataFrame): DataFrame = {
+  private def bandBuckets(sig: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { j =>
       val ms = (j * RowsPerBand until (j + 1) * RowsPerBand).zipWithIndex
         .map { case (i, r) => col(s"m$i").as(s"b$r") }
       struct((lit(j).as("band") +: ms): _*)
     }
-    val keys = Seq("band") ++ (0 until RowsPerBand).map(r => s"b$r")
-    val buckets = sig
+    sig
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select((col("id") +: keys.map(k => col(s"bb.$k"))): _*)
+      .select((col("id") +: bandKeys.map(k => col(s"bb.$k"))): _*)
+  }
+
+  /** LSH banding over a signature table → distinct candidate pairs
+    * (doc_a < doc_b). */
+  private def lshCandidatePairs(sig: DataFrame): DataFrame = {
+    val buckets = bandBuckets(sig)
     buckets.as("x").join(buckets.as("y"),
-        keys.map(k => col(s"x.$k") === col(s"y.$k"))
+        bandKeys.map(k => col(s"x.$k") === col(s"y.$k"))
           .reduce(_ && _) && col("x.id") < col("y.id"))
       .select(col("x.id").as("doc_a"), col("y.id").as("doc_b"))
       .distinct()
@@ -526,6 +534,117 @@ object DedupOps {
        |JOIN sz za ON za.id = c.doc_a
        |JOIN sz zb ON zb.id = c.doc_b
        |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ------------------------------------------------ incremental dedup
+
+  /** INCREMENTAL near-dup check of a new batch against an existing
+    * index corpus — the production shape of dedup at 100 TB (a daily
+    * crawl is checked against the historical index; the index is
+    * never self-joined again). `isNew` splits the corpus; semantics:
+    *
+    *  - the df-cap (discriminative shingles) is computed on the INDEX
+    *    side only — the index defines what is discriminative, a new
+    *    batch must not shift it;
+    *  - candidates are the ASYMMETRIC band-bucket join new × index
+    *    (never new × new or index × index — exactly the saved work);
+    *  - each new doc reports its single BEST index match (highest
+    *    verified Jaccard, ties to the lowest index id) at or above
+    *    the threshold.
+    *
+    * Output: (new_id, match_id, jaccard). Work is linear in the batch
+    * at a fixed index: batch shingles + bucket probes + per-candidate
+    * verification.
+    *
+    * Cache contract: as [[minhashNearDuplicates]] — call
+    * [[Reuse.releaseAllCaches]] between jobs in long-lived sessions.
+    */
+  def incrementalNearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      isNew: Column, threshold: Double): DataFrame = {
+    val ids = docs.select(col(idCol).as("id"), isNew.as("is_new"))
+    val st = shingleTable(docs, idCol, textCol)
+    val rare = st.join(ids.filter(!col("is_new")), "id")
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxDf)
+      .select(col("h"))
+    val sh = Reuse.materialized(
+      st.join(rare, "h").select(col("id"), col("h")))
+    val sig = sigFromShingles(sh).join(ids, "id")
+    val bN = bandBuckets(sig.filter(col("is_new")).drop("is_new"))
+    val bI = bandBuckets(sig.filter(!col("is_new")).drop("is_new"))
+    val cand = bN.as("n").join(bI.as("i"),
+        bandKeys.map(k => col(s"n.$k") === col(s"i.$k")).reduce(_ && _))
+      .select(col("n.id").as("new_id"), col("i.id").as("match_id"))
+      .distinct()
+    val inter = cand
+      .join(sh.select(col("id").as("new_id"), col("h")), "new_id")
+      .join(sh.select(col("id").as("match_id"), col("h")), Seq("match_id", "h"))
+      .groupBy(col("new_id"), col("match_id"))
+      .agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val verified = inter
+      .join(sz.withColumnRenamed("id", "new_id").withColumnRenamed("n", "na"), "new_id")
+      .join(sz.withColumnRenamed("id", "match_id").withColumnRenamed("n", "nb"), "match_id")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+    val w = Window.partitionBy(col("new_id"))
+      .orderBy(col("jaccard").desc, col("match_id"))
+    verified
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("new_id"), col("match_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** DuckDB oracle for [[incrementalNearDuplicates]] over `documents`
+    * with `isNewSql` as the split predicate on `doc_id`.
+    */
+  def incrementalOracleSql(isNewSql: String, threshold: Double): String = {
+    val mins = (0 until K).map(i =>
+      s"MIN((${hashA(i)} * (h % $P) + ${hashB(i)}) % $P) AS m$i").mkString(",\n    ")
+    def bucketRows(src: String) = (0 until Bands).map { j =>
+      val ms = (j * RowsPerBand until (j + 1) * RowsPerBand).map(i => s"CAST(m$i AS VARCHAR)")
+      s"SELECT id, $j AS band, concat_ws('_', ${ms.mkString(", ")}) AS bucket FROM $src"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sh0 AS (
+       |  ${shingleTableSql("documents", "doc_id", "text")}),
+       |ids AS (SELECT doc_id AS id, ($isNewSql) AS is_new FROM documents),
+       |rare AS (
+       |  SELECT h FROM sh0 JOIN ids USING (id)
+       |  WHERE NOT is_new GROUP BY h HAVING COUNT(*) <= $MaxDf),
+       |sh AS (SELECT sh0.id, sh0.h FROM sh0 JOIN rare USING (h)),
+       |sig AS (
+       |  SELECT id, $mins
+       |  FROM sh GROUP BY id),
+       |sigN AS (SELECT sig.* FROM sig JOIN ids USING (id) WHERE is_new),
+       |sigI AS (SELECT sig.* FROM sig JOIN ids USING (id) WHERE NOT is_new),
+       |bN AS (
+       |  ${bucketRows("sigN")}),
+       |bI AS (
+       |  ${bucketRows("sigI")}),
+       |cand AS (
+       |  SELECT DISTINCT n.id AS new_id, i.id AS match_id
+       |  FROM bN n JOIN bI i ON n.band = i.band AND n.bucket = i.bucket),
+       |inter AS (
+       |  SELECT a.id AS new_id, b.id AS match_id, COUNT(*) AS inter
+       |  FROM sh a JOIN sh b ON a.h = b.h
+       |  WHERE EXISTS (SELECT 1 FROM cand c
+       |    WHERE c.new_id = a.id AND c.match_id = b.id)
+       |  GROUP BY 1, 2),
+       |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+       |verified AS (
+       |  SELECT i.new_id, i.match_id,
+       |    CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+       |  FROM inter i
+       |  JOIN sz sa ON sa.id = i.new_id
+       |  JOIN sz sb ON sb.id = i.match_id
+       |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= $threshold)
+       |SELECT new_id, match_id, ROUND(jaccard, 4) AS jaccard FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+       |    ORDER BY jaccard DESC, match_id) AS rn
+       |  FROM verified) t WHERE rn = 1
+       |ORDER BY new_id""".stripMargin
   }
 
   // ------------------------------------ segment-level ("line") dedup

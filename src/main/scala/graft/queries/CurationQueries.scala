@@ -554,9 +554,43 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic train/val/test split (80/10/10 by multiplicative
+    * id-hash bucket — the same overflow-safe `(id % p) * C % p` used
+    * by the samplers, so assignment is reproducible on any engine and
+    * stable under re-partitioning). Output is the split MANIFEST a
+    * pipeline stores next to the data: doc + token counts and an
+    * order-free id checksum per split — enough to audit that a later
+    * rerun produced the identical partition without comparing id
+    * lists. */
+  val q_dataset_split = QueryDef(
+    "q_dataset_split",
+    s"""WITH b AS (
+       |  SELECT doc_id,
+       |    (((doc_id % 1000003) * 2654435761) % 1000003) % 10 AS bucket,
+       |    len(${graft.ops.TextOps.wordsSql("text")}) AS n_tokens
+       |  FROM documents)
+       |SELECT CASE WHEN bucket < 8 THEN 'train'
+       |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       |FROM b GROUP BY 1 ORDER BY split""".stripMargin) { (spark, dir) =>
+    val bucket = ((col("doc_id") % 1000003L) * 2654435761L) % 1000003L % 10
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+          .as("split"),
+        size(graft.ops.TextOps.words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("split"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_contamination, q_mix_rates,
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
-    q_pii_scrub, q_soft_dedup_sample, q_bigram_lm)
+    q_pii_scrub, q_soft_dedup_sample, q_bigram_lm, q_dataset_split)
 }

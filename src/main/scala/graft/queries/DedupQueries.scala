@@ -90,6 +90,19 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup — a "new batch" (every 5th doc) checked against
+    * the index corpus (the rest): asymmetric band-bucket candidates
+    * (never new×new or index×index), index-defined df-cap, best index
+    * match per new doc. The production daily-crawl shape. */
+  val q_incremental_dedup = QueryDef(
+    "q_incremental_dedup",
+    DedupOps.incrementalOracleSql("doc_id % 5 = 4", 0.8)) { (spark, dir) =>
+    DedupOps.incrementalNearDuplicates(
+      Tables.documents(spark, dir), "doc_id", "text",
+      isNew = col("doc_id") % 5 === 4, threshold = 0.8)
+      .orderBy(col("new_id"))
+  }
+
   /** End-to-end training-corpus cleaning: quality gate (>= 20 tokens)
     * → exact dedup (min-id winner per content hash) → near-duplicate
     * removal (MinHash-LSH pairs at 0.8; the higher id of each pair
@@ -169,6 +182,7 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(
     q_dedup_exact, q_minhash_lsh, q_simhash, q_ngram_jaccard,
-    q_containment_pairs, q_minhash_est, q_segment_dedup, q_clean_corpus,
+    q_containment_pairs, q_minhash_est, q_segment_dedup,
+    q_incremental_dedup, q_clean_corpus,
     q_dedup_decisions)
 }

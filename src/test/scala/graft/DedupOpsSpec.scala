@@ -88,6 +88,35 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(out(1).getString(3) === md5hex("kk ll mm nn oo pp qq rr ss tt"))
   }
 
+  test("incremental dedup = symmetric pairs restricted to cross-split, best match per new doc") {
+    val isNew = col("doc_id") % 5 === 4
+    val newIds = docs.filter(isNew).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val inc = DedupOps.incrementalNearDuplicates(
+      docs, "doc_id", "text", isNew, 0.8).collect()
+    // one row per new doc at most, match always from the index side
+    assert(inc.map(_.getLong(0)).distinct.length === inc.length)
+    inc.foreach { r =>
+      assert(newIds.contains(r.getLong(0)))
+      assert(!newIds.contains(r.getLong(1)))
+      assert(r.getDouble(2) >= 0.8)
+    }
+    // every symmetric near-dup pair that straddles the split must be
+    // found (the df-cap differs — index-only vs global — so compare
+    // against pairs whose jaccard stays >= threshold under either
+    // cap; at 0.95 planted pairs are robustly above both)
+    val sym = DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.95)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => newIds.contains(a) ^ newIds.contains(b) }
+    val found = inc.map(r => (r.getLong(0), r.getLong(1))).toSet
+    sym.foreach { case (a, b) =>
+      val (n, i) = if (newIds.contains(a)) (a, b) else (b, a)
+      assert(found.exists(p => p._1 == n),
+        s"cross-split pair ($n,$i) missed by incremental path")
+    }
+  }
+
   test("simhash chunk blocking is exact at radius < chunks") {
     val sh = DedupOps.simhash(docs, "doc_id", "text")
     val allPairs = sh.as("a").join(sh.as("b"), col("a.id") < col("b.id"))
