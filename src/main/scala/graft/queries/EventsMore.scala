@@ -380,8 +380,35 @@ object EventsMore {
         .orderBy(col("event_type"))
   }
 
+  /** Distribution-position window functions (PERCENT_RANK/CUME_DIST)
+    * over daily spend per event type — the remaining §2.5 ranking
+    * family members beyond rank/dense_rank/ntile (q_value_ranks).
+    * Both are exact small-integer ratios, so the doubles are
+    * bit-identical across engines. */
+  val q_rank_dist = QueryDef(
+    "q_rank_dist",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    ROUND(SUM(value), 2) AS total
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, total,
+      |  ROUND(PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY total), 6)
+      |    AS pct_rank,
+      |  ROUND(CUME_DIST() OVER (PARTITION BY event_type ORDER BY total), 6)
+      |    AS cdist
+      |FROM daily ORDER BY event_type, day""".stripMargin) { (spark, dir) =>
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(round(sum(col("value")), 2).as("total"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("total"))
+    daily.select(col("event_type"), col("day"), col("total"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
-    q_rollup_counts, q_asof_join, q_hll_distinct)
+    q_rollup_counts, q_asof_join, q_hll_distinct, q_rank_dist)
 }

@@ -263,6 +263,35 @@ object Relational {
       .orderBy(col("nationkey"))
   }
 
+  /** MULTISET set operations (§2.7 completion): INTERSECT ALL /
+    * EXCEPT ALL over the part-key bags of returned ('R') vs accepted
+    * ('A') lineitems — duplicate-preserving semantics that the
+    * DISTINCT set ops (q_key_accounts_union, q_nations_customers_only)
+    * cannot express. Certified via per-op row/distinct counts. */
+  val q_multiset_ops = QueryDef(
+    "q_multiset_ops",
+    """WITH ra AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+      |aa AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+      |i AS (SELECT * FROM ra INTERSECT ALL SELECT * FROM aa),
+      |e AS (SELECT * FROM ra EXCEPT ALL SELECT * FROM aa)
+      |SELECT 'except_all' AS op, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT l_partkey) AS n_parts FROM e
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, COUNT(*) AS n_rows,
+      |  COUNT(DISTINCT l_partkey) AS n_parts FROM i
+      |ORDER BY op""".stripMargin) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val ra = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+    val aa = li.filter(col("l_returnflag") === "A").select(col("l_partkey"))
+    def counts(df: org.apache.spark.sql.DataFrame, op: String) =
+      df.agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("l_partkey")).as("n_parts"))
+        .select(lit(op).as("op"), col("n_rows"), col("n_parts"))
+    counts(ra.exceptAll(aa), "except_all")
+      .unionByName(counts(ra.intersectAll(aa), "intersect_all"))
+      .orderBy(col("op"))
+  }
+
   /** Shipping-priority shape (TPC-H Q3 flavor): customer⨝orders⨝
     * lineitem with selective filters on both fact sides, revenue
     * aggregate, top-10. Exercises multi-join ordering + partial
@@ -402,5 +431,6 @@ object Relational {
     q_revenue_by_priority, q_customers_no_orders, q_parts_shipped_1999,
     q_price_tiers, q_order_size_classes, q_lineitem_stats,
     q_distinct_parts_per_status, q_key_accounts_union, q_nations_customers_only,
+    q_multiset_ops,
     q_shipping_priority, q_region_volume, q_bbox_lookup, q_brand_prefix_join)
 }

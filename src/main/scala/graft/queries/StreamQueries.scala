@@ -203,6 +203,68 @@ object StreamQueries {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** FULL-OUTER stream–stream interval join — both unmatched sides
+    * emit: purchases with no click in their preceding 30 minutes
+    * (evictable at `pts < wm`, as the left-outer query), and clicks
+    * followed by no purchase within 30 minutes — whose state lives
+    * 30 minutes LONGER: a click can still match a future purchase
+    * until `cts + 30min` passes the watermark, so its null row emits
+    * only when `cts < wm - 30min`. The two sides' different eviction
+    * horizons are exactly the join-interval asymmetry, and the oracle
+    * encodes both.
+    */
+  val q_stream_join_full = QueryDef(
+    "q_stream_join_full",
+    """WITH wm AS (
+      |  SELECT make_timestamp((LEAST(
+      |      epoch_us(MAX(CASE WHEN event_type = 'click'
+      |        THEN CAST(ts AS TIMESTAMP) END)),
+      |      epoch_us(MAX(CASE WHEN event_type = 'purchase'
+      |        THEN CAST(ts AS TIMESTAMP) END))) // 1000) * 1000)
+      |    - INTERVAL 1 HOUR AS w
+      |  FROM events),
+      |clicks AS (
+      |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |purch AS (
+      |  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT c.click_id, p.purchase_id, p.user_id
+      |FROM purch p JOIN clicks c ON c.user_id = p.user_id
+      |  AND c.cts BETWEEN p.pts - INTERVAL 30 MINUTE AND p.pts
+      |UNION ALL
+      |SELECT -1 AS click_id, p.purchase_id, p.user_id
+      |FROM purch p, wm
+      |WHERE p.pts < wm.w AND NOT EXISTS (
+      |  SELECT 1 FROM clicks c WHERE c.user_id = p.user_id
+      |    AND c.cts BETWEEN p.pts - INTERVAL 30 MINUTE AND p.pts)
+      |UNION ALL
+      |SELECT c.click_id, -1 AS purchase_id, c.user_id
+      |FROM clicks c, wm
+      |WHERE c.cts < wm.w - INTERVAL 30 MINUTE AND NOT EXISTS (
+      |  SELECT 1 FROM purch p WHERE p.user_id = c.user_id
+      |    AND c.cts BETWEEN p.pts - INTERVAL 30 MINUTE AND p.pts)
+      |ORDER BY purchase_id, click_id""".stripMargin) { (spark, dir) =>
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val joined = StreamingOps.intervalJoin(
+      purchases, clicks, "purchase_ts", "click_ts",
+      "user_id", "c_user", before = "30 MINUTES", watermark = "1 hour",
+      joinType = "fullOuter")
+    StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(joined, OutputMode.Append())
+    }
+      .select(coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("user_id"), col("c_user")).as("user_id"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** Native streaming sessionization: `session_window` with a
     * 30-minute gap per user, append mode — sessions emit when the
     * watermark passes their end (last event + gap). Oracle: the batch
@@ -254,6 +316,6 @@ object StreamQueries {
 
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
-    q_stream_join, q_stream_join_outer,
+    q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions)
 }
