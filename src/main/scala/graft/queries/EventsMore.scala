@@ -407,8 +407,52 @@ object EventsMore {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Robust statistics per event type: median, MAD (median absolute
+    * deviation) and the p05/p95-winsorized mean — the outlier-immune
+    * profile a data-quality monitor keys on where plain mean/stddev
+    * are skew-hostage. MAD needs the median joined back (two
+    * aggregation passes, the unavoidable shape); the winsorized mean
+    * follows the repo float policy (clip, micro-quantize per term,
+    * order-free integer SUM, floor-quantized ratio).
+    */
+  val q_robust_stats = QueryDef(
+    "q_robust_stats",
+    """WITH q AS (
+      |  SELECT event_type,
+      |    quantile_cont(value, 0.5) AS med,
+      |    quantile_cont(value, 0.05) AS p05,
+      |    quantile_cont(value, 0.95) AS p95
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT e.event_type, q.med,
+      |    ABS(e.value - q.med) AS adev,
+      |    LEAST(GREATEST(e.value, q.p05), q.p95) AS wv
+      |  FROM events e JOIN q USING (event_type))
+      |SELECT event_type,
+      |  ROUND(MAX(med), 4) AS p50,
+      |  ROUND(quantile_cont(adev, 0.5), 4) AS mad,
+      |  FLOOR((CAST(SUM(CAST(FLOOR(wv * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / COUNT(*)) / 100 + 0.5) / 10000 AS wins_mean
+      |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val q = ev.groupBy(col("event_type")).agg(
+      percentile(col("value"), lit(0.5)).as("med"),
+      percentile(col("value"), lit(0.05)).as("p05"),
+      percentile(col("value"), lit(0.95)).as("p95"))
+    val d = ev.join(q, "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("value") - col("med")).as("adev"),
+        least(greatest(col("value"), col("p05")), col("p95")).as("wv"))
+    d.groupBy(col("event_type")).agg(
+      round(max(col("med")), 4).as("p50"),
+      round(percentile(col("adev"), lit(0.5)), 4).as("mad"),
+      (floor((sum(floor(col("wv") * 1000000 + 0.5).cast("long")).cast("double")
+        / count(lit(1))) / 100 + 0.5) / 10000).as("wins_mean"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
-    q_rollup_counts, q_asof_join, q_hll_distinct, q_rank_dist)
+    q_rollup_counts, q_asof_join, q_hll_distinct, q_rank_dist, q_robust_stats)
 }

@@ -265,6 +265,49 @@ object StreamQueries {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Event-time alert throttling (refractory dedup): per
+    * (user, event_type), emit only events >= 6 event-time hours after
+    * the last EMITTED one — greedy, order-sensitive semantics that no
+    * plain window expresses (each emission resets the clock), so the
+    * oracle replays it with a RECURSIVE CTE stepping the per-key
+    * event sequence. Engine side: flatMapGroupsWithState with
+    * EventTimeTimeout — the state expires by watermark, the
+    * processing-time-TTL sibling of q_stream_dedup completed with the
+    * event-time variant.
+    */
+  val q_stream_throttle = QueryDef(
+    "q_stream_throttle",
+    """WITH RECURSIVE ranked AS (
+      |  SELECT user_id, event_type, event_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn
+      |  FROM events),
+      |rec AS (
+      |  SELECT user_id, event_type, event_id, us, rn, us AS last_emit,
+      |    TRUE AS emitted
+      |  FROM ranked WHERE rn = 1
+      |  UNION ALL
+      |  SELECT x.user_id, x.event_type, x.event_id, x.us, x.rn,
+      |    CASE WHEN x.us >= r.last_emit + 21600000000 THEN x.us
+      |         ELSE r.last_emit END,
+      |    x.us >= r.last_emit + 21600000000
+      |  FROM ranked x JOIN rec r ON x.user_id = r.user_id
+      |    AND x.event_type = r.event_type AND x.rn = r.rn + 1)
+      |SELECT user_id, event_type, event_id, us AS ts_us
+      |FROM rec WHERE emitted
+      |ORDER BY user_id, event_type, ts_us, event_id""".stripMargin) { (spark, dir) =>
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val throttled = StreamingOps.streamingThrottle(
+      spark, stream, ttlUs = 6L * 3600 * 1000000)
+    StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(throttled, OutputMode.Append())
+    }
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts_us"))
+      .orderBy(col("user_id"), col("event_type"), col("ts_us"), col("event_id"))
+  }
+
   /** Native streaming sessionization: `session_window` with a
     * 30-minute gap per user, append mode — sessions emit when the
     * watermark passes their end (last event + gap). Oracle: the batch
@@ -317,5 +360,5 @@ object StreamQueries {
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
-    q_stream_sessions)
+    q_stream_sessions, q_stream_throttle)
 }

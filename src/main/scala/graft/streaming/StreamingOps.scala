@@ -171,6 +171,67 @@ object StreamingOps {
       Iterator.single(Keyed(hash, minId))
     }
 
+  /** Event-time alert THROTTLING (refractory dedup): per key, emit an
+    * event only if it is at least `ttlUs` event-time microseconds
+    * after the LAST EMITTED event of that key — the rate-limit every
+    * alerting pipeline puts in front of a pager (the reference's
+    * alert extraction M7 has no such guard; its consumers re-emit
+    * every batch). State = last emitted event time per key, expired
+    * through `GroupStateTimeout.EventTimeTimeout` when the watermark
+    * passes last + ttl — so state is bounded by the watermark, not by
+    * key cardinality history.
+    *
+    * Batch rows of a key are processed in (event time, id) order, so
+    * a bounded drain is deterministic and equals the greedy
+    * recursive-scan semantics the oracle's RECURSIVE CTE replays.
+    * Per-group sort cost is bounded by rows-per-key-per-micro-batch
+    * (small in any real trigger interval).
+    */
+  case class ThrottleRow(
+      user_id: Long, event_type: String, event_id: Long,
+      ts: java.sql.Timestamp, ts_us: Long)
+
+  def streamingThrottle(
+      spark: SparkSession, events: DataFrame, ttlUs: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .as[ThrottleRow]
+      .groupByKey(r => (r.user_id, r.event_type))
+      .flatMapGroupsWithState[Long, ThrottleRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        throttleStep(ttlUs))
+      .toDF()
+  }
+
+  /** Per-key transition, factored out for unit tests. State: last
+    * emitted event-time micros. */
+  private[graft] def throttleStep(ttlUs: Long)(
+      key: (Long, String), rows: Iterator[ThrottleRow],
+      state: GroupState[Long]): Iterator[ThrottleRow] =
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val sorted = rows.toIndexedSeq.sortBy(r => (r.ts_us, r.event_id))
+      var last = state.getOption.getOrElse(Long.MinValue)
+      val out = sorted.filter { r =>
+        val emit = last == Long.MinValue || r.ts_us >= last + ttlUs
+        if (emit) last = r.ts_us
+        emit
+      }
+      if (last != Long.MinValue) {
+        state.update(last)
+        // expire once no future event can be throttled against this
+        // state: watermark past last + ttl
+        state.setTimeoutTimestamp(last / 1000 + ttlUs / 1000)
+      }
+      out.iterator
+    }
+
   /** Stream–stream interval inner join: each `left` row matches
     * `right` rows with the same key whose event time falls in
     * [leftTime - before, leftTime]. Watermarks on BOTH sides bound the

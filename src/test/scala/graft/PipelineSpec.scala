@@ -69,6 +69,26 @@ class PipelineSpec extends AnyFunSuite {
     // timeout: state trimmed, nothing emitted
     val s3 = new FakeState { value = Some(3L); timedOut = true }
     assert(step("h", Iterator.empty, s3).isEmpty && s3.removed)
+
+    // event-time throttle transition: greedy refractory scan, each
+    // emission resets the clock; out-of-order batch rows are sorted
+    import StreamingOps.ThrottleRow
+    def tr(id: Long, us: Long) =
+      ThrottleRow(1L, "error", id, new java.sql.Timestamp(us / 1000), us)
+    val tstep = StreamingOps.throttleStep(100L) _
+    val s4 = new FakeState
+    val out4 = tstep((1L, "error"),
+      Iterator(tr(3, 250), tr(1, 0), tr(2, 99), tr(4, 100)), s4).toList
+    // sorted: 0(emit) 99(skip) 100(emit, resets) 250(emit)
+    assert(out4.map(_.event_id) === List(1L, 4L, 3L))
+    assert(s4.value.contains(250L))
+    // existing state throttles the head of the next batch
+    val s5 = new FakeState { value = Some(250L) }
+    assert(tstep((1L, "error"), Iterator(tr(5, 300)), s5).isEmpty)
+    assert(tstep((1L, "error"), Iterator(tr(6, 350)), s5).map(_.event_id).toList === List(6L))
+    // timeout branch trims state
+    val s6 = new FakeState { value = Some(9L); timedOut = true }
+    assert(tstep((1L, "error"), Iterator.empty, s6).isEmpty && s6.removed)
   }
 
   test("watermark drops late data in append-mode streaming aggregation") {
