@@ -112,6 +112,12 @@ object SketchOps {
     * shuffle.
     */
   def cmsTopWords(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    // The word stream is deliberately NOT materialized even though
+    // both the sketch build and the top-k read-back scan it: the
+    // exploded words are LARGER than the input corpus, so at 100 TB
+    // caching them costs more than the second tokenize pass
+    // (measured neutral at bench scale too — the scans, not the
+    // tokenize, dominate).
     val words = docs.select(
       explode(TextOps.words(col(textCol))).as("w"))
     // portable per-row word hash, re-mixed per sketch row with the
