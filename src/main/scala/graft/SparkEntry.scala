@@ -39,7 +39,8 @@ package queries_ {
         graft.queries.DedupQueries.all ++ graft.queries.VectorQueries.all ++
         graft.queries.ForecastQueries.all ++ graft.queries.ClusterQueries.all ++
         graft.queries.StreamQueries.all ++ graft.queries.MultimodalQueries.all ++
-        graft.queries.RelevanceQueries.all ++ graft.queries.CurationQueries.all
+        graft.queries.RelevanceQueries.all ++ graft.queries.CurationQueries.all ++
+        graft.queries.ScaleQueries.all ++ graft.queries.GraphQueries.all
       require(defs.map(_.name).distinct.size == defs.size,
         "duplicate query names: " +
           defs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }.mkString(","))

@@ -93,4 +93,56 @@ object GraphOps {
       labels
     }
   }
+
+  /** Deterministic PageRank in integer micro-units (total mass = 10^6
+    * micro), damping 0.85, a fixed iteration count — every operation
+    * is exact 64-bit integer arithmetic (`DIV`, `*`, `SUM(long)`), so
+    * the result is order-free and bit-identical to the unrolled-CTE
+    * SQL replay regardless of partitioning:
+    *
+    *   r₀(v)    = 10^6 DIV n
+    *   rₜ₊₁(v)  = (150000 DIV n)
+    *            + (85·(Σ_{u→v} rₜ(u) DIV outdeg(u) + Dₜ DIV n)) DIV 100
+    *
+    * where Dₜ = Σ rₜ over dangling (no-out-edge) nodes. Integer
+    * division sheds ≤1 micro per term — deterministic truncation, the
+    * price of cross-engine bit-equality (same policy as the LM scores
+    * and HLL sketch).
+    *
+    * Scale shape: ranks/contribs stay distributed (one shuffle per
+    * round: edges ⋈ ranks → groupBy dst); the per-round driver
+    * traffic is TWO scalars (dangling mass + nothing else) — Lloyd's
+    * k-row pattern. `localCheckpoint` per round is the sanctioned
+    * iterative-lineage exception (see [[minLabelComponents]]).
+    *
+    * @param nodes  one `id` column, every vertex (dangling included)
+    * @param edges  directed `src`,`dst` (pass both directions for an
+    *               undirected graph); parallel edges contribute twice
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty node set")
+    val teleport = 150000L / n
+
+    var ranks = nodes.select(col("id"), lit(1000000L / n).as("rank")).localCheckpoint()
+    for (_ <- 0 until iterations) {
+      val dangling = ranks.join(deg, Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+      val contribs = ranks.join(deg, "id")
+        .join(e, col("id") === col("src"))
+        .select(col("dst"), expr("rank DIV outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) +
+            expr(s"(85 * (coalesce(s, 0L) + ${dangling / n}L)) DIV 100").cast("long"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
 }
