@@ -451,8 +451,63 @@ object EventsMore {
       .orderBy(col("event_type"))
   }
 
+  /** Ordered-sequence funnel (signup → view → click → purchase): each
+    * step counts users whose earliest qualifying event strictly
+    * follows their previous step's time — the dashboard's conversion
+    * view (`app_upgraded.py` event-sequence analog) and the standard
+    * product-analytics operator the reference computes per borough.
+    * Only COUNTS leave the engine (pure integers), so the nanosecond
+    * source timestamps never cross the engine/oracle boundary. Scale
+    * shape: four shuffle-on-user aggregations, each strictly smaller
+    * than the last; no window over the full event log.
+    */
+  val q_funnel = QueryDef(
+    "q_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |  JOIN s1 ON s1.user_id = e.user_id
+      |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |  JOIN s2 ON s2.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id),
+      |s4 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |  JOIN s3 ON s3.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id)
+      |SELECT 1 AS step, 'signup' AS event_type,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
+      |UNION ALL SELECT 2, 'view', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+      |UNION ALL SELECT 3, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+      |UNION ALL SELECT 4, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s4)
+      |ORDER BY step""".stripMargin) { (spark, dir) =>
+    // four passes over events → materialize the 3-column projection once
+    val ev = graft.ops.Reuse.materialized(
+      Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts")))
+    def nextStep(prev: org.apache.spark.sql.DataFrame, typ: String) =
+      ev.filter(col("event_type") === typ)
+        .join(prev.select(col("user_id"), col("t").as("tprev")), "user_id")
+        .filter(col("ts") > col("tprev"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+    val s2 = nextStep(s1, "view")
+    val s3 = nextStep(s2, "click")
+    val s4 = nextStep(s3, "purchase")
+    def row(step: Int, typ: String, df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(typ).as("event_type"), col("n_users"))
+    row(1, "signup", s1).union(row(2, "view", s2))
+      .union(row(3, "click", s3)).union(row(4, "purchase", s4))
+      .orderBy(col("step"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
-    q_rollup_counts, q_asof_join, q_hll_distinct, q_rank_dist, q_robust_stats)
+    q_rollup_counts, q_asof_join, q_hll_distinct, q_rank_dist, q_robust_stats,
+    q_funnel)
 }

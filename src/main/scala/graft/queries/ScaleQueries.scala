@@ -45,5 +45,134 @@ object ScaleQueries {
       .orderBy(col("mon"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_bloom_join)
+  /** Mergeable log-binned quantile sketch: each value folds into one
+    * of ~16·64 integer bins (floor-log2 exponent × 16 linear sub-bins
+    * — a fixed ~6% relative-error lattice, the HdrHistogram/DDSketch
+    * shape), and quantiles read off the cumulative bin counts. The
+    * whole sketch is a map-side-combinable `groupBy(type, bin)` with
+    * CONSTANT state per group — at 100 TB this replaces the full
+    * shuffle-sort that exact `percentile()` needs with a few-KB
+    * mergeable summary per partition. Everything is 64-bit integer
+    * arithmetic: `floor(log2 v)` = `length(bin(v)) - 1` (bit-exact in
+    * both engines — no libm), shifts and masks for the sub-bin, exact
+    * integer cumulative counts for the quantile pick.
+    */
+  val q_quantile_sketch = QueryDef(
+    "q_quantile_sketch",
+    """WITH vals AS (
+      |  SELECT event_type,
+      |    GREATEST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 1) AS v
+      |  FROM events),
+      |b0 AS (SELECT event_type, v, LENGTH(bin(v)) - 1 AS e FROM vals),
+      |b1 AS (
+      |  SELECT event_type, e, (v >> GREATEST(e - 4, 0)) & 15 AS s FROM b0),
+      |bins AS (
+      |  SELECT event_type, e, s, e * 16 + s AS bin_id,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM b1 GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT *, CAST(SUM(cnt) OVER (
+      |    PARTITION BY event_type ORDER BY bin_id) AS BIGINT) AS cum
+      |  FROM bins),
+      |tot AS (
+      |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),
+      |thr AS (
+      |  SELECT t.event_type, p.pct, (t.n * p.pct + 99) // 100 AS thr
+      |  FROM tot t CROSS JOIN (SELECT * FROM (VALUES (50), (95), (99)) q(pct)) p)
+      |SELECT c.event_type, th.pct,
+      |  CAST(CASE WHEN c.e >= 4 THEN (16 + c.s) << (c.e - 4) ELSE c.s END
+      |    AS BIGINT) AS est_cents
+      |FROM thr th JOIN cum c
+      |  ON c.event_type = th.event_type
+      | AND c.cum >= th.thr AND c.cum - c.cnt < th.thr
+      |ORDER BY c.event_type, th.pct""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val bins = Tables.events(spark, dir)
+      .select(col("event_type"),
+        expr("greatest(cast(floor(value * 100 + 0.5) as bigint), 1L)").as("v"))
+      .withColumn("e", expr("length(bin(v)) - 1"))
+      .withColumn("s", expr("shiftright(v, greatest(e - 4, 0)) & 15"))
+      .groupBy(col("event_type"), col("e"), col("s"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bin_id", col("e") * 16 + col("s"))
+    val matBins = graft.ops.Reuse.materialized(bins)
+    val cum = matBins.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("bin_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pcts = { import spark.implicits._; Seq(50, 95, 99).toDF("pct") }
+    val thr = matBins.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+      .crossJoin(pcts)
+      .select(col("event_type"), col("pct"),
+        expr("(n * pct + 99) DIV 100").as("thr"))
+    cum.join(broadcast(thr), Seq("event_type"))
+      .filter(col("cum") >= col("thr") && col("cum") - col("cnt") < col("thr"))
+      .select(col("event_type"), col("pct"),
+        expr("cast(case when e >= 4 then shiftleft(16 + s, e - 4) else s end as bigint)")
+          .as("est_cents"))
+      .orderBy(col("event_type"), col("pct"))
+  }
+
+  /** Z-order (Morton) spatial layout: 16-bit-quantized 2-D points
+    * interleaved into a 32-bit z-value via the standard fixed
+    * shift-mask spread (no loops, no UDF — four mask steps per axis,
+    * exact in both engines), then aggregated per 64×64 z-tile. At
+    * 100 TB this is the write-side layout operator: sorting a table by
+    * `z` clusters spatially-near rows into the same parquet row groups
+    * so min/max column stats prune 2-D range scans — the Delta/Iceberg
+    * OPTIMIZE ZORDER primitive. The locality win is asserted
+    * quantitatively in ScaleOpsSpec (z-sorted partition bounding boxes
+    * vs id-sorted).
+    */
+  val q_zorder_tiles = QueryDef(
+    "q_zorder_tiles",
+    """WITH pts AS (
+      |  SELECT vec_id,
+      |    LEAST(GREATEST(CAST(FLOOR((CAST(embedding[1] AS DOUBLE) + 0.5) * 65536)
+      |      AS BIGINT), 0), 65535) AS xq,
+      |    LEAST(GREATEST(CAST(FLOOR((CAST(embedding[2] AS DOUBLE) + 0.5) * 65536)
+      |      AS BIGINT), 0), 65535) AS yq
+      |  FROM embeddings),
+      |sx1 AS (SELECT vec_id, yq, (xq | (xq << 8)) & 16711935 AS t FROM pts),
+      |sx2 AS (SELECT vec_id, yq, (t | (t << 4)) & 252645135 AS t FROM sx1),
+      |sx3 AS (SELECT vec_id, yq, (t | (t << 2)) & 858993459 AS t FROM sx2),
+      |sx4 AS (SELECT vec_id, yq, (t | (t << 1)) & 1431655765 AS sx FROM sx3),
+      |sy1 AS (SELECT vec_id, sx, (yq | (yq << 8)) & 16711935 AS t FROM sx4),
+      |sy2 AS (SELECT vec_id, sx, (t | (t << 4)) & 252645135 AS t FROM sy1),
+      |sy3 AS (SELECT vec_id, sx, (t | (t << 2)) & 858993459 AS t FROM sy2),
+      |sy4 AS (SELECT vec_id, sx, (t | (t << 1)) & 1431655765 AS sy FROM sy3),
+      |z AS (SELECT vec_id, sx | (sy << 1) AS z FROM sy4)
+      |SELECT z >> 20 AS tile, CAST(COUNT(*) AS BIGINT) AS n_points,
+      |  MIN(vec_id) AS first_vec
+      |FROM z GROUP BY 1 ORDER BY tile""".stripMargin) { (spark, dir) =>
+    val pts = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quant16(1).as("xq"), quant16(2).as("yq"))
+    withMortonZ(pts)
+      .groupBy(expr("shiftright(z, 20)").as("tile"))
+      .agg(count(lit(1)).as("n_points"), min(col("vec_id")).as("first_vec"))
+      .orderBy(col("tile"))
+  }
+
+  /** 16-bit grid quantization of embedding dim `dim` ∈ [-0.5, 0.5). */
+  def quant16(dim: Int): org.apache.spark.sql.Column =
+    least(greatest(
+      floor((element_at(col("embedding"), dim).cast("double") + 0.5) * 65536)
+        .cast("long"), lit(0L)), lit(65535L))
+
+  /** Adds the 32-bit Morton `z` of columns `xq`,`yq` (fixed shift-mask
+    * bit spread — pure integer column algebra, shared by the query and
+    * the locality spec).
+    */
+  def withMortonZ(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def spread(in: String, out: String)(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn(out, expr(s"($in | shiftleft($in, 8)) & 16711935"))
+        .withColumn(out, expr(s"($out | shiftleft($out, 4)) & 252645135"))
+        .withColumn(out, expr(s"($out | shiftleft($out, 2)) & 858993459"))
+        .withColumn(out, expr(s"($out | shiftleft($out, 1)) & 1431655765"))
+    spread("yq", "sy")(spread("xq", "sx")(df))
+      .withColumn("z", expr("sx | shiftleft(sy, 1)"))
+      .drop("sx", "sy")
+  }
+
+  val all: Seq[QueryDef] = Seq(q_bloom_join, q_quantile_sketch, q_zorder_tiles)
 }

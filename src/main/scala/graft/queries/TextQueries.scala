@@ -386,8 +386,67 @@ object TextQueries {
       .orderBy(col("n_exact").desc, col("w"))
   }
 
+  /** Collocation extraction: top bigrams by PMI-lift
+    * `P(w1,w2) / (P(w1)·P(w2))` with a min-support gate — the
+    * phrase-mining operator a tokenizer/vocab pipeline runs before
+    * merging multiword units. Lift (the ratio itself) is reported
+    * instead of log-PMI: identical ranking, and the score stays in
+    * exact IEEE arithmetic (two divides, one multiply — no libm).
+    * Scale: two broadcast count tables + one scalar cross join; the
+    * corpus is never shuffled twice.
+    */
+  val q_collocations = QueryDef(
+    "q_collocations", {
+      val ws = graft.ops.TextOps.wordsSql("text")
+      s"""WITH docs_ws AS (SELECT doc_id, $ws AS ws FROM documents),
+         |toks AS (SELECT unnest(ws) AS w FROM docs_ws),
+         |cu AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM toks GROUP BY w),
+         |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu FROM toks),
+         |bg AS (
+         |  SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2
+         |  FROM docs_ws CROSS JOIN UNNEST(range(1, len(ws))) t(i)),
+         |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+         |       FROM bg GROUP BY 1, 2),
+         |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM bg)
+         |SELECT w1, w2, c_ab,
+         |  FLOOR(((CAST(c_ab AS DOUBLE) / nb)
+         |    / ((CAST(a.cu AS DOUBLE) / nu) * (CAST(b.cu AS DOUBLE) / nu)))
+         |    * 10000 + 0.5) / 10000 AS lift
+         |FROM c2 JOIN cu a ON a.w = c2.w1 JOIN cu b ON b.w = c2.w2
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE c_ab >= 5
+         |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
+    }) { (spark, dir) =>
+    val docsWs = Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.ops.TextOps.words(col("text")).as("ws"))
+    val toks = graft.ops.Reuse.materialized(
+      docsWs.select(explode(col("ws")).as("w")))
+    val cu = toks.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+    val nu = toks.agg(count(lit(1)).as("nu"))
+    val bg = graft.ops.Reuse.materialized(
+      docsWs.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"))
+          .as("g"))
+        .select(col("g.w1").as("w1"), col("g.w2").as("w2")))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+    val nb = bg.agg(count(lit(1)).as("nb"))
+    c2.filter(col("c_ab") >= 5)
+      .join(broadcast(cu.withColumnRenamed("w", "w1").withColumnRenamed("cu", "cua")), "w1")
+      .join(broadcast(cu.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cub")), "w2")
+      .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        (floor(((col("c_ab").cast("double") / col("nb"))
+          / ((col("cua").cast("double") / col("nu"))
+            * (col("cub").cast("double") / col("nu"))))
+          * 10000 + 0.5) / 10000).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_top_words, q_text_quality, q_token_stats, q_lang_stats, q_doc_hashes,
     q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords, q_quality_model,
-    q_repetition, q_cms_topwords)
+    q_repetition, q_cms_topwords, q_collocations)
 }
