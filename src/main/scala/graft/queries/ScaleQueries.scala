@@ -86,16 +86,32 @@ object ScaleQueries {
       |  ON c.event_type = th.event_type
       | AND c.cum >= th.thr AND c.cum - c.cnt < th.thr
       |ORDER BY c.event_type, th.pct""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val bins = Tables.events(spark, dir)
-      .select(col("event_type"),
+    sketchQuantiles(spark,
+      sketchBins(Tables.events(spark, dir).select(col("event_type"), col("value"))))
+  }
+
+  /** The mergeable half of [[q_quantile_sketch]]: fold values into the
+    * (event_type, exponent, sub-bin) count lattice. A plain stateful
+    * `groupBy().count()` — which is exactly why it streams: micro-batch
+    * partials merge by addition.
+    */
+  def sketchBins(evs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    evs.select(col("event_type"),
         expr("greatest(cast(floor(value * 100 + 0.5) as bigint), 1L)").as("v"))
       .withColumn("e", expr("length(bin(v)) - 1"))
       .withColumn("s", expr("shiftright(v, greatest(e - 4, 0)) & 15"))
       .groupBy(col("event_type"), col("e"), col("s"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("bin_id", col("e") * 16 + col("s"))
-    val matBins = graft.ops.Reuse.materialized(bins)
+
+  /** The read-off half: cumulative bin counts → ceil-rank quantile
+    * bins → lattice lower edge, all in exact integer arithmetic.
+    */
+  def sketchQuantiles(
+      spark: org.apache.spark.sql.SparkSession,
+      bins: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matBins = graft.ops.Reuse.materialized(
+      bins.withColumn("bin_id", col("e") * 16 + col("s")))
     val cum = matBins.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy(col("event_type"))
         .orderBy(col("bin_id"))
@@ -174,5 +190,42 @@ object ScaleQueries {
       .drop("sx", "sy")
   }
 
-  val all: Seq[QueryDef] = Seq(q_bloom_join, q_quantile_sketch, q_zorder_tiles)
+  private val ProfileCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+
+  /** Table profiler — the data-quality sweep a pipeline runs before
+    * training ingestion: per column, row/null/exact-distinct counts in
+    * ONE pass over the table (Spark plans the multi-distinct via one
+    * Expand — 11 replicas of each row, map-side partials, no per-column
+    * rescans). At 100 TB the exact COUNT(DISTINCT) columns would swap
+    * to the certified HLL sketch (q_hll_distinct) — same output shape,
+    * constant memory; the exact form here doubles as its ground truth.
+    */
+  val q_table_profile = QueryDef(
+    "q_table_profile", {
+      val parts = ProfileCols.map(c =>
+        s"""  SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |    CAST(COALESCE(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END), 0)
+           |      AS BIGINT) AS n_nulls,
+           |    CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+           |  FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+      s"SELECT * FROM (\n$parts\n) ORDER BY col_name"
+    }) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val aggs = ProfileCols.flatMap(c => Seq(
+      count(lit(1)).as(s"r_$c"),
+      sum(col(c).isNull.cast("long")).as(s"n_$c"),
+      countDistinct(col(c)).as(s"d_$c")))
+    val stack = ProfileCols
+      .map(c => s"'$c', r_$c, coalesce(n_$c, 0L), d_$c").mkString(", ")
+    li.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${ProfileCols.length}, $stack) " +
+        "AS (col_name, n_rows, n_nulls, n_distinct)")
+      .orderBy(col("col_name"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q_bloom_join, q_quantile_sketch, q_zorder_tiles, q_table_profile)
 }

@@ -357,8 +357,29 @@ object StreamQueries {
       .orderBy(col("user_id"), col("session_start_us"))
   }
 
+  /** Streaming quantile sketch: the mergeable log-lattice bins
+    * ([[ScaleQueries.sketchBins]]) accumulate as stateful streaming
+    * counts across micro-batches; the drained final state feeds the
+    * same batch read-off. Result ≡ batch [[ScaleQueries
+    * .q_quantile_sketch]] (same oracle) — certifying that the sketch
+    * MERGES: partials from any batch split add up to the same lattice,
+    * which is the property that lets 1000 executors each keep a
+    * constant-size sketch at 100 TB.
+    */
+  val q_stream_quantile = QueryDef(
+    "q_stream_quantile",
+    ScaleQueries.q_quantile_sketch.oracle.get) { (spark, dir) =>
+    val stream = StreamingOps.eventsStream(spark, dir)
+      .select(col("event_type"), col("value"))
+    val bins = ScaleQueries.sketchBins(stream)
+    val drained = StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(bins, OutputMode.Complete())
+    }
+    ScaleQueries.sketchQuantiles(spark, drained)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
-    q_stream_sessions, q_stream_throttle)
+    q_stream_sessions, q_stream_throttle, q_stream_quantile)
 }
