@@ -180,7 +180,56 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document duplicated-shingle rate — the exact-substring
+    * duplication signal (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): the fraction of a doc's distinct
+    * shingles that occur in at least one OTHER document. Unlike the
+    * pairwise families this needs no candidate generation at all — one
+    * df count over the inverted index and a join back, linear in
+    * corpus shingles at any scale.
+    */
+  val q_dup_ngram_rate = QueryDef(
+    "q_dup_ngram_rate", {
+      val ctes = graft.ops.DedupOps
+        .discriminativeShinglesSqlCtes("documents", "doc_id", "text")
+      s"""WITH $ctes,
+         |df AS (
+         |  SELECT h, CAST(COUNT(DISTINCT id) AS BIGINT) AS df
+         |  FROM sh GROUP BY h),
+         |per AS (
+         |  SELECT sh.id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |    CAST(COALESCE(SUM(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END), 0)
+         |      AS BIGINT) AS n_dup
+         |  FROM sh JOIN df USING (h) GROUP BY sh.id)
+         |SELECT d.doc_id, COALESCE(p.n_shingles, 0) AS n_shingles,
+         |  COALESCE(p.n_dup, 0) AS n_dup,
+         |  FLOOR(CAST(COALESCE(p.n_dup, 0) AS DOUBLE)
+         |    / GREATEST(COALESCE(p.n_shingles, 0), 1) * 1000000 + 0.5)
+         |    / 1000000.0 AS dup_rate
+         |FROM documents d LEFT JOIN per p ON p.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val sh = graft.ops.Reuse.materialized(
+      graft.ops.DedupOps.discriminativeShingles(docs, "doc_id", "text"))
+    val df = sh.groupBy(col("h")).agg(countDistinct(col("id")).as("df"))
+    val per = sh.join(df, "h")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        coalesce(sum((col("df") >= 2).cast("long")), lit(0L)).as("n_dup"))
+    docs.select(col("doc_id"))
+      .join(per.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        (floor(coalesce(col("n_dup"), lit(0L)).cast("double")
+          / greatest(coalesce(col("n_shingles"), lit(0L)), lit(1L))
+          * 1000000 + 0.5) / 1000000.0).as("dup_rate"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q_dup_ngram_rate,
     q_dedup_exact, q_minhash_lsh, q_simhash, q_ngram_jaccard,
     q_containment_pairs, q_minhash_est, q_segment_dedup,
     q_incremental_dedup, q_clean_corpus,

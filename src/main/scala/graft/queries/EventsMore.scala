@@ -505,9 +505,76 @@ object EventsMore {
       .orderBy(col("step"))
   }
 
+  /** Weekly cohort retention: users bucketed by the week of their
+    * first event; each later active week increments that cohort's
+    * (week_n) cell — the reference dashboard's "recurring users" view
+    * as the standard triangular retention matrix. All-integer date
+    * arithmetic (`date_trunc('week')`, day-diff DIV 7) so both engines
+    * agree exactly. Scale: one groupBy(user) for cohorts + one
+    * distinct-count aggregation — no windows over the raw log.
+    */
+  val q_retention = QueryDef(
+    "q_retention",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      |f AS (
+      |  SELECT user_id, CAST(date_trunc('week', MIN(d)) AS DATE) AS cw
+      |  FROM ev GROUP BY 1)
+      |SELECT f.cw AS cohort_week, date_diff('day', f.cw, e.d) // 7 AS week_n,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM ev e JOIN f ON f.user_id = e.user_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val ev = graft.ops.Reuse.materialized(
+      Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")))
+    val firsts = ev.groupBy(col("user_id"))
+      .agg(to_date(date_trunc("week", min(col("d")))).as("cw"))
+    ev.join(firsts, "user_id")
+      .groupBy(col("cw").as("cohort_week"),
+        expr("datediff(d, cw) DIV 7").as("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_n"))
+  }
+
+  /** First-order Markov transition matrix over each user's event
+    * sequence (the funnel's generalization): counts and quantized
+    * row-normalized probabilities for every (src → next) event-type
+    * pair. LEAD over (ts, event_id) with the microsecond-truncated
+    * timestamp on both engines (the established ordering contract).
+    */
+  val q_markov = QueryDef(
+    "q_markov",
+    """WITH seq AS (
+      |  SELECT user_id, event_type AS src,
+      |    LEAD(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+      |  FROM events),
+      |c AS (
+      |  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM seq WHERE dst IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT c.src, c.dst, c.n,
+      |  FLOOR(CAST(c.n AS DOUBLE) / t.tot * 1000000 + 0.5) / 1000000.0 AS p
+      |FROM c JOIN t ON t.src = c.src
+      |ORDER BY c.src, c.dst""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type").as("src"), col("ts"), col("event_id"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .filter(col("dst").isNotNull)
+    val c = graft.ops.Reuse.materialized(
+      seq.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n")))
+    val t = c.groupBy(col("src")).agg(sum(col("n")).as("tot"))
+    c.join(t, "src")
+      .select(col("src"), col("dst"), col("n"),
+        (floor(col("n").cast("double") / col("tot") * 1000000 + 0.5) / 1000000.0)
+          .as("p"))
+      .orderBy(col("src"), col("dst"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_hll_distinct, q_rank_dist, q_robust_stats,
-    q_funnel)
+    q_funnel, q_retention, q_markov)
 }
