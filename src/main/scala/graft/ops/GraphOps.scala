@@ -121,28 +121,34 @@ object GraphOps {
     */
   def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int = 10): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val deg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     val n = nodes.count()
     require(n > 0, "pageRank: empty node set")
     val teleport = 150000L / n
 
-    var ranks = nodes.select(col("id"), lit(1000000L / n).as("rank")).localCheckpoint()
+    // outdeg is constant per node — carry it in the rank table so each
+    // round needs ONE join (ranks ⋈ edges), and the dangling-mass
+    // aggregate is a plain filter+sum on the already-checkpointed table
+    var ranks = nodes
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        lit(1000000L / n).as("rank"))
+      .localCheckpoint()
     for (_ <- 0 until iterations) {
-      val dangling = ranks.join(deg, Seq("id"), "left_anti")
+      val dangling = ranks.filter(col("outdeg") === 0L)
         .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
-      val contribs = ranks.join(deg, "id")
+      val contribs = ranks.filter(col("outdeg") > 0L)
         .join(e, col("id") === col("src"))
         .select(col("dst"), expr("rank DIV outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = nodes
+      ranks = ranks
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("outdeg"),
           (lit(teleport) +
             expr(s"(85 * (coalesce(s, 0L) + ${dangling / n}L)) DIV 100").cast("long"))
             .as("rank"))
         .localCheckpoint()
     }
-    ranks
+    ranks.select(col("id"), col("rank"))
   }
 }
