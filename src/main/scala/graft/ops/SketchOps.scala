@@ -53,7 +53,21 @@ object SketchOps {
     * `keyCol` is stringified and hashed via md5, so any type works.
     * Output: (group, n_exact, n_hll, rel_err).
     */
-  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    hllEstimate(
+      hllRegisters(df, groupCol, keyCol),
+      df.groupBy(col(groupCol).as("grp"))
+        .agg(count_distinct(col(keyCol)).as("n_exact")),
+      groupCol)
+
+  /** The MERGEABLE half of the HLL: the per-(group, register) max
+    * rank. A plain `groupBy().max()` — max is idempotent and
+    * commutative, so partials from any batch split (or any streaming
+    * micro-batch cut) merge to the same register table; that is the
+    * property [[graft.queries.StreamQueries.q_stream_hll]] certifies
+    * against this sketch's own batch oracle.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val h0 = TextOps.polyHash(
       substring(md5(col(keyCol).cast("string")), 1, 8), 8)
     val h = (lit(MixA) * (h0 % Mersenne) + lit(MixB)) % Mersenne
@@ -61,17 +75,21 @@ object SketchOps {
     val rest = floor(h / M).cast("long")
     val rank = when(rest === 0L, lit(W + 1))
       .otherwise(lit(W + 1) - length(bin(rest)))
-    val regs = df
-      .select(col(groupCol).as("grp"), idx.as("idx"), rank.as("rank"))
+    df.select(col(groupCol).as("grp"), idx.as("idx"), rank.as("rank"))
       .groupBy(col("grp"), col("idx"))
       .agg(max(col("rank")).as("reg"))
+  }
+
+  /** The read-off half: register sums → bias-corrected estimate with
+    * the linear-counting branch, joined to the exact counts
+    * (`exact`: (grp, n_exact)) for the certified error column.
+    */
+  def hllEstimate(regs: DataFrame, exact: DataFrame, groupCol: String): DataFrame = {
     val sums = regs.groupBy(col("grp"))
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $Scale - reg)")).as("s_present"),
         count(lit(1)).as("n_present"))
       .withColumn("s",
         col("s_present") + (lit(M.toLong) - col("n_present")) * (1L << Scale))
-    val exact = df.groupBy(col(groupCol).as("grp"))
-      .agg(count_distinct(col(keyCol)).as("n_exact"))
     // (0.7213 / (1 + 1.079/m)) * m^2 * 2^Scale / S — same literal op
     // sequence as the oracle renders
     val estRaw = (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(M.toDouble))) *
@@ -120,24 +138,42 @@ object SketchOps {
     // tokenize, dominate).
     val words = docs.select(
       explode(TextOps.words(col(textCol))).as("w"))
-    // portable per-row word hash, re-mixed per sketch row with the
-    // MinHash a/b family (DedupOps constants) — independent-ish rows
+    cmsReadback(cmsSketch(words), words, topK)
+  }
+
+  // portable per-row word hash, re-mixed per sketch row with the
+  // MinHash a/b family (DedupOps constants) — independent-ish rows
+  private def cmsRowIdx(d: Int): org.apache.spark.sql.Column = {
     val h0 = TextOps.wordHash(col("w")) % Mersenne
-    val rowIdx = (d: Int) =>
-      ((lit(DedupOps.hashA(d)) * h0 + lit(DedupOps.hashB(d))) % Mersenne) % CmsW
+    ((lit(DedupOps.hashA(d)) * h0 + lit(DedupOps.hashB(d))) % Mersenne) % CmsW
+  }
+
+  /** The MERGEABLE half of the CMS: the d×w counter table as a plain
+    * `groupBy().count()` over the per-word cells — integer sums, so
+    * micro-batch partials add to the same sketch
+    * ([[graft.queries.StreamQueries.q_stream_cms]] certifies this
+    * against the batch oracle). Input: a `w` word column.
+    */
+  def cmsSketch(words: DataFrame): DataFrame = {
     val cells = (0 until CmsD).map(d =>
-      struct(lit(d).as("d"), rowIdx(d).as("idx")))
-    val sketch = words
+      struct(lit(d).as("d"), cmsRowIdx(d).as("idx")))
+    words
       .select(explode(array(cells: _*)).as("c"))
       .groupBy(col("c.d").as("d"), col("c.idx").as("idx"))
       .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The read-back half: exact top-`topK` words probed against their
+    * d counter cells, `min` over counters = the CMS estimate.
+    */
+  def cmsReadback(sketch: DataFrame, words: DataFrame, topK: Int): DataFrame = {
     val exactTop = words.groupBy(col("w"))
       .agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("w"))
       .limit(topK)
     val probes = exactTop.select(col("w"), col("n_exact"),
       explode(array((0 until CmsD).map(d =>
-        struct(lit(d).as("d"), rowIdx(d).as("idx"))): _*)).as("c"))
+        struct(lit(d).as("d"), cmsRowIdx(d).as("idx"))): _*)).as("c"))
       .select(col("w"), col("n_exact"), col("c.d"), col("c.idx"))
     probes.join(sketch, Seq("d", "idx"))
       .groupBy(col("w"), col("n_exact"))

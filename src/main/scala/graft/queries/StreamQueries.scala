@@ -378,8 +378,58 @@ object StreamQueries {
     ScaleQueries.sketchQuantiles(spark, drained)
   }
 
+  /** Streaming HLL: the per-(group, register) max-rank table runs as
+    * a stateful streaming max across micro-batches (max is idempotent
+    * + commutative — the HLL merge operation IS register-wise max),
+    * drains, and feeds the same batch read-off and exact-count join.
+    * Certified against q_hll_distinct's own oracle: the sketch built
+    * from any micro-batch cut of the stream equals the sketch built
+    * in one pass.
+    */
+  val q_stream_hll = QueryDef(
+    "q_stream_hll",
+    graft.ops.SketchOps.hllDistinctOracleSql("events", "event_type", "event_id")) {
+    (spark, dir) =>
+      val regs = graft.ops.SketchOps.hllRegisters(
+        StreamingOps.eventsStream(spark, dir), "event_type", "event_id")
+      val drained = StreamingOps.withShufflePartitions(spark, 8) {
+        StreamingOps.drainToBatch(regs, OutputMode.Complete())
+      }
+      val exact = Tables.events(spark, dir)
+        .groupBy(col("event_type").as("grp"))
+        .agg(count_distinct(col("event_id")).as("n_exact"))
+      graft.ops.SketchOps.hllEstimate(drained, exact, "event_type")
+        .orderBy(col("event_type"))
+  }
+
+  /** Streaming count-min sketch: the d×w counter table accumulates as
+    * stateful streaming counts over the tokenized document stream,
+    * drains, and the batch read-back probes the exact top-20 words
+    * against it — q_cms_topwords' oracle, unchanged. Integer counter
+    * sums are the CMS merge operation, so this is the sketch's
+    * mergeability certificate.
+    */
+  val q_stream_cms = QueryDef(
+    "q_stream_cms",
+    graft.ops.SketchOps.cmsTopWordsOracleSql(20)) { (spark, dir) =>
+    val path = s"$dir/documents.parquet"
+    val docsStream = StreamingOps.parquetStream(
+      spark, path, spark.read.parquet(path).schema)
+    val wordsStream = docsStream.select(
+      explode(graft.ops.TextOps.words(col("text"))).as("w"))
+    val sketch = graft.ops.SketchOps.cmsSketch(wordsStream)
+    val drained = StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(sketch, OutputMode.Complete())
+    }
+    val wordsBatch = Tables.documents(spark, dir)
+      .select(explode(graft.ops.TextOps.words(col("text"))).as("w"))
+    graft.ops.SketchOps.cmsReadback(drained, wordsBatch, 20)
+      .orderBy(col("n_exact").desc, col("w"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
-    q_stream_sessions, q_stream_throttle, q_stream_quantile)
+    q_stream_sessions, q_stream_throttle, q_stream_quantile,
+    q_stream_hll, q_stream_cms)
 }

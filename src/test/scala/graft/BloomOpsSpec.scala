@@ -63,6 +63,34 @@ class BloomOpsSpec extends AnyFunSuite {
     assert(plain.exceptAll(pruned).count() === 0L)
   }
 
+  test("Spark's own runtime bloom-filter injection engages on the same join shape") {
+    // the library op (explicit, composable) and Catalyst's
+    // InjectRuntimeFilter (automatic, threshold-gated) are the same
+    // technique; prove the optimizer path is live in this build by
+    // lowering the size gates it ships with (10 GB scan / 10 MB
+    // creation side — tuned for real clusters, not sf0.001)
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      // injection targets SHUFFLE joins (the broadcast path needs no
+      // runtime filter); force it at toy scale
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val plan = Tables.lineitem(spark, sf)
+        .join(small, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain") && plan.contains("bloom_filter_agg"),
+        s"runtime filter not injected:\n${plan.take(800)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("probe stays in whole-stage codegen (no UDF fallback)") {
     val words = BloomOps.buildBitmap(small.select("o_orderkey"), "o_orderkey", M, K)
     val plan = Tables.lineitem(spark, sf)
