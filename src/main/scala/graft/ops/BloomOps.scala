@@ -72,9 +72,22 @@ object BloomOps {
   def bloomPrunedJoin(
       big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
       mBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
-    val words = buildBitmap(small.select(col(smallKey)), smallKey, mBits, numHashes)
+    // xxhash64 is TYPE-sensitive: the same numeric value hashes
+    // differently as int vs bigint, so a type-coerced equi-join would
+    // still match while the bitmap silently never does (false
+    // negatives — the one failure mode a Bloom filter must not have).
+    // Insist the caller aligns types instead of coercing silently.
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    require(bigType == smallType,
+      s"bloomPrunedJoin: key types must match exactly for hash equality " +
+        s"($bigKey: $bigType vs $smallKey: $smallType — cast one side first)")
+    // the small side feeds BOTH the bitmap collect and the join probe —
+    // materialize once (evictable; releaseAllCaches contract as other ops)
+    val sm = Reuse.materialized(small)
+    val words = buildBitmap(sm.select(col(smallKey)), smallKey, mBits, numHashes)
     big
       .filter(mightContain(words, col(bigKey), mBits, numHashes))
-      .join(small, col(bigKey) === col(smallKey))
+      .join(sm, big(bigKey) === sm(smallKey))
   }
 }

@@ -94,14 +94,16 @@ object GraphOps {
     }
   }
 
-  /** Deterministic PageRank in integer micro-units (total mass = 10^6
-    * micro), damping 0.85, a fixed iteration count — every operation
-    * is exact 64-bit integer arithmetic (`DIV`, `*`, `SUM(long)`), so
-    * the result is order-free and bit-identical to the unrolled-CTE
-    * SQL replay regardless of partitioning:
+  /** Deterministic PageRank in integer micro-units (total mass
+    * S = [[pageRankScale]](n) = max(10^6, 1000·n) — per-node
+    * resolution ≥ 1000 micro at ANY graph size), damping 0.85, a
+    * fixed iteration count — every operation is exact 64-bit integer
+    * arithmetic (`DIV`, `*`, `SUM(long)`), so the result is
+    * order-free and bit-identical to the unrolled-CTE SQL replay
+    * regardless of partitioning:
     *
-    *   r₀(v)    = 10^6 DIV n
-    *   rₜ₊₁(v)  = (150000 DIV n)
+    *   r₀(v)    = S DIV n
+    *   rₜ₊₁(v)  = ((S DIV n)·15 DIV 100)
     *            + (85·(Σ_{u→v} rₜ(u) DIV outdeg(u) + Dₜ DIV n)) DIV 100
     *
     * where Dₜ = Σ rₜ over dangling (no-out-edge) nodes. Integer
@@ -119,21 +121,33 @@ object GraphOps {
     * @param edges  directed `src`,`dst` (pass both directions for an
     *               undirected graph); parallel edges contribute twice
     */
+  /** Total-mass micro-units for an `n`-node graph: at least 1000
+    * micro per node, so integer ranks never collapse to all-zero on
+    * large graphs (a fixed 10^6 total would underflow past 10^6
+    * nodes, and its teleport term already at 150k).
+    */
+  def pageRankScale(n: Long): Long = math.max(1000000L, 1000L * n)
+
   def pageRank(nodes: DataFrame, edges: DataFrame, iterations: Int = 10): DataFrame = {
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
     val n = nodes.count()
     require(n > 0, "pageRank: empty node set")
-    val teleport = 150000L / n
+    val scale = pageRankScale(n)
+    val r0 = scale / n // ≥ 1000 micro by construction
+    val teleport = r0 * 15L / 100L
 
     // outdeg is constant per node — carry it in the rank table so each
     // round needs ONE join (ranks ⋈ edges), and the dangling-mass
-    // aggregate is a plain filter+sum on the already-checkpointed table
-    var ranks = nodes
+    // aggregate is a plain filter+sum on the materialized table.
+    // Reuse.materializedHandle (not localCheckpoint): each round
+    // releases the previous round's blocks once the next is built, so
+    // storage holds ≤ 2 rank generations; the FINAL table stays cached
+    // under the releaseAllCaches-between-jobs contract.
+    var (ranks, release) = Reuse.materializedHandle(nodes
       .join(deg, Seq("id"), "left")
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
-        lit(1000000L / n).as("rank"))
-      .localCheckpoint()
+        lit(r0).as("rank")))
     for (_ <- 0 until iterations) {
       val dangling = ranks.filter(col("outdeg") === 0L)
         .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
@@ -141,13 +155,15 @@ object GraphOps {
         .join(e, col("id") === col("src"))
         .select(col("dst"), expr("rank DIV outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      ranks = ranks
+      val (next, nextRelease) = Reuse.materializedHandle(ranks
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .select(col("id"), col("outdeg"),
           (lit(teleport) +
             expr(s"(85 * (coalesce(s, 0L) + ${dangling / n}L)) DIV 100").cast("long"))
-            .as("rank"))
-        .localCheckpoint()
+            .as("rank")))
+      release.close()
+      ranks = next
+      release = nextRelease
     }
     ranks.select(col("id"), col("rank"))
   }

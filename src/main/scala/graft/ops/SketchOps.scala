@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Distributed cardinality sketching (HyperLogLog) built so the WHOLE
@@ -107,6 +107,82 @@ object SketchOps {
         round(abs(est - col("n_exact").cast("double")) /
           col("n_exact").cast("double"), 4).as("rel_err"))
   }
+
+  // -------------------------------------- log-lattice quantile sketch
+
+  /** The MERGEABLE half of the quantile sketch: fold values into the
+    * (event_type, floor-log2 exponent, 16-way linear sub-bin) count
+    * lattice (~16·64 integer bins, a fixed ~6% relative-error grid —
+    * the HdrHistogram/DDSketch shape). A plain map-side-combinable
+    * `groupBy().count()` with CONSTANT state per group, which is also
+    * why it streams (micro-batch partials add —
+    * [[graft.queries.StreamQueries.q_stream_quantile]] certifies the
+    * merge against the batch oracle). `floor(log2 v)` is
+    * `length(bin(v)) - 1`: bit-exact in both engines, no libm.
+    */
+  def quantileSketchBins(evs: DataFrame): DataFrame =
+    evs.select(col("event_type"),
+        expr("greatest(cast(floor(value * 100 + 0.5) as bigint), 1L)").as("v"))
+      .withColumn("e", expr("length(bin(v)) - 1"))
+      .withColumn("s", expr("shiftright(v, greatest(e - 4, 0)) & 15"))
+      .groupBy(col("event_type"), col("e"), col("s"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** The read-off half: cumulative bin counts → ceil-rank quantile
+    * bins → lattice lower edge, all in exact integer arithmetic.
+    */
+  def quantileSketchRead(spark: SparkSession, bins: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matBins = Reuse.materialized(
+      bins.withColumn("bin_id", col("e") * 16 + col("s")))
+    val cum = matBins.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("bin_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val pcts = { import spark.implicits._; Seq(50, 95, 99).toDF("pct") }
+    val thr = matBins.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
+      .crossJoin(broadcast(pcts))
+      .select(col("event_type"), col("pct"),
+        expr("(n * pct + 99) DIV 100").as("thr"))
+    cum.join(broadcast(thr), Seq("event_type"))
+      .filter(col("cum") >= col("thr") && col("cum") - col("cnt") < col("thr"))
+      .select(col("event_type"), col("pct"),
+        expr("cast(case when e >= 4 then shiftleft(16 + s, e - 4) else s end as bigint)")
+          .as("est_cents"))
+      .orderBy(col("event_type"), col("pct"))
+  }
+
+  /** DuckDB oracle for the quantile sketch over `events` — shared by
+    * the batch and streaming queries (same result = merge proof).
+    */
+  val quantileSketchOracleSql: String =
+    """WITH vals AS (
+      |  SELECT event_type,
+      |    GREATEST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 1) AS v
+      |  FROM events),
+      |b0 AS (SELECT event_type, v, LENGTH(bin(v)) - 1 AS e FROM vals),
+      |b1 AS (
+      |  SELECT event_type, e, (v >> GREATEST(e - 4, 0)) & 15 AS s FROM b0),
+      |bins AS (
+      |  SELECT event_type, e, s, e * 16 + s AS bin_id,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM b1 GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT *, CAST(SUM(cnt) OVER (
+      |    PARTITION BY event_type ORDER BY bin_id) AS BIGINT) AS cum
+      |  FROM bins),
+      |tot AS (
+      |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),
+      |thr AS (
+      |  SELECT t.event_type, p.pct, (t.n * p.pct + 99) // 100 AS thr
+      |  FROM tot t CROSS JOIN (SELECT * FROM (VALUES (50), (95), (99)) q(pct)) p)
+      |SELECT c.event_type, th.pct,
+      |  CAST(CASE WHEN c.e >= 4 THEN (16 + c.s) << (c.e - 4) ELSE c.s END
+      |    AS BIGINT) AS est_cents
+      |FROM thr th JOIN cum c
+      |  ON c.event_type = th.event_type
+      | AND c.cum >= th.thr AND c.cum - c.cnt < th.thr
+      |ORDER BY c.event_type, th.pct""".stripMargin
 
   // ------------------------------------------------- count-min sketch
 

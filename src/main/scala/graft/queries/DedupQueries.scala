@@ -190,9 +190,14 @@ object DedupQueries {
     */
   val q_dup_ngram_rate = QueryDef(
     "q_dup_ngram_rate", {
-      val ctes = graft.ops.DedupOps
-        .discriminativeShinglesSqlCtes("documents", "doc_id", "text")
-      s"""WITH $ctes,
+      // UNCAPPED shingle table: the df-cap exists to bound similarity
+      // JOIN fan-out, but here the only join is 1:1 against the df
+      // count — and capping would delete precisely the most-duplicated
+      // shingles, zeroing the rate for full-boilerplate docs (the
+      // inverse of the metric)
+      val sh = graft.ops.DedupOps.shingleTableSql("documents", "doc_id", "text")
+      s"""WITH sh AS (
+         |$sh),
          |df AS (
          |  SELECT h, CAST(COUNT(DISTINCT id) AS BIGINT) AS df
          |  FROM sh GROUP BY h),
@@ -211,7 +216,7 @@ object DedupQueries {
     }) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
     val sh = graft.ops.Reuse.materialized(
-      graft.ops.DedupOps.discriminativeShingles(docs, "doc_id", "text"))
+      graft.ops.DedupOps.shingleTable(docs, "doc_id", "text"))
     val df = sh.groupBy(col("h")).agg(countDistinct(col("id")).as("df"))
     val per = sh.join(df, "h")
       .groupBy(col("id"))

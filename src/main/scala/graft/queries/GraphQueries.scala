@@ -37,9 +37,9 @@ object GraphQueries {
            |  FROM r$t r JOIN deg g ON g.id = r.id JOIN edges e ON e.src = r.id
            |  GROUP BY e.dst),
            |r${t + 1} AS MATERIALIZED (
-           |  SELECT n.id, CAST((150000 // nn.n)
-           |    + (85 * (COALESCE(c.s, 0) + d.dm // nn.n)) // 100 AS BIGINT) AS rank
-           |  FROM nodes n CROSS JOIN nn CROSS JOIN d$t d
+           |  SELECT n.id, CAST(((sc.s // sc.n) * 15) // 100
+           |    + (85 * (COALESCE(c.s, 0) + d.dm // sc.n)) // 100 AS BIGINT) AS rank
+           |  FROM nodes n CROSS JOIN sc CROSS JOIN d$t d
            |  LEFT JOIN c$t c ON c.id = n.id)""".stripMargin
       }.mkString(",\n")
       s"""WITH ${DedupOps.minhashPairsSqlCtes(0.8)},
@@ -47,12 +47,14 @@ object GraphQueries {
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
          |nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
-         |nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes),
+         |sc AS MATERIALIZED (
+         |  SELECT GREATEST(1000000, 1000 * COUNT(*)) AS s, COUNT(*) AS n
+         |  FROM nodes),
          |deg AS MATERIALIZED (
          |  SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src),
          |r0 AS MATERIALIZED (
-         |  SELECT n.id, CAST(1000000 // nn.n AS BIGINT) AS rank
-         |  FROM nodes n CROSS JOIN nn),
+         |  SELECT n.id, CAST(sc.s // sc.n AS BIGINT) AS rank
+         |  FROM nodes n CROSS JOIN sc),
          |$iters
          |SELECT r.id AS doc_id, r.rank AS rank_micro
          |FROM r$Iterations r ORDER BY doc_id""".stripMargin

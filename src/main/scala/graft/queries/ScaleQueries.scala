@@ -45,88 +45,21 @@ object ScaleQueries {
       .orderBy(col("mon"))
   }
 
-  /** Mergeable log-binned quantile sketch: each value folds into one
-    * of ~16·64 integer bins (floor-log2 exponent × 16 linear sub-bins
-    * — a fixed ~6% relative-error lattice, the HdrHistogram/DDSketch
-    * shape), and quantiles read off the cumulative bin counts. The
-    * whole sketch is a map-side-combinable `groupBy(type, bin)` with
-    * CONSTANT state per group — at 100 TB this replaces the full
+  /** Mergeable log-binned quantile sketch
+    * ([[graft.ops.SketchOps.quantileSketchBins]] +
+    * [[graft.ops.SketchOps.quantileSketchRead]]): each value folds
+    * into one of ~16·64 integer bins, quantiles read off the
+    * cumulative bin counts. At 100 TB this replaces the full
     * shuffle-sort that exact `percentile()` needs with a few-KB
-    * mergeable summary per partition. Everything is 64-bit integer
-    * arithmetic: `floor(log2 v)` = `length(bin(v)) - 1` (bit-exact in
-    * both engines — no libm), shifts and masks for the sub-bin, exact
-    * integer cumulative counts for the quantile pick.
+    * mergeable summary per partition; the streaming sibling
+    * q_stream_quantile certifies the merge against this SAME oracle.
     */
   val q_quantile_sketch = QueryDef(
-    "q_quantile_sketch",
-    """WITH vals AS (
-      |  SELECT event_type,
-      |    GREATEST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT), 1) AS v
-      |  FROM events),
-      |b0 AS (SELECT event_type, v, LENGTH(bin(v)) - 1 AS e FROM vals),
-      |b1 AS (
-      |  SELECT event_type, e, (v >> GREATEST(e - 4, 0)) & 15 AS s FROM b0),
-      |bins AS (
-      |  SELECT event_type, e, s, e * 16 + s AS bin_id,
-      |    CAST(COUNT(*) AS BIGINT) AS cnt
-      |  FROM b1 GROUP BY 1, 2, 3),
-      |cum AS (
-      |  SELECT *, CAST(SUM(cnt) OVER (
-      |    PARTITION BY event_type ORDER BY bin_id) AS BIGINT) AS cum
-      |  FROM bins),
-      |tot AS (
-      |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),
-      |thr AS (
-      |  SELECT t.event_type, p.pct, (t.n * p.pct + 99) // 100 AS thr
-      |  FROM tot t CROSS JOIN (SELECT * FROM (VALUES (50), (95), (99)) q(pct)) p)
-      |SELECT c.event_type, th.pct,
-      |  CAST(CASE WHEN c.e >= 4 THEN (16 + c.s) << (c.e - 4) ELSE c.s END
-      |    AS BIGINT) AS est_cents
-      |FROM thr th JOIN cum c
-      |  ON c.event_type = th.event_type
-      | AND c.cum >= th.thr AND c.cum - c.cnt < th.thr
-      |ORDER BY c.event_type, th.pct""".stripMargin) { (spark, dir) =>
-    sketchQuantiles(spark,
-      sketchBins(Tables.events(spark, dir).select(col("event_type"), col("value"))))
-  }
-
-  /** The mergeable half of [[q_quantile_sketch]]: fold values into the
-    * (event_type, exponent, sub-bin) count lattice. A plain stateful
-    * `groupBy().count()` — which is exactly why it streams: micro-batch
-    * partials merge by addition.
-    */
-  def sketchBins(evs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    evs.select(col("event_type"),
-        expr("greatest(cast(floor(value * 100 + 0.5) as bigint), 1L)").as("v"))
-      .withColumn("e", expr("length(bin(v)) - 1"))
-      .withColumn("s", expr("shiftright(v, greatest(e - 4, 0)) & 15"))
-      .groupBy(col("event_type"), col("e"), col("s"))
-      .agg(count(lit(1)).as("cnt"))
-
-  /** The read-off half: cumulative bin counts → ceil-rank quantile
-    * bins → lattice lower edge, all in exact integer arithmetic.
-    */
-  def sketchQuantiles(
-      spark: org.apache.spark.sql.SparkSession,
-      bins: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val matBins = graft.ops.Reuse.materialized(
-      bins.withColumn("bin_id", col("e") * 16 + col("s")))
-    val cum = matBins.withColumn("cum",
-      sum(col("cnt")).over(Window.partitionBy(col("event_type"))
-        .orderBy(col("bin_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val pcts = { import spark.implicits._; Seq(50, 95, 99).toDF("pct") }
-    val thr = matBins.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
-      .crossJoin(pcts)
-      .select(col("event_type"), col("pct"),
-        expr("(n * pct + 99) DIV 100").as("thr"))
-    cum.join(broadcast(thr), Seq("event_type"))
-      .filter(col("cum") >= col("thr") && col("cum") - col("cnt") < col("thr"))
-      .select(col("event_type"), col("pct"),
-        expr("cast(case when e >= 4 then shiftleft(16 + s, e - 4) else s end as bigint)")
-          .as("est_cents"))
-      .orderBy(col("event_type"), col("pct"))
+    "q_quantile_sketch", graft.ops.SketchOps.quantileSketchOracleSql) {
+    (spark, dir) =>
+      graft.ops.SketchOps.quantileSketchRead(spark,
+        graft.ops.SketchOps.quantileSketchBins(
+          Tables.events(spark, dir).select(col("event_type"), col("value"))))
   }
 
   /** Z-order (Morton) spatial layout: 16-bit-quantized 2-D points

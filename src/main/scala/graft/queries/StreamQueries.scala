@@ -358,24 +358,24 @@ object StreamQueries {
   }
 
   /** Streaming quantile sketch: the mergeable log-lattice bins
-    * ([[ScaleQueries.sketchBins]]) accumulate as stateful streaming
+    * ([[graft.ops.SketchOps.quantileSketchBins]]) accumulate as stateful streaming
     * counts across micro-batches; the drained final state feeds the
-    * same batch read-off. Result ≡ batch [[ScaleQueries
-    * .q_quantile_sketch]] (same oracle) — certifying that the sketch
+    * same batch read-off. Result ≡ batch q_quantile_sketch (same
+    * oracle) — certifying that the sketch
     * MERGES: partials from any batch split add up to the same lattice,
     * which is the property that lets 1000 executors each keep a
     * constant-size sketch at 100 TB.
     */
   val q_stream_quantile = QueryDef(
     "q_stream_quantile",
-    ScaleQueries.q_quantile_sketch.oracle.get) { (spark, dir) =>
+    graft.ops.SketchOps.quantileSketchOracleSql) { (spark, dir) =>
     val stream = StreamingOps.eventsStream(spark, dir)
       .select(col("event_type"), col("value"))
-    val bins = ScaleQueries.sketchBins(stream)
+    val bins = graft.ops.SketchOps.quantileSketchBins(stream)
     val drained = StreamingOps.withShufflePartitions(spark, 8) {
       StreamingOps.drainToBatch(bins, OutputMode.Complete())
     }
-    ScaleQueries.sketchQuantiles(spark, drained)
+    graft.ops.SketchOps.quantileSketchRead(spark, drained)
   }
 
   /** Streaming HLL: the per-(group, register) max-rank table runs as

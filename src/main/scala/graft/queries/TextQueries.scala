@@ -432,9 +432,11 @@ object TextQueries {
         .select(col("g.w1").as("w1"), col("g.w2").as("w2")))
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
     val nb = bg.agg(count(lit(1)).as("nb"))
+    // no broadcast hint on the unigram table: it is vocabulary-sized
+    // (unbounded at 100 TB) — let AQE pick broadcast only when it fits
     c2.filter(col("c_ab") >= 5)
-      .join(broadcast(cu.withColumnRenamed("w", "w1").withColumnRenamed("cu", "cua")), "w1")
-      .join(broadcast(cu.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cub")), "w2")
+      .join(cu.withColumnRenamed("w", "w1").withColumnRenamed("cu", "cua"), "w1")
+      .join(cu.withColumnRenamed("w", "w2").withColumnRenamed("cu", "cub"), "w2")
       .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
       .select(col("w1"), col("w2"), col("c_ab"),
         (floor(((col("c_ab").cast("double") / col("nb"))

@@ -41,6 +41,17 @@ class PageRankSpec extends AnyFunSuite {
     assert(r(1L) > r(3L))
   }
 
+  test("ranks stay nonzero on a 2M-node graph (adaptive mass scale)") {
+    // a fixed 10^6-micro total mass would truncate r0 (and teleport)
+    // to zero past 10^6 nodes; pageRankScale keeps ≥1000 micro/node
+    import spark.implicits._
+    val nodes = spark.range(2000000).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val r = GraphOps.pageRank(nodes, edges, 2)
+    val mn = r.agg(org.apache.spark.sql.functions.min("rank")).head().getLong(0)
+    assert(mn > 0L, s"min rank $mn — integer mass underflow")
+  }
+
   test("rank is invariant under input partitioning") {
     val docs = Tables.documents(spark, sf)
     val pairs = graft.ops.DedupOps
