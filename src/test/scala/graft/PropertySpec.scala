@@ -113,4 +113,50 @@ object KernelProperties extends Properties("graft.kernels") {
         got.getDouble(3) == want.mean_byte &&
         got.getDouble(4) == want.entropy_proxy
     }
+
+  property("BitsetContains: every inserted position probes true") =
+    Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, (1L << 16) - 1))) { ps =>
+      val words = new Array[Long](1024)
+      ps.foreach(p => words((p >>> 6).toInt) |= 1L << (p & 63L).toInt)
+      val probe = graft.functions.BitsetContains(
+        org.apache.spark.sql.catalyst.expressions.Literal(0L), words)
+      ps.forall(p => probe.nullSafeEval(p) == true)
+    }
+
+  // Scala replication of the engine's fixed shift-mask bit spread
+  // (ScaleQueries.withMortonZ constants)
+  private def spread16(v: Long): Long = {
+    var t = (v | (v << 8)) & 16711935L
+    t = (t | (t << 4)) & 252645135L
+    t = (t | (t << 2)) & 858993459L
+    (t | (t << 1)) & 1431655765L
+  }
+
+  property("Morton spread round-trips and z-tiles are 64x64 blocks") =
+    Prop.forAll(Gen.choose(0L, 65535L), Gen.choose(0L, 65535L)) { (x, y) =>
+      val z = spread16(x) | (spread16(y) << 1)
+      def unspread(v: Long): Long =
+        (0 until 16).map(i => ((v >> (2 * i)) & 1L) << i).sum
+      val roundTrip = unspread(z) == x && unspread(z >> 1) == y
+      // dropping 20 z-bits = dropping 10 bits per axis → the tile is
+      // exactly the (x >> 10, y >> 10) grid block, interleaved
+      val tile = z >> 20
+      val tileFromXY = spread16(x >> 10) | (spread16(y >> 10) << 1)
+      roundTrip && tile == tileFromXY
+    }
+
+  property("quantile lattice bin always contains its value, width <= 1/16") =
+    Prop.forAll(Gen.choose(1L, 1000000000L)) { v =>
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val s = (v >> math.max(e - 4, 0)) & 15L
+      val vLo = if (e < 4) s else (16L + s) << (e - 4)
+      val vHi = if (e < 4) vLo + 1 else vLo + (1L << (e - 4))
+      vLo <= v && v < vHi &&
+        (e < 4 || (vHi - vLo).toDouble / vLo <= 1.0 / 16.0)
+    }
+
+  property("pageRankScale keeps >=1000 micro per node at any size") =
+    Prop.forAll(Gen.choose(1L, 10000000000L)) { n =>
+      graft.ops.GraphOps.pageRankScale(n) / n >= 1000L
+    }
 }
