@@ -65,7 +65,7 @@ object ClusterOps {
       k: Int, iters: Int): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    def quant(v: Double): Double = math.floor(v * 1000000 + 0.5) / 1000000.0
+    def quant(v: Double): Double = Reuse.quantMicro(v)
 
     val pts = points.na.drop(Seq(xCol, yCol)).select(
       col(idCol).cast("long").as("pid"),
@@ -285,6 +285,9 @@ object ClusterOps {
   def clusterProfileFull(
       df: DataFrame, clusterCol: String, xCol: String, yCol: String,
       valueCol: String, idCol: String, catCols: Seq[String]): DataFrame = {
+    require(catCols.nonEmpty,
+      "clusterProfileFull needs at least one categorical column " +
+        "(use the base profile aggregation for none)")
     import org.apache.spark.sql.expressions.Window
     val base = df.groupBy(col(clusterCol).as("cluster_id")).agg(
       count(lit(1)).as("n_points"),

@@ -84,14 +84,19 @@ object TermVectorEmbedder {
       docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
       dim: Int, vocabSize: Int): TermVectorEmbedder = {
     import org.apache.spark.sql.functions.{broadcast, col, count, desc, explode, lit}
-    val words = docs.select(col(idCol).as("id"),
-      explode(TextOps.words(col(textCol))).as("w"))
-    def topTerms(n: Int): Array[String] = words
+    // the tokenize+explode subplan feeds the top-k AND both sides of
+    // the co-occurrence self-join — materialize once (Catalyst cannot
+    // dedupe the aliased self-join; see Reuse scaladoc)
+    val words = Reuse.materialized(docs.select(col(idCol).as("id"),
+      explode(TextOps.words(col(textCol))).as("w")))
+    // one top-k fetch covers both lists: ctx terms are a prefix of the
+    // same (count desc, word) ordering the vocab uses
+    val top = words
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("w")).limit(n)
+      .orderBy(desc("n"), col("w")).limit(math.max(dim, vocabSize))
       .collect().map(_.getString(0))
-    val ctxTerms = topTerms(dim) // dimension j = co-occurrence with ctxTerms(j)
-    val vocab = topTerms(vocabSize)
+    val ctxTerms = top.take(dim) // dimension j = co-occurrence with ctxTerms(j)
+    val vocab = top.take(vocabSize)
     val ctxIdx = ctxTerms.zipWithIndex.toMap
     val spark = docs.sparkSession
     import spark.implicits._

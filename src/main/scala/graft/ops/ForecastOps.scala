@@ -56,7 +56,12 @@ object ForecastOps {
       .as[DailyPoint]
       .groupByKey(_.group_key)
       .flatMapGroups { (key, it) =>
-        val pts = it.toArray.sortBy(_.day.toLocalDate.toEpochDay)
+        // secondary sort on cnt: duplicate (key, day) rows otherwise
+        // resolve last-write-wins in shuffle-iterator order, which is
+        // nondeterministic across runs (duplicates shouldn't occur —
+        // the upstream is a daily aggregate — but determinism must not
+        // depend on that)
+        val pts = it.toArray.sortBy(p => (p.day.toLocalDate.toEpochDay, p.cnt))
         if (pts.length < MinHistory) Iterator.empty
         else {
           val first = pts.head.day.toLocalDate

@@ -26,25 +26,31 @@ object JoinOps {
       keyCol: String, leftTsCol: String, rightTsCol: String,
       rightValCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == keyCol || c == leftTsCol)
+    // the right row's value columns travel as ONE struct, so the
+    // running `last` picks a whole row atomically — per-column lasts
+    // with ignoreNulls would stitch fields from DIFFERENT right rows
+    // whenever a right value column contains nulls (DuckDB's native
+    // ASOF JOIN, the oracle, is row-atomic)
+    val rvType = org.apache.spark.sql.types.StructType(
+      rightValCols.map(c => right.schema(c).copy(name = c)))
     val l = left.select(
       Seq(col(keyCol), col(leftTsCol).as("_ts"), lit(0).as("_isRight")) ++
-        leftCols.map(col) ++
-        rightValCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        leftCols.map(col) :+
+        lit(null).cast(rvType).as("_rvals"): _*)
     val r = right.select(
       Seq(col(keyCol), col(rightTsCol).as("_ts"), lit(1).as("_isRight")) ++
-        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightValCols.map(col): _*)
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightValCols.map(col): _*).as("_rvals"): _*)
     // right rows sort BEFORE left rows at the same ts -> inclusive bound
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col("_ts"), col("_isRight").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(r)
-      .select(
-        Seq(col(keyCol), col("_ts"), col("_isRight")) ++
-          leftCols.map(col) ++
-          rightValCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .withColumn("_rv", last(col("_rvals"), ignoreNulls = true).over(w))
       .filter(col("_isRight") === 0)
-      .drop("_isRight")
-      .withColumnRenamed("_ts", leftTsCol)
+      .select(
+        Seq(col(keyCol), col("_ts").as(leftTsCol)) ++
+          leftCols.map(col) ++
+          rightValCols.map(c => col(s"_rv.$c").as(c)): _*)
   }
 }

@@ -89,6 +89,10 @@ object MultimodalOps {
     * sampling shape without a codec).
     */
   def sampleFrames(df: DataFrame, frames: Int, stride: Int): DataFrame = {
+    // note: the last n - frames·(n/frames) trailing bytes belong to no
+    // chunk (fixed chunk grid, certified by the q_media_frames oracle);
+    // stride=0 would throw an opaque Range error deep in the executor
+    require(stride >= 1, s"stride must be >= 1, got $stride")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("media_id").cast("long"), col("kind"), col("payload"))

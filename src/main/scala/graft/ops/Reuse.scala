@@ -37,6 +37,14 @@ object Reuse {
 
   def materialized(df: DataFrame): DataFrame = materializedHandle(df)._1
 
+  /** The repo's float-determinism grid (PERF.md): floor-quantize to
+    * 1e-6 with +0.5 — the SAME IEEE op sequence the oracle SQL renders
+    * (`FLOOR(x * 1000000 + 0.5) / 1000000.0`). Single source for every
+    * kernel that feeds quantized doubles into cross-engine-certified
+    * output (Lloyd's centroids, IVF seeds, PQ codebooks).
+    */
+  def quantMicro(v: Double): Double = math.floor(v * 1000000 + 0.5) / 1000000.0
+
   /** As [[materialized]], plus a release handle for callers that OWN
     * the cache lifecycle (their last action over the materialized plan
     * happens before they return — e.g. kmeansLloyd's k-row collects).

@@ -36,8 +36,12 @@ object SimilarityOps {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       .withColumn("cn", sqrt(expr("dot_product(cv, cv)")))
+      // zero-norm vectors have no cosine: 0/0 = NaN sorts FIRST under
+      // desc and would be every query's rank-1 neighbor (same guard
+      // semanticTopK applies; an empty doc embeds to the zero vector)
+      .filter(col("cn") > 0)
     val scored = c.crossJoin(q)
-      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id") && col("qn") > 0)
       .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -99,7 +103,7 @@ object SimilarityOps {
       corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Array[Array[Double]] = {
     import org.apache.spark.sql.GraftColumnBridge
-    def quant(v: Double): Double = math.floor(v * 1000000 + 0.5) / 1000000.0
+    def quant(v: Double): Double = Reuse.quantMicro(v)
     val vd = col(vecCol).cast("array<double>")
     var cents: Array[Array[Double]] = corpus.orderBy(col(idCol)).limit(k)
       .select(vd).collect()
@@ -213,7 +217,7 @@ object SimilarityOps {
       corpus: DataFrame, idCol: String, vecCol: String,
       subspaces: Int, subDim: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
     import org.apache.spark.sql.GraftColumnBridge
-    def quant(v: Double): Double = math.floor(v * 1000000 + 0.5) / 1000000.0
+    def quant(v: Double): Double = Reuse.quantMicro(v)
     val vd = col(vecCol).cast("array<double>")
     val seedRows = corpus.orderBy(col(idCol)).limit(k).select(vd).collect()
       .map(_.getSeq[Double](0).toArray)
@@ -317,6 +321,10 @@ object SimilarityOps {
   def hyperplaneSignature(
       vectors: DataFrame, idCol: String, vecCol: String,
       bits: Int, dim: Int): DataFrame = {
+    // the signature is ONE long: shifts past 63 wrap mod 64 on the JVM
+    // and would silently alias bit positions (band b reading band 0's
+    // bits — the advertised recall quietly not delivered)
+    require(bits >= 1 && bits <= 64, s"signature bits must be in [1, 64], got $bits")
     // one codegen'd two-level loop per row (HyperplaneSig) — the
     // algebraic bits×dim element_at expansion grows a 2000+-node
     // expression tree at useful sizes; signatures are bit-identical
@@ -340,6 +348,8 @@ object SimilarityOps {
   def lshNearDupPairs(
       vectors: DataFrame, idCol: String, vecCol: String,
       bands: Int, bandBits: Int, dim: Int, threshold: Double): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
+      s"bands*bandBits must fit one 64-bit signature, got $bands*$bandBits")
     graft.functions.GraftFunctions.register(vectors.sparkSession)
     val sig = hyperplaneSignature(vectors, idCol, vecCol, bands * bandBits, dim)
     val bandCols = (0 until bands).map { j =>

@@ -19,6 +19,10 @@ object SkewOps {
   def saltedJoin(
       facts: DataFrame, dim: DataFrame, keys: Seq[String],
       saltFactor: Int): DataFrame = {
+    // pmod(_, 0) is null and explode(array()) is empty — a non-positive
+    // factor would silently return ZERO rows instead of the documented
+    // row-identical join
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val salted = facts.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     val dimExpanded = dim.withColumn("_salt",
@@ -34,6 +38,7 @@ object SkewOps {
     */
   def twoPhaseCount(
       df: DataFrame, keys: Seq[String], saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val salted = df.withColumn("_salt",
       pmod(monotonically_increasing_id(), lit(saltFactor.toLong)).cast("int"))
     salted

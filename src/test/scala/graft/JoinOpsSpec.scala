@@ -35,4 +35,24 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(got("p3") === Some("r200")) // latest wins
     assert(got("p4") === Some("r150")) // keys don't leak
   }
+
+  test("asofJoin takes the latest right ROW atomically when value columns hold nulls") {
+    import TestSpark._
+    import spark.implicits._
+    import graft.ops.JoinOps
+    // right rows: (ts=1, a=5, b=null) then (ts=2, a=null, b=7); a left
+    // row at ts=3 must see the ts=2 ROW (a=null, b=7) — per-column
+    // ignoreNulls lasts would stitch the frankenrow (a=5, b=7), a row
+    // that never existed (DuckDB's native ASOF JOIN is row-atomic)
+    val left = Seq(("k", 3L, "p")).toDF("k", "lts", "pid")
+    val right = Seq(
+      ("k", 1L, Some(5L), Option.empty[Long]),
+      ("k", 2L, Option.empty[Long], Some(7L))
+    ).toDF("k", "rts", "a", "b")
+    val row = JoinOps.asofJoin(left, right,
+      keyCol = "k", leftTsCol = "lts", rightTsCol = "rts",
+      rightValCols = Seq("a", "b")).select("a", "b").head()
+    assert(row.isNullAt(0), s"expected a=null from the ts=2 row, got ${row.get(0)}")
+    assert(row.getLong(1) === 7L)
+  }
 }
