@@ -20,6 +20,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Accumulation is the same left-to-right double fold as the builtin
   * path and DuckDB's `list_dot_product`, so oracle results stay
   * bit-identical.
+  *
+  * Contract: both arrays are expected to have EQUAL length and no
+  * null elements (fixed-dim embedding columns). On a length mismatch
+  * this truncates to the shorter side — unlike the builtin
+  * `aggregate(zip_with(...))` formulation, which returns NULL there —
+  * so corrupt variable-length input should be filtered upstream.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -72,22 +78,32 @@ object GraftFunctions {
     e.eval().asInstanceOf[Number].intValue
   }
 
+  private def arity(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      fn: String, n: Int): Unit =
+    require(exprs.length == n,
+      s"$fn expects $n argument(s), got ${exprs.length}")
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      "dot_product", exprs => { arity(exprs, "dot_product", 2)
+        DotProduct(exprs(0), exprs(1)) }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHashes(exprs(0),
-        constInt(exprs(1), "shingle_hashes", 1)), "built-in")
+      "shingle_hashes", exprs => { arity(exprs, "shingle_hashes", 2)
+        ShingleHashes(exprs(0), constInt(exprs(1), "shingle_hashes", 1)) },
+      "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_sig", exprs => HyperplaneSig(exprs(0),
-        constInt(exprs(1), "hyperplane_sig", 1),
-        constInt(exprs(2), "hyperplane_sig", 2)), "built-in")
+      "hyperplane_sig", exprs => { arity(exprs, "hyperplane_sig", 3)
+        HyperplaneSig(exprs(0),
+          constInt(exprs(1), "hyperplane_sig", 1),
+          constInt(exprs(2), "hyperplane_sig", 2)) }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "byte_stats", exprs => ByteStats(exprs(0)), "built-in")
+      "byte_stats", exprs => { arity(exprs, "byte_stats", 1)
+        ByteStats(exprs(0)) }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_fp", exprs => SimHashFp(exprs(0),
-        constInt(exprs(1), "simhash_fp", 1)), "built-in")
+      "simhash_fp", exprs => { arity(exprs, "simhash_fp", 2)
+        SimHashFp(exprs(0), constInt(exprs(1), "simhash_fp", 1)) }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tokenize_ws", exprs => TokenizeWs(exprs(0)), "built-in")
+      "tokenize_ws", exprs => { arity(exprs, "tokenize_ws", 1)
+        TokenizeWs(exprs(0)) }, "built-in")
   }
 }

@@ -57,6 +57,12 @@ case class NearestCentroids(
     var filled = 0
     var c = 0
     while (c < cents.length) {
+      // a zero-norm centroid (e.g. an emptied k-means cell averaged to
+      // zero) has no cosine: cos = NaN would pass `pos == filled < k`
+      // during buffer fill and then beat every real centroid (all NaN
+      // comparisons are false) — skip it instead of trusting upstream
+      if (centNorms(c) == 0.0) { c += 1 }
+      else {
       val cv = cents(c)
       val m = math.min(n, cv.length)
       var dot = 0.0
@@ -77,6 +83,7 @@ case class NearestCentroids(
         if (filled < k) filled += 1
       }
       c += 1
+      }
     }
     new GenericArrayData(java.util.Arrays.copyOf(topIds, filled))
   }

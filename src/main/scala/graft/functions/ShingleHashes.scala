@@ -28,6 +28,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * `wordHash`.
   */
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle length must be >= 1, got $n")
+
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 

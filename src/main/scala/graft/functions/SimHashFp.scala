@@ -20,6 +20,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * algebraic form and the DuckDB oracle keeps matching.
   */
 case class SimHashFp(child: Expression, bits: Int) extends UnaryExpression {
+  // a single long fingerprint: shifts past 63 wrap mod 64 on the JVM
+  // and would fold garbage bits instead of erroring
+  require(bits >= 1 && bits <= 64, s"simhash bits must be in [1, 64], got $bits")
+
 
   override def dataType: DataType = LongType
 

@@ -34,8 +34,12 @@ object Sinks {
       keys: Seq[String], versionCol: String): DataFrame = {
     val tagged = existing.withColumn("_src", lit(0))
       .unionByName(updates.withColumn("_src", lit(1)))
+    // final value-hash tiebreak: two update rows with the SAME key and
+    // version (an at-least-once replay) would otherwise resolve in
+    // shuffle order — different merged tables run to run
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, col("_src").desc)
+      .orderBy(col(versionCol).desc, col("_src").desc,
+        xxhash64(struct(tagged.columns.map(col).toIndexedSeq: _*)))
     tagged
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
@@ -48,13 +52,18 @@ object Sinks {
   def appendNewIds(existing: DataFrame, incoming: DataFrame, idCol: String): DataFrame =
     incoming.join(existing.select(col(idCol)), Seq(idCol), "left_anti")
 
-  /** Split JSON sink (S7): accepted/rejected rows to two directories. */
+  /** Split JSON sink (S7): accepted/rejected rows to two directories.
+    * A NULL predicate rejects: `filter(p)` and `filter(!p)` would BOTH
+    * drop the row (NOT NULL is NULL) — every input row must land in
+    * exactly one side.
+    */
   def splitJson(
       df: DataFrame, predicate: org.apache.spark.sql.Column,
       acceptDir: String, rejectDir: String): Unit = {
+    val accept = coalesce(predicate, lit(false))
     val cached = df.persist()
-    cached.filter(predicate).write.mode("overwrite").json(acceptDir)
-    cached.filter(!predicate).write.mode("overwrite").json(rejectDir)
+    cached.filter(accept).write.mode("overwrite").json(acceptDir)
+    cached.filter(!accept).write.mode("overwrite").json(rejectDir)
     cached.unpersist()
     ()
   }

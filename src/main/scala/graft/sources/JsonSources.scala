@@ -37,9 +37,21 @@ object JsonSources {
     * DataFrame (schemas merged by name).
     */
   def readJsonDir(spark: SparkSession, arrayGlob: String, jsonlGlob: String): DataFrame = {
-    val multi = spark.read.option("multiLine", "true").json(arrayGlob)
-    val lines = spark.read.json(jsonlGlob)
-    multi.unionByName(lines, allowMissingColumns = true)
+    // "and/or": either glob may match nothing — spark.read.json throws
+    // on an empty glob expansion, so probe each side first
+    def matches(glob: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(glob)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st = fs.globStatus(p)
+      st != null && st.nonEmpty
+    }
+    val parts = Seq(
+      Option.when(matches(arrayGlob))(
+        spark.read.option("multiLine", "true").json(arrayGlob)),
+      Option.when(matches(jsonlGlob))(spark.read.json(jsonlGlob))).flatten
+    require(parts.nonEmpty,
+      s"readJsonDir: neither glob matched any file ($arrayGlob, $jsonlGlob)")
+    parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Coalesce the first present column of `names` (missing columns are

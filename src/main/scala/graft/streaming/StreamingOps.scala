@@ -50,7 +50,9 @@ object StreamingOps {
       // is a glob, and a file basePath is rejected. Turn the file path
       // into an equivalent one-character-class glob so the explicit
       // directory basePath survives.
-      val base = path.substring(0, path.lastIndexOf('/'))
+      // a bare relative filename has no '/' — its base is the cwd
+      val slash = path.lastIndexOf('/')
+      val base = if (slash >= 0) path.substring(0, slash) else "."
       val glob = path.dropRight(1) + s"[${path.last}]"
       spark.readStream.schema(schema).option("basePath", base).parquet(glob)
     }
@@ -115,7 +117,14 @@ object StreamingOps {
       .start()
     try q.awaitTermination()
     finally q.stop()
-    stream.sparkSession.table(name)
+    // copy out of the memory sink and drop its temp view: the sink
+    // pins every drained row on the driver for the session's life
+    // otherwise (13 call sites × multi-SF sweeps add up). The copy is
+    // an evictable Reuse cache, released by releaseAllCaches.
+    val spark = stream.sparkSession
+    val out = graft.ops.Reuse.materialized(spark.table(name))
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Cross-batch streaming exact-dedup state: key = content hash,
@@ -226,8 +235,12 @@ object StreamingOps {
       if (last != Long.MinValue) {
         state.update(last)
         // expire once no future event can be throttled against this
-        // state: watermark past last + ttl
-        state.setTimeoutTimestamp(last / 1000 + ttlUs / 1000)
+        // state: watermark past last + ttl. CEILING to the next ms —
+        // floor division would expire state up to ~2 ms early, letting
+        // a within-TTL event find no state and re-emit (diverging from
+        // the oracle's exact `us >= last + ttl`), and for ttl < 1 ms
+        // could equal the current watermark, which throws
+        state.setTimeoutTimestamp((last + ttlUs + 999L) / 1000L)
       }
       out.iterator
     }
@@ -287,9 +300,13 @@ object StreamingOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // NULL predicate rejects (see Sinks.splitJson): p/!p alone
+        // would drop the row from BOTH sides
+        val accept = org.apache.spark.sql.functions.coalesce(
+          predicate, org.apache.spark.sql.functions.lit(false))
         val cached = batch.persist()
-        cached.filter(predicate).write.mode("append").json(acceptDir)
-        cached.filter(!predicate).write.mode("append").json(rejectDir)
+        cached.filter(accept).write.mode("append").json(acceptDir)
+        cached.filter(!accept).write.mode("append").json(rejectDir)
         cached.unpersist()
         ()
       }
