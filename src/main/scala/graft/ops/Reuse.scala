@@ -33,6 +33,14 @@ object Reuse {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // memory-sink temp views from StreamingOps.drainToBatch pin their
+    // drained rows on the driver; dropping them here (NOT per-drain —
+    // an eager per-drain copy-out measured 1.5-5× on the whole stream
+    // family) bounds their lifetime to one query under the same
+    // release-between-jobs contract as the caches above
+    spark.catalog.listTables().collect()
+      .filter(t => t.isTemporary && t.name.startsWith("drain_"))
+      .foreach(t => spark.catalog.dropTempView(t.name))
   }
 
   def materialized(df: DataFrame): DataFrame = materializedHandle(df)._1

@@ -117,14 +117,7 @@ object StreamingOps {
       .start()
     try q.awaitTermination()
     finally q.stop()
-    // copy out of the memory sink and drop its temp view: the sink
-    // pins every drained row on the driver for the session's life
-    // otherwise (13 call sites × multi-SF sweeps add up). The copy is
-    // an evictable Reuse cache, released by releaseAllCaches.
-    val spark = stream.sparkSession
-    val out = graft.ops.Reuse.materialized(spark.table(name))
-    spark.catalog.dropTempView(name)
-    out
+    stream.sparkSession.table(name)
   }
 
   /** Cross-batch streaming exact-dedup state: key = content hash,
