@@ -21,11 +21,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warm-up outside the timed region (steady-state
-    // numbers). Two shapes dominate first-touch cost: the scan+window+
-    // aggregate path (flagship) and the shingle/banding path (codegen'd
-    // ShingleHashes + window df-cap + self-joins) — warming only the
-    // flagship left whichever shingle query ran first paying the whole
-    // family's JIT bill (BENCH_r02: q_minhash_lsh 7.3 s vs 2.5 s warm).
+    // numbers). Hand-picked warms proved to be whack-a-mole: each round
+    // a DIFFERENT query family paid its first-touch JIT/init bill in the
+    // timed region (r02 shingle codegen: q_minhash_lsh 7.3 s vs 2.5 s
+    // warm; r03 first-streaming-query state-store init: q_stream_join
+    // 4.17 s vs 2.69 s steady; r04 JSON-parser + Lloyd's paths:
+    // q_json_props 3.61 s vs 0.67 s, q_kmeans_sizes 4.17 s vs 1.57 s).
+    // The robust fix is a full pass over EVERY registered query at
+    // sf0.001 (~85 s, measured): every code path the timed region will
+    // execute is JIT'd/initialized first, so the timed numbers are
+    // steady-state by construction rather than by per-round patching.
     val warmDir = {
       val d = "/root/testdata/sf0.001"
       if (new java.io.File(d).isDirectory) d else sfDir
@@ -33,9 +38,10 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    try SparkEntry.queries("q_minhash_lsh")(spark, warmDir).count()
-    catch { case _: Throwable => () }
-    graft.ops.Reuse.releaseAllCaches(spark)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      graft.ops.Reuse.releaseAllCaches(spark)
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,8 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
 
 /** Codegen'd membership probe against an immutable word-packed bit
   * set: `((words[p >>> 6] >>> (p & 63)) & 1) == 1` for a probe
@@ -19,6 +20,16 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
   */
 case class BitsetContains(child: Expression, words: Array[Long])
     extends UnaryExpression {
+  require(words.nonEmpty, "BitsetContains: words must be non-empty")
+
+  // Analysis-time contract (instead of a runtime asInstanceOf surprise):
+  // the probe must already be a LongType position in [0, 64·words.length),
+  // which pmod(xxhash64(...), mBits) guarantees for the BloomOps callers.
+  // (ExpectsInputTypes is out of reach — AbstractDataType is private[sql].)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"BitsetContains requires a BIGINT probe position, got ${child.dataType.sql}")
 
   override def dataType: DataType = BooleanType
 

@@ -38,6 +38,7 @@ object BloomOps {
   def buildBitmap(
       keys: DataFrame, keyCol: String, mBits: Int, numHashes: Int): Array[Long] = {
     require(mBits >= 64 && (mBits & (mBits - 1)) == 0, "mBits must be a power of two ≥ 64")
+    require(numHashes >= 1, s"numHashes must be ≥ 1 (got $numHashes)")
     val probes = (0 until numHashes).map(i =>
       pmod(xxhash64(col(keyCol), lit(i)), lit(mBits.toLong)))
     val pos = keys
@@ -57,12 +58,14 @@ object BloomOps {
     * construction (same hash family as [[buildBitmap]]).
     */
   def mightContain(
-      words: Array[Long], key: Column, mBits: Int, numHashes: Int): Column =
+      words: Array[Long], key: Column, mBits: Int, numHashes: Int): Column = {
+    require(numHashes >= 1, s"numHashes must be ≥ 1 (got $numHashes)")
     (0 until numHashes).map { i =>
       val pos = pmod(xxhash64(key, lit(i)), lit(mBits.toLong))
       GraftColumnBridge.column(
         BitsetContains(GraftColumnBridge.expression(pos), words))
     }.reduce(_ && _)
+  }
 
   /** Exact inner join with the probe side pre-pruned through a Bloom
     * filter of the build side's keys. Result ≡ `big ⋈ small` (false

@@ -26,6 +26,16 @@ object JoinOps {
       keyCol: String, leftTsCol: String, rightTsCol: String,
       rightValCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.filterNot(c => c == keyCol || c == leftTsCol)
+    // internal working columns must not collide with user columns: pick
+    // the first suffix level that makes every generated name fresh
+    // (deterministic — no UUIDs in the plan, which would defeat plan
+    // caching and make EXPLAIN diffs noisy)
+    val taken = (left.columns ++ right.columns).toSet
+    val sfx = Iterator.from(0).map(i => if (i == 0) "" else "_" + i)
+      .find(s => Seq("_ts", "_isRight", "_rvals", "_rv").forall(b => !taken(b + s)))
+      .get
+    val (cTs, cIsRight, cRvals, cRv) =
+      ("_ts" + sfx, "_isRight" + sfx, "_rvals" + sfx, "_rv" + sfx)
     // the right row's value columns travel as ONE struct, so the
     // running `last` picks a whole row atomically — per-column lasts
     // with ignoreNulls would stitch fields from DIFFERENT right rows
@@ -34,23 +44,23 @@ object JoinOps {
     val rvType = org.apache.spark.sql.types.StructType(
       rightValCols.map(c => right.schema(c).copy(name = c)))
     val l = left.select(
-      Seq(col(keyCol), col(leftTsCol).as("_ts"), lit(0).as("_isRight")) ++
+      Seq(col(keyCol), col(leftTsCol).as(cTs), lit(0).as(cIsRight)) ++
         leftCols.map(col) :+
-        lit(null).cast(rvType).as("_rvals"): _*)
+        lit(null).cast(rvType).as(cRvals): _*)
     val r = right.select(
-      Seq(col(keyCol), col(rightTsCol).as("_ts"), lit(1).as("_isRight")) ++
+      Seq(col(keyCol), col(rightTsCol).as(cTs), lit(1).as(cIsRight)) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(rightValCols.map(col): _*).as("_rvals"): _*)
+        struct(rightValCols.map(col): _*).as(cRvals): _*)
     // right rows sort BEFORE left rows at the same ts -> inclusive bound
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col("_ts"), col("_isRight").desc)
+      .orderBy(col(cTs), col(cIsRight).desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(r)
-      .withColumn("_rv", last(col("_rvals"), ignoreNulls = true).over(w))
-      .filter(col("_isRight") === 0)
+      .withColumn(cRv, last(col(cRvals), ignoreNulls = true).over(w))
+      .filter(col(cIsRight) === 0)
       .select(
-        Seq(col(keyCol), col("_ts").as(leftTsCol)) ++
+        Seq(col(keyCol), col(cTs).as(leftTsCol)) ++
           leftCols.map(col) ++
-          rightValCols.map(c => col(s"_rv.$c").as(c)): _*)
+          rightValCols.map(c => col(s"$cRv.$c").as(c)): _*)
   }
 }

@@ -67,7 +67,17 @@ object SketchOps {
     * property [[graft.queries.StreamQueries.q_stream_hll]] certifies
     * against this sketch's own batch oracle.
     */
-  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    hllHashed(df, groupCol, keyCol)
+      .groupBy(col("grp"), col("idx"))
+      .agg(max(col("rank")).as("reg"))
+
+  /** (grp, idx, rank) projection shared by the register builders. A
+    * NULL key null-propagates through md5 → polyHash → idx/rank, so
+    * null keys land in the (grp, idx=NULL) bucket rather than a
+    * register.
+    */
+  private def hllHashed(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
     val h0 = TextOps.polyHash(
       substring(md5(col(keyCol).cast("string")), 1, 8), 8)
     val h = (lit(MixA) * (h0 % Mersenne) + lit(MixB)) % Mersenne
@@ -76,15 +86,27 @@ object SketchOps {
     val rank = when(rest === 0L, lit(W + 1))
       .otherwise(lit(W + 1) - length(bin(rest)))
     df.select(col(groupCol).as("grp"), idx.as("idx"), rank.as("rank"))
-      .groupBy(col("grp"), col("idx"))
-      .agg(max(col("rank")).as("reg"))
   }
 
-  /** The read-off half: register sums → bias-corrected estimate with
-    * the linear-counting branch, joined to the exact counts
-    * (`exact`: (grp, n_exact)) for the certified error column.
+  /** Fused register + row/null-count kernel for the sketch profiler:
+    * ONE pass, ONE shuffle of ≤ groups·(m+1) rows — (grp, idx, reg,
+    * cnt) where the idx=NULL bucket carries the null-key count (max
+    * ignores the null ranks there, so `reg` is NULL for it). Row count
+    * per group = Σ cnt; null count = cnt at idx NULL; the register
+    * table = rows with idx NOT NULL. This is the shape that lets the
+    * 100 TB profiler keep constant aggregation state per column AND
+    * avoid a second scan for the exact counts.
     */
-  def hllEstimate(regs: DataFrame, exact: DataFrame, groupCol: String): DataFrame = {
+  def hllRegistersCounted(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    hllHashed(df, groupCol, keyCol)
+      .groupBy(col("grp"), col("idx"))
+      .agg(max(col("rank")).as("reg"), count(lit(1)).as("cnt"))
+
+  /** Register table → (grp, est) with the UNROUNDED estimate column —
+    * the shared read-off both certified shapes (with and without the
+    * exact ground truth) round from.
+    */
+  private def hllRawEstimate(regs: DataFrame): DataFrame = {
     val sums = regs.groupBy(col("grp"))
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $Scale - reg)")).as("s_present"),
         count(lit(1)).as("n_present"))
@@ -101,12 +123,27 @@ object SketchOps {
       zeros.cast("int"))
     val est = when(zeros > 0L && estRaw <= lit(2.5 * M),
       lit(M.toDouble) * lnLookup).otherwise(estRaw)
-    sums.join(exact, "grp")
-      .select(col("grp").as(groupCol), col("n_exact"),
-        round(est, 2).as("n_hll"),
-        round(abs(est - col("n_exact").cast("double")) /
-          col("n_exact").cast("double"), 4).as("rel_err"))
+    sums.select(col("grp"), est.as("est"))
   }
+
+  /** The read-off half: register sums → bias-corrected estimate with
+    * the linear-counting branch, joined to the exact counts
+    * (`exact`: (grp, n_exact)) for the certified error column.
+    */
+  def hllEstimate(regs: DataFrame, exact: DataFrame, groupCol: String): DataFrame =
+    hllRawEstimate(regs).join(exact, "grp")
+      .select(col("grp").as(groupCol), col("n_exact"),
+        round(col("est"), 2).as("n_hll"),
+        round(abs(col("est") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 4).as("rel_err"))
+
+  /** Exact-free read-off — the form the 100 TB profiler uses, where
+    * computing the ground truth would defeat the sketch: (groupCol,
+    * n_hll) only.
+    */
+  def hllEstimateOnly(regs: DataFrame, groupCol: String): DataFrame =
+    hllRawEstimate(regs)
+      .select(col("grp").as(groupCol), round(col("est"), 2).as("n_hll"))
 
   // -------------------------------------- log-lattice quantile sketch
 
@@ -287,27 +324,36 @@ object SketchOps {
        |ORDER BY p.n_exact DESC, p.w""".stripMargin
   }
 
-  /** DuckDB oracle for [[hllDistinct]]. */
-  def hllDistinctOracleSql(table: String, groupCol: String, keyCol: String): String = {
-    val h0 = TextOps.polyHashSql(s"substr(md5(CAST($keyCol AS VARCHAR)), 1, 8)", 8)
+  /** The shared oracle estimator over a `sums` row (columns `s`,
+    * `zeros`): raw HLL with the linear-counting branch. The ln(m/V)
+    * lookup is rendered from the SAME `math.log` run the engine
+    * embeds; `Double.toString` round-trips, so both engines hold
+    * bit-identical constants.
+    */
+  private lazy val hllEstSql: String = {
     val twoScale = 1L << Scale
     val estRaw = s"(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) " +
       s"+ CAST(1.079 AS DOUBLE) / CAST(${M.toDouble} AS DOUBLE))) " +
       s"* CAST(${M.toDouble * M.toDouble} AS DOUBLE) " +
       s"* CAST($twoScale AS DOUBLE) / CAST(s AS DOUBLE)"
-    // ln(m/V) lookup rendered from the SAME math.log run the engine
-    // embeds; Double.toString round-trips, so both engines hold
-    // bit-identical constants
     val lnList = (1 to M)
       .map(v => s"CAST('${math.log(M.toDouble / v)}' AS DOUBLE)")
       .mkString("[", ", ", "]")
-    val est = s"CASE WHEN zeros > 0 AND ($estRaw) <= CAST(${2.5 * M} AS DOUBLE) " +
+    s"CASE WHEN zeros > 0 AND ($estRaw) <= CAST(${2.5 * M} AS DOUBLE) " +
       s"THEN CAST(${M.toDouble} AS DOUBLE) * ($lnList)[CAST(zeros AS INT)] " +
       s"ELSE $estRaw END"
-    s"""WITH mixed AS (
-       |  SELECT $groupCol AS grp,
+  }
+
+  /** The shared oracle CTE chain `mixed → hashed → regs → sums` over a
+    * prior CTE exposing (grp, kstr VARCHAR) — kstr non-null.
+    */
+  private def hllSumsCtesSql(srcCte: String): String = {
+    val h0 = TextOps.polyHashSql("substr(md5(kstr), 1, 8)", 8)
+    val twoScale = 1L << Scale
+    s"""mixed AS (
+       |  SELECT grp,
        |    ($MixA * (($h0) % $Mersenne) + $MixB) % $Mersenne AS h
-       |  FROM $table),
+       |  FROM $srcCte),
        |hashed AS (
        |  SELECT grp, h % $M AS idx, CAST(FLOOR(h / $M) AS BIGINT) AS rest
        |  FROM mixed),
@@ -321,15 +367,49 @@ object SketchOps {
        |    CAST(SUM(CAST(1 AS BIGINT) << ($Scale - reg)) AS BIGINT)
        |      + ($M - COUNT(*)) * $twoScale AS s,
        |    $M - COUNT(*) AS zeros
-       |  FROM regs GROUP BY grp),
+       |  FROM regs GROUP BY grp)""".stripMargin
+  }
+
+  /** DuckDB oracle for [[hllDistinct]]. */
+  def hllDistinctOracleSql(table: String, groupCol: String, keyCol: String): String =
+    s"""WITH src AS (
+       |  SELECT $groupCol AS grp, CAST($keyCol AS VARCHAR) AS kstr
+       |  FROM $table),
+       |${hllSumsCtesSql("src")},
        |exact AS (
        |  SELECT $groupCol AS grp, COUNT(DISTINCT $keyCol) AS n_exact
        |  FROM $table GROUP BY 1)
        |SELECT s.grp AS $groupCol, e.n_exact,
-       |  ROUND($est, 2) AS n_hll,
-       |  ROUND(ABS($est - CAST(e.n_exact AS DOUBLE))
+       |  ROUND($hllEstSql, 2) AS n_hll,
+       |  ROUND(ABS($hllEstSql - CAST(e.n_exact AS DOUBLE))
        |    / CAST(e.n_exact AS DOUBLE), 4) AS rel_err
        |FROM sums s JOIN exact e ON e.grp = s.grp
        |ORDER BY 1""".stripMargin
+
+  /** DuckDB oracle for the SKETCH table profiler
+    * ([[graft.queries.ScaleQueries.q_table_profile_sketch]]): per
+    * column `(name, canonical-VARCHAR expr)`, exact rows/nulls next to
+    * the HLL distinct estimate — no exact COUNT(DISTINCT) anywhere.
+    */
+  def hllProfileOracleSql(table: String, cols: Seq[(String, String)]): String = {
+    val stacked = cols.map { case (n, e) =>
+      s"  SELECT '$n' AS grp, $e AS kv FROM $table"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH stacked AS (
+       |$stacked),
+       |counts AS (
+       |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COALESCE(SUM(CASE WHEN kv IS NULL THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS n_nulls
+       |  FROM stacked GROUP BY 1),
+       |src AS (
+       |  SELECT grp, kv AS kstr FROM stacked WHERE kv IS NOT NULL),
+       |${hllSumsCtesSql("src")},
+       |est AS (
+       |  SELECT grp, ROUND($hllEstSql, 2) AS n_hll FROM sums)
+       |SELECT c.grp AS col_name, c.n_rows, c.n_nulls,
+       |  COALESCE(e.n_hll, CAST(0.0 AS DOUBLE)) AS n_hll
+       |FROM counts c LEFT JOIN est e ON e.grp = c.grp
+       |ORDER BY col_name""".stripMargin
   }
 }

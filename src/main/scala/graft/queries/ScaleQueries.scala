@@ -159,6 +159,67 @@ object ScaleQueries {
       .orderBy(col("col_name"))
   }
 
+  /** Per-column canonical stringification shared by both engines —
+    * the cross-engine hash contract for the sketch profiler. Doubles
+    * quantize to cents (exact for TPC-H money/quantity columns),
+    * timestamps to epoch millis; both are integer-exact in Spark and
+    * DuckDB where raw double/timestamp rendering is not.
+    * (name, spark SQL expr, duckdb SQL expr).
+    */
+  private val ProfileCanon: Seq[(String, String, String)] = ProfileCols.map {
+    case c @ ("l_returnflag" | "l_linestatus") =>
+      (c, c, c)
+    case c @ ("l_quantity" | "l_extendedprice" | "l_discount" | "l_tax") =>
+      (c, s"CAST(CAST(FLOOR($c * 100 + 0.5) AS BIGINT) AS STRING)",
+        s"CAST(CAST(FLOOR($c * 100 + 0.5) AS BIGINT) AS VARCHAR)")
+    case c @ "l_shipdate" =>
+      // TIMESTAMP_NTZ (no TZ in either engine): the naive wall-clock
+      // rendering "yyyy-MM-dd HH:mm:ss" is identical in both — where
+      // an epoch-millis route would need a TZ-dependent cast in Spark
+      (c, s"CAST($c AS STRING)", s"CAST($c AS VARCHAR)")
+    case c =>
+      (c, s"CAST($c AS STRING)", s"CAST($c AS VARCHAR)")
+  }
+
+  /** The SKETCH table profiler — q_table_profile's coded 100 TB swap:
+    * same per-column rows/nulls sweep, but distinct counts come from
+    * the certified HLL sketch ([[graft.ops.SketchOps.hllEstimateOnly]])
+    * instead of the 11-replica exact multi-distinct. Execution shape:
+    * one unpivot pass (11 stacked replicas map-side, like the exact
+    * plan's Expand) but the per-group aggregation state is the FIXED
+    * 256-register table per column — the shuffle moves ≤ 11·256
+    * register rows plus 11 count rows regardless of input size, where
+    * the exact profiler's distinct state grows with column cardinality.
+    * No exact COUNT(DISTINCT) anywhere in this plan (the exact sibling
+    * doubles as its ground truth at test scale).
+    */
+  val q_table_profile_sketch = QueryDef(
+    "q_table_profile_sketch",
+    graft.ops.SketchOps.hllProfileOracleSql(
+      "lineitem", ProfileCanon.map { case (n, _, d) => (n, d) })) { (spark, dir) =>
+    val li = Tables.lineitem(spark, dir)
+    val stackArgs = ProfileCanon
+      .map { case (n, s, _) => s"'$n', $s" }.mkString(", ")
+    val stacked = li.selectExpr(
+      s"stack(${ProfileCanon.length}, $stackArgs) AS (cname, kv)")
+    // ONE scan, ONE shuffle: registers and row/null counts come out of
+    // the same fused ≤ groups·(m+1)-row aggregate; only that tiny cell
+    // table is materialized for its two read-offs.
+    val cells = graft.ops.Reuse.materialized(
+      graft.ops.SketchOps.hllRegistersCounted(stacked, "cname", "kv"))
+    val counts = cells.groupBy(col("grp"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        coalesce(sum(when(col("idx").isNull, col("cnt"))), lit(0L)).as("n_nulls"))
+    val hll = graft.ops.SketchOps.hllEstimateOnly(
+      cells.filter(col("idx").isNotNull).select(col("grp"), col("idx"), col("reg")),
+      "grp")
+    counts.join(hll, Seq("grp"), "left")
+      .select(col("grp").as("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_hll"), lit(0.0)).as("n_hll"))
+      .orderBy(col("col_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_bloom_join, q_quantile_sketch, q_zorder_tiles, q_table_profile)
+    q_bloom_join, q_quantile_sketch, q_zorder_tiles, q_table_profile,
+    q_table_profile_sketch)
 }

@@ -36,10 +36,21 @@ object Sinks {
       .unionByName(updates.withColumn("_src", lit(1)))
     // final value-hash tiebreak: two update rows with the SAME key and
     // version (an at-least-once replay) would otherwise resolve in
-    // shuffle order — different merged tables run to run
+    // shuffle order — different merged tables run to run. Hash only the
+    // hashable columns: xxhash64 fails analysis on MapType (and
+    // VariantType), so such columns are excluded from the tiebreak
+    // rather than failing schemas that the pre-tiebreak version accepted.
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case _: org.apache.spark.sql.types.VariantType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val hashCols = tagged.schema.fields.filter(f => hashable(f.dataType)).map(f => col(f.name))
+    val tiebreak = if (hashCols.isEmpty) lit(0L) else xxhash64(struct(hashCols.toIndexedSeq: _*))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(versionCol).desc, col("_src").desc,
-        xxhash64(struct(tagged.columns.map(col).toIndexedSeq: _*)))
+      .orderBy(col(versionCol).desc, col("_src").desc, tiebreak)
     tagged
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
