@@ -254,23 +254,33 @@ object SketchOps {
     cmsReadback(cmsSketch(words), words, topK)
   }
 
-  // portable per-row word hash, re-mixed per sketch row with the
-  // MinHash a/b family (DedupOps constants) — independent-ish rows
-  private def cmsRowIdx(d: Int): org.apache.spark.sql.Column = {
-    val h0 = TextOps.wordHash(col("w")) % Mersenne
+  // per-sketch-row remix of the base word hash with the MinHash a/b
+  // family (DedupOps constants) — independent-ish rows. Takes the
+  // ALREADY-REDUCED base hash (h0 = wordHash % Mersenne) so callers
+  // evaluate the expensive 8-term polynomial ONCE per word, not once
+  // per sketch row (4× the per-token cost — measured as the dominant
+  // term of the streaming merge cert before this split).
+  private def cmsRowIdxFrom(h0: org.apache.spark.sql.Column, d: Int): org.apache.spark.sql.Column =
     ((lit(DedupOps.hashA(d)) * h0 + lit(DedupOps.hashB(d))) % Mersenne) % CmsW
-  }
+
+  private def cmsRowIdx(d: Int): org.apache.spark.sql.Column =
+    cmsRowIdxFrom(TextOps.wordHash(col("w")) % Mersenne, d)
 
   /** The MERGEABLE half of the CMS: the d×w counter table as a plain
     * `groupBy().count()` over the per-word cells — integer sums, so
     * micro-batch partials add to the same sketch
     * ([[graft.queries.StreamQueries.q_stream_cms]] certifies this
-    * against the batch oracle). Input: a `w` word column.
+    * against the batch oracle). Input: a `w` word column. The base
+    * hash is projected once per word; each of the d cells is a cheap
+    * 3-op remix of it, and the partial aggregation folds the exploded
+    * cells to ≤ d·w rows per partition before any shuffle (or state
+    * store) sees them.
     */
   def cmsSketch(words: DataFrame): DataFrame = {
+    val withH = words.select((TextOps.wordHash(col("w")) % Mersenne).as("h0"))
     val cells = (0 until CmsD).map(d =>
-      struct(lit(d).as("d"), cmsRowIdx(d).as("idx")))
-    words
+      struct(lit(d).as("d"), cmsRowIdxFrom(col("h0"), d).as("idx")))
+    withH
       .select(explode(array(cells: _*)).as("c"))
       .groupBy(col("c.d").as("d"), col("c.idx").as("idx"))
       .agg(count(lit(1)).as("cnt"))

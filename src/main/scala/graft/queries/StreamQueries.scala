@@ -39,6 +39,13 @@ object StreamQueries {
     * watermark settles at max(ts) - 1 hour, so exactly the windows
     * whose end precedes that instant are emitted — which is what the
     * oracle computes from the batch table.
+    *
+    * This query certifies through the PARQUET FILE SINK
+    * ([[StreamingOps.drainToParquetSink]]) rather than the memory
+    * sink: emitted windows are committed to executor-written files
+    * (with the sink's atomic `_spark_metadata` exactly-once log) and
+    * read back — the 100 TB sink path, proven on the certified result,
+    * not just in a plumbing spec.
     */
   val q_stream_hourly_append = QueryDef(
     "q_stream_hourly_append",
@@ -55,7 +62,8 @@ object StreamQueries {
     val stream = StreamingOps.eventsStream(spark, dir)
     val agg = StreamingOps.hourlyCounts(stream, watermark = "1 hour")
     StreamingOps.withShufflePartitions(spark, 8) {
-      StreamingOps.drainToBatch(agg, OutputMode.Append())
+      StreamingOps.drainToParquetSink(
+        agg, StreamingOps.tempSinkDir("graft_hourly_append_"))
     }
       .select(col("hour"), col("event_type"), col("n"),
         round(col("total_value"), 2).as("total_value"))

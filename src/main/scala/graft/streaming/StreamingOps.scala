@@ -120,6 +120,40 @@ object StreamingOps {
     stream.sparkSession.table(name)
   }
 
+  /** Drain a streaming DataFrame through a real PARQUET FILE SINK
+    * (append-mode only — the file sink's contract) and read the
+    * committed files back via the sink's `_spark_metadata` log. This
+    * is the scale-real certification path: drained rows land in
+    * executor-written files, never on the driver, and the exactly-once
+    * story is the file sink's atomic metadata commit — unlike the
+    * memory sink, whose drained rows live in driver memory under the
+    * harness's bounded-drain contract.
+    * [[graft.queries.StreamQueries.q_stream_hourly_append]] certifies
+    * through this path (same oracle as the memory-sink drain — the
+    * sink swap must not change the answer).
+    */
+  def drainToParquetSink(stream: DataFrame, dir: String): DataFrame = {
+    ensureScaleSafeStateStore(stream.sparkSession)
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    stream.sparkSession.read
+      .schema(stream.schema) // zero-row drains still have a readable schema
+      .parquet(s"$dir/out")
+  }
+
+  /** Fresh working directory for a sink drain under java.io.tmpdir. */
+  def tempSinkDir(prefix: String): String =
+    java.nio.file.Files
+      .createTempDirectory(prefix)
+      .toAbsolutePath.toString
+
   /** Cross-batch streaming exact-dedup state: key = content hash,
     * state = smallest id seen. Emits each hash once, on first sight,
     * with the minimal id within that first batch (deterministic for a
