@@ -572,9 +572,44 @@ object EventsMore {
       .orderBy(col("src"), col("dst"))
   }
 
+  /** GROUPED top-k through the bounded-heap aggregate: the top-3
+    * spend days per event type, certified against the classic
+    * window-rank oracle (`ROW_NUMBER() OVER (PARTITION BY …) <= 3`).
+    * The window shape shuffles and SORTS every daily row of every
+    * group; [[graft.functions.TopKRows]] shuffles only ≤ k-row partial
+    * heaps per (partition, group) — the top-N-per-group plan that
+    * survives a group with a billion rows at 100 TB. Spend is
+    * cents-quantized before summing (order-free integer adds, repo
+    * float policy).
+    */
+  val q_topk_daily = QueryDef(
+    "q_topk_daily",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY cents DESC, day) AS rn
+      |  FROM daily)
+      |SELECT event_type, day, cents FROM r WHERE rn <= 3
+      |ORDER BY event_type, cents DESC, day""".stripMargin) { (spark, dir) =>
+    graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKRows.topK(
+        struct((-col("cents")).as("nc"), col("day").as("day")), 3).as("top"))
+      .select(col("event_type"), explode(col("top")).as("t"))
+      .select(col("event_type"), col("t.day").as("day"),
+        (-col("t.nc")).as("cents"))
+      .orderBy(col("event_type"), col("cents").desc, col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_hll_distinct, q_rank_dist, q_robust_stats,
-    q_funnel, q_retention, q_markov)
+    q_funnel, q_retention, q_markov, q_topk_daily)
 }

@@ -28,6 +28,29 @@ object TextQueries {
       .limit(20)
   }
 
+  /** q_top_words re-shaped through the single-pass bounded-heap
+    * aggregate ([[graft.functions.TopKRows]]) — SAME oracle, different
+    * plan: one ObjectHashAggregate pass whose partial buffers carry at
+    * most k rows each, instead of a sort/limit stage after the count
+    * aggregate. Descending count order is expressed by negating the
+    * count in the sort struct; the aggregate emits the array already
+    * in (n DESC, word ASC) order, so the explode IS the final order.
+    */
+  val q_topk_words = QueryDef(
+    "q_topk_words",
+    s"""SELECT w AS word, COUNT(*) AS n
+       |FROM (SELECT unnest(${TextOps.wordsSql("text")}) AS w FROM documents)
+       |GROUP BY w ORDER BY n DESC, word LIMIT 20""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .select(explode(TextOps.words(col("text"))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .agg(graft.functions.TopKRows.topK(
+        struct((-col("n")).as("nn"), col("word").as("word")), 20).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.word").as("word"), (-col("t.nn")).as("n"))
+  }
+
   /** Per-document quality metrics: token count, mean token length,
     * stopword ratio, punctuation ratio, composite quality score —
     * the P6-style length/quality guards as first-class columns.
@@ -448,7 +471,7 @@ object TextQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q_top_words, q_text_quality, q_token_stats, q_lang_stats, q_doc_hashes,
-    q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords, q_quality_model,
-    q_repetition, q_cms_topwords, q_collocations)
+    q_top_words, q_topk_words, q_text_quality, q_token_stats, q_lang_stats,
+    q_doc_hashes, q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords,
+    q_quality_model, q_repetition, q_cms_topwords, q_collocations)
 }

@@ -117,6 +117,16 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bounded-heap top-k plans as one aggregate — no window, no sort exchange") {
+    val pg = plan("q_topk_daily")
+    assert(pg.contains("ObjectHashAggregate"), s"expected object hash agg:\n$pg")
+    assert(!pg.contains("Window"), s"grouped top-k must not plan a window:\n$pg")
+    val pw = plan("q_topk_words")
+    assert(pw.contains("ObjectHashAggregate"), s"expected object hash agg:\n$pw")
+    assert(!pw.contains("Window") && !pw.contains("TakeOrderedAndProject"),
+      s"global top-k must come from the aggregate, not a sort stage:\n$pw")
+  }
+
   test("whole-stage codegen covers the hot expressions") {
     // AQE plans only materialize stage-by-stage; execute first, then
     // inspect the final plan for codegen spans.
