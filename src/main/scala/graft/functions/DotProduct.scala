@@ -105,5 +105,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "tokenize_ws", exprs => { arity(exprs, "tokenize_ws", 1)
         TokenizeWs(exprs(0)) }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hashed_embed", exprs => { arity(exprs, "hashed_embed", 1)
+        HashedEmbed(exprs(0)) }, "built-in")
   }
 }

@@ -30,10 +30,13 @@ trait Embedder extends Serializable {
 
 /** The default engine embedder: [[EmbeddingOps.embed]]'s hashed n-gram
   * construction, SQL-specifiable and therefore oracle-certifiable.
+  * The column form overrides the trait's UDF default with the codegen
+  * expression ([[graft.functions.HashedEmbed]]).
   */
 object HashedEmbedder extends Embedder {
   val dim: Int = EmbeddingOps.Dim
   def embed(text: String): Array[Float] = EmbeddingOps.embed(text)
+  override def embedCol(text: Column): Column = EmbeddingOps.embedCol(text)
 }
 
 /** A minimal LEARNED embedder proving the [[Embedder]] plug point with
@@ -172,12 +175,21 @@ object EmbeddingOps {
     else acc.map(v => (v / nrm).toFloat)
   }
 
-  /** Column form (plain Scala UDF — the SURVEY §7.3 sanctioned place
-    * for one: the per-row closure is the operator, not glue).
+  /** The pre-codegen UDF form (spec reference: the expression must
+    * reproduce it bit for bit).
     */
   val embedUdf = udf((text: String) => embed(if (text == null) "" else text))
 
-  def embedCol(text: Column): Column = embedUdf(text)
+  /** Column form: the codegen'd [[graft.functions.HashedEmbed]]
+    * expression (was the UDF — SURVEY §4 optional item (b)). NULL text
+    * embeds like empty text (the UDF's contract), hence the coalesce.
+    */
+  def embedCol(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    GraftColumnBridge.column(graft.functions.HashedEmbed(
+      GraftColumnBridge.expression(coalesce(text, lit("")))))
+  }
 
   /** DuckDB CTEs reproducing the embedding accumulator exactly:
     * `acc(id, b, acc)` = signed gram votes per bucket,

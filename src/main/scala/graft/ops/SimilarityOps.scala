@@ -334,6 +334,55 @@ object SimilarityOps {
       .select(col("id"), expr(s"hyperplane_sig(vd, $bits, $dim)").as("sig"))
   }
 
+  /** LSH-bucketed approximate top-k — the third ANN path next to IVF
+    * (compute-bound) and PQ (memory-bound): candidates for each query
+    * are the corpus vectors sharing ANY of the `bands` hyperplane
+    * band-buckets with it (OR-amplification, as [[lshNearDupPairs]]),
+    * then exact cosine ranks the candidates. No centroid learning, no
+    * codebooks — the cheapest build of the three — at the price of
+    * recall that depends on the corpus's angular spread rather than a
+    * tunable probe count. Candidate generation is an equi-join on
+    * (band, bucket); the corpus never cross-joins the query side.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bands: Int, bandBits: Int, dim: Int): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
+      s"bands*bandBits must fit one 64-bit signature, got $bands*$bandBits")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    def bucketed(df: DataFrame, outId: String): DataFrame = {
+      val sig = hyperplaneSignature(df, idCol, vecCol, bands * bandBits, dim)
+      val bandCols = (0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("sig"), j * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
+      }
+      sig.select(col("id").as(outId), explode(array(bandCols: _*)).as("bb"))
+        .select(col(outId), col("bb.band"), col("bb.bucket"))
+    }
+    val cand = bucketed(queries, "query_id")
+      .join(bucketed(corpus, "neighbor_id"), Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    val v = (df: DataFrame, id: String, vec: String, nrm: String) =>
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec))
+        .withColumn(nrm, sqrt(expr(s"dot_product($vec, $vec)")))
+    val scored = cand
+      .join(broadcast(v(queries, "query_id", "qv", "qn")), "query_id")
+      .join(v(corpus, "neighbor_id", "cv", "cn"), "neighbor_id")
+      .filter(col("qn") > 0 && col("cn") > 0)
+      .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** LSH-bucketed near-duplicate candidates with OR-amplification:
     * the `bands * bandBits` hyperplane bits are split into `bands`
     * independent tables; a pair becomes a candidate if it collides in

@@ -233,6 +233,24 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(learned >= 0.4, s"learned-centroid recall too low: $learned")
   }
 
+  test("LSH topK: scores exact on bucket candidates, recall above floor") {
+    val q = emb.filter(col("vec_id") < 10)
+    val c = emb.filter(col("vec_id") >= 10)
+    val brute = SimilarityOps.bruteForceTopK(q, c, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = SimilarityOps.lshTopK(q, c, "vec_id", "embedding", 5,
+      bands = 8, bandBits = 4, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // per-query ranks are dense 1..n (n <= k — LSH may find fewer
+    // candidates than k, unlike IVF/PQ which scan whole cells)
+    lsh.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === (1 to rows.size))
+    }
+    val recall = lsh.map(r => (r._1, r._3)).toSet.intersect(brute).size.toDouble / brute.size
+    info(s"LSH(8x4) recall@5: $recall")
+    assert(recall >= 0.4, s"LSH recall too low: $recall")
+  }
+
   test("PQ topK: k results per query, recall vs brute force above floor") {
     val q = emb.filter(col("vec_id") < 10)
     val c = emb.filter(col("vec_id") >= 10)

@@ -128,4 +128,23 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     assert(viaAlt.map(_._2).toSeq === (1 to 10))
     assert(viaDefault.map(_._3).toSeq !== viaAlt.map(_._3).toSeq)
   }
+
+  test("codegen HashedEmbed expression == the UDF form, corpus-wide") {
+    import TestSpark._
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf)
+    val both = docs.select(
+      EmbeddingOps.embedCol(col("text")).as("viaExpr"),
+      EmbeddingOps.embedUdf(col("text")).as("viaUdf"))
+    val mismatches = both
+      .filter(col("viaExpr") =!= col("viaUdf"))
+      .count()
+    assert(mismatches === 0L)
+    // null text: the UDF contract is embed("") = zero vector
+    val z = docs.limit(1)
+      .select(EmbeddingOps.embedCol(org.apache.spark.sql.functions.lit(null)
+        .cast("string")).as("e"))
+      .collect().head.getSeq[Float](0)
+    assert(z.length === EmbeddingOps.Dim && z.forall(_ == 0.0f))
+  }
 }

@@ -136,4 +136,14 @@ class PlanSpec extends AnyFunSuite {
     // whole-stage-codegen stages print as "*(n) Operator" in this format
     assert(p.contains("*(1)"), s"expected codegen stages:\n$p")
   }
+
+  test("hashed embedding runs as a codegen expression, not a UDF") {
+    val df = SparkEntry.queries("q_hashed_embedding")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"embedding must not plan a UDF:\n$p")
+    assert(p.contains("hashed_embed"), s"expected the native expression:\n$p")
+    assert(p.contains("*(1)"), s"expected codegen stages:\n$p")
+  }
 }
