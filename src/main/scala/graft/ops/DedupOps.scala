@@ -562,30 +562,65 @@ object DedupOps {
   def incrementalNearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       isNew: Column, threshold: Double): DataFrame = {
-    val ids = docs.select(col(idCol).as("id"), isNew.as("is_new"))
-    val st = shingleTable(docs, idCol, textCol)
-    val rare = st.join(ids.filter(!col("is_new")), "id")
-      .groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= MaxDf)
-      .select(col("h"))
-    val sh = Reuse.materialized(
-      st.join(rare, "h").select(col("id"), col("h")))
-    val sig = sigFromShingles(sh).join(ids, "id")
-    val bN = bandBuckets(sig.filter(col("is_new")).drop("is_new"))
-    val bI = bandBuckets(sig.filter(!col("is_new")).drop("is_new"))
-    val cand = bN.as("n").join(bI.as("i"),
+    val index = buildIncrementalIndex(
+      docs.filter(!isNew), idCol, textCol)
+    probeIncremental(index, docs.filter(isNew), idCol, textCol, threshold)
+  }
+
+  /** The STATIC index-side artifacts of the incremental dedup,
+    * computed once and probed by any number of new batches (the
+    * streaming twin [[graft.queries.StreamQueries.q_stream_incremental_dedup]]
+    * probes micro-batches against one of these): the index-defined
+    * discriminative-shingle set, the index's rare-filtered shingle
+    * table, its band buckets, and its per-doc shingle sizes — all
+    * materialized, since every probe reuses them.
+    */
+  final case class IncrementalIndex(
+      rare: DataFrame, shIdx: DataFrame, bucketsIdx: DataFrame, sizesIdx: DataFrame)
+
+  def buildIncrementalIndex(
+      indexDocs: DataFrame, idCol: String, textCol: String): IncrementalIndex = {
+    val stI = shingleTable(indexDocs, idCol, textCol)
+    val rare = Reuse.materialized(
+      stI.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxDf)
+        .select(col("h")))
+    val shIdx = Reuse.materialized(stI.join(rare, "h").select(col("id"), col("h")))
+    val bucketsIdx = Reuse.materialized(bandBuckets(sigFromShingles(shIdx)))
+    val sizesIdx = Reuse.materialized(
+      shIdx.groupBy(col("id")).agg(count(lit(1)).as("n")))
+    IncrementalIndex(rare, shIdx, bucketsIdx, sizesIdx)
+  }
+
+  /** Probe a batch of NEW docs against a static [[IncrementalIndex]]:
+    * asymmetric band-bucket candidates (new × index only), exact
+    * Jaccard verification against the index shingle table, best index
+    * match per new doc. Work is linear in the batch at a fixed index.
+    */
+  def probeIncremental(
+      index: IncrementalIndex, newDocs: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    // the batch's shingles filtered by the INDEX-defined rare set (a
+    // new batch must not shift what is discriminative)
+    val shN = Reuse.materialized(
+      shingleTable(newDocs, idCol, textCol)
+        .join(index.rare, "h").select(col("id"), col("h")))
+    val bN = bandBuckets(sigFromShingles(shN))
+    val cand = bN.as("n").join(index.bucketsIdx.as("i"),
         bandKeys.map(k => col(s"n.$k") === col(s"i.$k")).reduce(_ && _))
       .select(col("n.id").as("new_id"), col("i.id").as("match_id"))
       .distinct()
     val inter = cand
-      .join(sh.select(col("id").as("new_id"), col("h")), "new_id")
-      .join(sh.select(col("id").as("match_id"), col("h")), Seq("match_id", "h"))
+      .join(shN.select(col("id").as("new_id"), col("h")), "new_id")
+      .join(index.shIdx.select(col("id").as("match_id"), col("h")),
+        Seq("match_id", "h"))
       .groupBy(col("new_id"), col("match_id"))
       .agg(count(lit(1)).as("inter"))
-    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val szN = shN.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val verified = inter
-      .join(sz.withColumnRenamed("id", "new_id").withColumnRenamed("n", "na"), "new_id")
-      .join(sz.withColumnRenamed("id", "match_id").withColumnRenamed("n", "nb"), "match_id")
+      .join(szN.withColumnRenamed("id", "new_id").withColumnRenamed("n", "na"), "new_id")
+      .join(index.sizesIdx
+        .withColumnRenamed("id", "match_id").withColumnRenamed("n", "nb"), "match_id")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -435,9 +435,53 @@ object StreamQueries {
       .orderBy(col("n_exact").desc, col("w"))
   }
 
+  /** Streaming incremental dedup — the crawl-ingest shape end to end:
+    * NEW documents arrive as micro-batches and are probed against a
+    * STATIC LSH index ([[graft.ops.DedupOps.buildIncrementalIndex]])
+    * built once from the historical corpus; each batch's matches
+    * append to a parquet sink (foreachBatch — the per-batch probe is
+    * a full batch plan: band-bucket join, shingle-intersection
+    * verification, best-match window, which no single streaming plan
+    * expresses). Per-new-doc results are independent of the batch
+    * cut — exactly why the batch q_incremental_dedup oracle certifies
+    * the streamed union unchanged. At 100 TB the index artifacts are
+    * the persisted daily state; each day's crawl is one probe.
+    */
+  val q_stream_incremental_dedup = QueryDef(
+    "q_stream_incremental_dedup",
+    graft.ops.DedupOps.incrementalOracleSql("doc_id % 5 = 4", 0.8)) { (spark, dir) =>
+    import graft.ops.DedupOps
+    val docs = Tables.documents(spark, dir)
+    val index = DedupOps.buildIncrementalIndex(
+      docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text")
+    val outSchema = DedupOps.probeIncremental(
+      index, docs.limit(0), "doc_id", "text", 0.8).schema
+    val path = s"$dir/documents.parquet"
+    val stream = StreamingOps.parquetStream(
+      spark, path, spark.read.parquet(path).schema)
+      .filter(col("doc_id") % 5 === 4)
+    val work = StreamingOps.tempSinkDir("graft_inc_dedup_")
+    StreamingOps.withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          DedupOps.probeIncremental(index, batch, "doc_id", "text", 0.8)
+            .write.mode("append").parquet(s"$work/out")
+          ()
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    spark.read.schema(outSchema).parquet(s"$work/out")
+      .orderBy(col("new_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
-    q_stream_hll, q_stream_cms)
+    q_stream_hll, q_stream_cms, q_stream_incremental_dedup)
 }
