@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ByteStats, DotProduct, HashedEmbed, HyperplaneSig, ShingleHashes, SimHashFp, TokenizeWs}
+import graft.functions.{ByteStats, DotProduct, HashedEmbed, HyperplaneSig, ShingleHashes, SimHashFp, TokenizeWs, WordHashes}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions at session build time, so a cluster deploy can
@@ -46,5 +46,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hashed_embed"),
       new ExpressionInfo(classOf[HashedEmbed].getName, "hashed_embed"),
       exprs => HashedEmbed(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("word_hashes"),
+      new ExpressionInfo(classOf[WordHashes].getName, "word_hashes"),
+      exprs => WordHashes(exprs.head)))
   }
 }

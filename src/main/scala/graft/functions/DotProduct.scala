@@ -108,5 +108,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hashed_embed", exprs => { arity(exprs, "hashed_embed", 1)
         HashedEmbed(exprs(0)) }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_hashes", exprs => { arity(exprs, "word_hashes", 1)
+        WordHashes(exprs(0)) }, "built-in")
   }
 }

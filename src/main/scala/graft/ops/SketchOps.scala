@@ -248,10 +248,14 @@ object SketchOps {
     // exploded words are LARGER than the input corpus, so at 100 TB
     // caching them costs more than the second tokenize pass
     // (measured neutral at bench scale too — the scans, not the
-    // tokenize, dominate).
+    // tokenize, dominate). The sketch build side explodes primitive
+    // hashes (word_hashes), not tokens — only the exact-top-k
+    // read-back needs the strings.
     val words = docs.select(
       explode(TextOps.words(col(textCol))).as("w"))
-    cmsReadback(cmsSketch(words), words, topK)
+    val hashes = docs.select(
+      explode(TextOps.wordHashes(col(textCol))).as("wh"))
+    cmsReadback(cmsSketchFromHashes(hashes), words, topK)
   }
 
   // per-sketch-row remix of the base word hash with the MinHash a/b
@@ -276,8 +280,15 @@ object SketchOps {
     * cells to ≤ d·w rows per partition before any shuffle (or state
     * store) sees them.
     */
-  def cmsSketch(words: DataFrame): DataFrame = {
-    val withH = words.select((TextOps.wordHash(col("w")) % Mersenne).as("h0"))
+  def cmsSketch(words: DataFrame): DataFrame =
+    cmsSketchFromHashes(words.select(TextOps.wordHash(col("w")).as("wh")))
+
+  /** Sketch build from the RAW per-token hashes (`wh` long column —
+    * the [[TextOps.wordHashes]] explode): the form streaming and batch
+    * builds share once tokens stop being materialized.
+    */
+  def cmsSketchFromHashes(hashes: DataFrame): DataFrame = {
+    val withH = hashes.select((col("wh") % Mersenne).as("h0"))
     val cells = (0 until CmsD).map(d =>
       struct(lit(d).as("d"), cmsRowIdxFrom(col("h0"), d).as("idx")))
     withH

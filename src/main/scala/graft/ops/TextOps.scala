@@ -76,6 +76,18 @@ object TextOps {
 
   def wordHashSql(w: String): String = polyHashSql(s"rpad($w, 8, ' ')", 8)
 
+  /** All tokens' [[wordHash]]es of a TEXT column in one codegen'd pass
+    * ([[graft.functions.WordHashes]]) — `transform(words(text),
+    * wordHash)` without materializing the tokens. For pipelines that
+    * consume only the hashes (sketch builds), explode THIS instead of
+    * [[words]].
+    */
+  def wordHashes(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.functions.WordHashes(
+      GraftColumnBridge.expression(text)))
+  }
+
   /** Shared stopword list (subset of English function words that appear
     * in the synthetic corpus).
     */

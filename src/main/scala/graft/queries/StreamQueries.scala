@@ -423,9 +423,9 @@ object StreamQueries {
     val path = s"$dir/documents.parquet"
     val docsStream = StreamingOps.parquetStream(
       spark, path, spark.read.parquet(path).schema)
-    val wordsStream = docsStream.select(
-      explode(graft.ops.TextOps.words(col("text"))).as("w"))
-    val sketch = graft.ops.SketchOps.cmsSketch(wordsStream)
+    val hashStream = docsStream.select(
+      explode(graft.ops.TextOps.wordHashes(col("text"))).as("wh"))
+    val sketch = graft.ops.SketchOps.cmsSketchFromHashes(hashStream)
     val drained = StreamingOps.withShufflePartitions(spark, 8) {
       StreamingOps.drainToBatch(sketch, OutputMode.Complete())
     }

@@ -102,6 +102,21 @@ object KernelProperties extends Properties("graft.kernels") {
       got == want
     }
 
+  property("WordHashes equals wordHash over TokenizeWs tokens") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(
+      Gen.alphaUpperChar, Gen.alphaLowerChar, Gen.const(' '), Gen.const('7')))
+      .map(_.mkString)) { t =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val want = graft.functions.TokenizeWs.compute(u)
+        .toObjectArray(org.apache.spark.sql.types.StringType)
+        .map(_.toString)
+        .map(w => (0 until 8).foldLeft(0L)((a, k) =>
+          a * 31 + (if (k < w.length) w.charAt(k).toLong else 32L)))
+        .toSeq
+      val got = graft.functions.WordHashes.compute(u).toLongArray().toSeq
+      got == want
+    }
+
   property("ByteStats matches the decodeStub loop on arbitrary payloads") =
     Prop.forAll(Gen.listOf(Gen.choose(-128, 127).map(_.toByte))) { bs =>
       val payload = bs.toArray
