@@ -137,6 +137,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("*(1)"), s"expected codegen stages:\n$p")
   }
 
+  test("sketch profiler plans without the exact profiler's multi-distinct Expand") {
+    val exact = plan("q_table_profile")
+    assert(exact.contains("Expand"),
+      s"exact multi-distinct should plan an Expand (ground-truth shape):\n$exact")
+    val sketch = plan("q_table_profile_sketch")
+    assert(!sketch.contains("Expand"),
+      s"sketch profiler must not need the multi-distinct Expand:\n$sketch")
+  }
+
   test("hashed embedding runs as a codegen expression, not a UDF") {
     val df = SparkEntry.queries("q_hashed_embedding")(spark, sf)
     df.collect()
