@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ByteStats, DotProduct, HashedEmbed, HyperplaneSig, ShingleHashes, SimHashFp, TokenizeWs, WordHashes}
+import graft.functions.{ByteStats, DotProduct, HashedEmbed, HyperplaneSig, Md5Poly8, ShingleHashes, SimHashFp, TokenizeWs, WordHashes}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions at session build time, so a cluster deploy can
@@ -50,5 +50,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_hashes"),
       new ExpressionInfo(classOf[WordHashes].getName, "word_hashes"),
       exprs => WordHashes(exprs.head)))
+    e.injectFunction((
+      new FunctionIdentifier("md5_poly8"),
+      new ExpressionInfo(classOf[Md5Poly8].getName, "md5_poly8"),
+      exprs => Md5Poly8(exprs.head)))
   }
 }

@@ -111,5 +111,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_hashes", exprs => { arity(exprs, "word_hashes", 1)
         WordHashes(exprs(0)) }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_poly8", exprs => { arity(exprs, "md5_poly8", 1)
+        Md5Poly8(exprs(0)) }, "built-in")
   }
 }

@@ -78,8 +78,13 @@ object SketchOps {
     * register.
     */
   private def hllHashed(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
-    val h0 = TextOps.polyHash(
-      substring(md5(col(keyCol).cast("string")), 1, 8), 8)
+    // one-pass codegen'd md5+fold ([[graft.functions.Md5Poly8]]) —
+    // value-identical to polyHash(substring(md5(key), 1, 8), 8), which
+    // is what the oracles replay; the algebraic chain costs ~10× more
+    // (hex-string materialization + 8 substring+ascii per row)
+    import org.apache.spark.sql.GraftColumnBridge
+    val h0 = GraftColumnBridge.column(graft.functions.Md5Poly8(
+      GraftColumnBridge.expression(col(keyCol).cast("string"))))
     val h = (lit(MixA) * (h0 % Mersenne) + lit(MixB)) % Mersenne
     val idx = h % M
     val rest = floor(h / M).cast("long")

@@ -117,6 +117,19 @@ object KernelProperties extends Properties("graft.kernels") {
       got == want
     }
 
+  property("Md5Poly8 equals polyHash over the md5 hex string") =
+    Prop.forAll(Gen.listOf(Gen.asciiPrintableChar).map(_.mkString)) { t =>
+      // independent reference path: full hex STRING via commons-style
+      // formatting, then the ascii Horner fold the column algebra runs
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = digest.map(b => f"$b%02x").mkString.take(8)
+      val want = hex.foldLeft(0L)((a, c) => a * 31 + c.toLong)
+      val got = graft.functions.Md5Poly8.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t))
+      got == want
+    }
+
   property("ByteStats matches the decodeStub loop on arbitrary payloads") =
     Prop.forAll(Gen.listOf(Gen.choose(-128, 127).map(_.toByte))) { bs =>
       val payload = bs.toArray
