@@ -111,8 +111,14 @@ object SketchOps {
     * the shared read-off both certified shapes (with and without the
     * exact ground truth) round from.
     */
-  private def hllRawEstimate(regs: DataFrame): DataFrame = {
-    val sums = regs.groupBy(col("grp"))
+  private def hllRawEstimate(regs: DataFrame): DataFrame =
+    hllRawEstimateBy(regs, Seq("grp"))
+
+  /** Same read-off over an arbitrary grouping (the pair-keyed union
+    * sketches of [[hllOverlap]] group by two columns).
+    */
+  private def hllRawEstimateBy(regs: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val sums = regs.groupBy(groupCols.map(col): _*)
       .agg(sum(expr(s"shiftleft(CAST(1 AS BIGINT), $Scale - reg)")).as("s_present"),
         count(lit(1)).as("n_present"))
       .withColumn("s",
@@ -128,7 +134,7 @@ object SketchOps {
       zeros.cast("int"))
     val est = when(zeros > 0L && estRaw <= lit(2.5 * M),
       lit(M.toDouble) * lnLookup).otherwise(estRaw)
-    sums.select(col("grp"), est.as("est"))
+    sums.select(groupCols.map(col) :+ est.as("est"): _*)
   }
 
   /** The read-off half: register sums → bias-corrected estimate with
@@ -149,6 +155,58 @@ object SketchOps {
   def hllEstimateOnly(regs: DataFrame, groupCol: String): DataFrame =
     hllRawEstimate(regs)
       .select(col("grp").as(groupCol), round(col("est"), 2).as("n_hll"))
+
+  /** HLL SET ALGEBRA: per group-pair (a < b) distinct-key overlap with
+    * NO pairwise key join anywhere. Registers max-merge into the union
+    * sketch (the same mergeability the streaming certs prove), so
+    * |A∪B| reads off the merged registers and |A∩B| follows by
+    * inclusion–exclusion: est(A) + est(B) − est(A∪B), clamped at 0.
+    *
+    * This is the 100 TB sibling of the exact cross-source overlap
+    * (reference: cross-registry overlap reporting,
+    * `analytics_queries.py`-style pair joins): the exact form must
+    * equi-join the full key tables per pair, while this one ships ONE
+    * m-register sketch per group — after the single linear scan,
+    * pair-overlap cost is `pairs × m` rows, independent of input size,
+    * and the per-group sketches are reusable across any number of
+    * pairings (the register table is materialized once).
+    *
+    * Output: (group_a, group_b, n_a, n_b, n_union, n_inter,
+    * jaccard_est) — counts rounded to 2 dp, the Jaccard estimate
+    * floor-quantized to 4 dp (the repo's cross-engine float policy).
+    */
+  def hllOverlap(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val regs = Reuse.materialized(hllRegisters(df, groupCol, keyCol))
+    val ests = hllRawEstimate(regs)
+    val groups = regs.select(col("grp")).distinct()
+    // the group list is bounded by the number of groups (not the data)
+    // — broadcast it so the < pairing plans as BNLJ, never cartesian
+    val pairs = groups.select(col("grp").as("ga"))
+      .join(broadcast(groups.select(col("grp").as("gb"))),
+        col("ga") < col("gb"))
+    // pair → member explode → equi-join → max-merge: the union sketch
+    // as pure shuffle-on-key relational algebra (no OR-condition join)
+    val members = pairs.select(col("ga"), col("gb"),
+      explode(array(col("ga"), col("gb"))).as("grp"))
+    val uregs = members.join(regs, "grp")
+      .groupBy(col("ga"), col("gb"), col("idx"))
+      .agg(max(col("reg")).as("reg"))
+    val uests = hllRawEstimateBy(uregs, Seq("ga", "gb"))
+      .withColumnRenamed("est", "est_u")
+    val joined = uests
+      .join(ests.select(col("grp").as("ga"), col("est").as("est_a")), "ga")
+      .join(ests.select(col("grp").as("gb"), col("est").as("est_b")), "gb")
+    val inter = greatest(col("est_a") + col("est_b") - col("est_u"), lit(0.0))
+    joined.select(
+      col("ga").as("group_a"), col("gb").as("group_b"),
+      round(col("est_a"), 2).as("n_a"),
+      round(col("est_b"), 2).as("n_b"),
+      round(col("est_u"), 2).as("n_union"),
+      round(inter, 2).as("n_inter"),
+      (floor(inter / col("est_u") * 10000 + lit(0.5)) / lit(10000.0))
+        .as("jaccard_est"))
+      .orderBy(col("group_a"), col("group_b"))
+  }
 
   // -------------------------------------- log-lattice quantile sketch
 
@@ -411,6 +469,47 @@ object SketchOps {
        |    / CAST(e.n_exact AS DOUBLE), 4) AS rel_err
        |FROM sums s JOIN exact e ON e.grp = s.grp
        |ORDER BY 1""".stripMargin
+
+  /** DuckDB oracle for [[hllOverlap]]. `prelude` is a CTE list (no
+    * leading WITH) whose last CTE must expose `src(grp, kstr)` with
+    * kstr a non-null VARCHAR rendering of the key — the same contract
+    * [[hllSumsCtesSql]] replays. The union sketch is re-derived from
+    * the SAME `regs` CTE the per-group estimates read, so engine and
+    * oracle agree bit-for-bit through the whole inclusion–exclusion
+    * chain.
+    */
+  def hllOverlapOracleSql(prelude: String): String = {
+    val twoScale = 1L << Scale
+    s"""WITH $prelude,
+       |${hllSumsCtesSql("src")},
+       |ests AS (SELECT grp, $hllEstSql AS est FROM sums),
+       |grps AS (SELECT DISTINCT grp FROM src),
+       |pairs AS (
+       |  SELECT a.grp AS ga, b.grp AS gb
+       |  FROM grps a JOIN grps b ON a.grp < b.grp),
+       |uregs AS (
+       |  SELECT p.ga, p.gb, r.idx, MAX(r.reg) AS reg
+       |  FROM pairs p JOIN regs r ON r.grp = p.ga OR r.grp = p.gb
+       |  GROUP BY 1, 2, 3),
+       |usums AS (
+       |  SELECT ga, gb,
+       |    CAST(SUM(CAST(1 AS BIGINT) << ($Scale - reg)) AS BIGINT)
+       |      + ($M - COUNT(*)) * $twoScale AS s,
+       |    $M - COUNT(*) AS zeros
+       |  FROM uregs GROUP BY ga, gb),
+       |uests AS (SELECT ga, gb, $hllEstSql AS est_u FROM usums)
+       |SELECT u.ga AS group_a, u.gb AS group_b,
+       |  ROUND(ea.est, 2) AS n_a, ROUND(eb.est, 2) AS n_b,
+       |  ROUND(u.est_u, 2) AS n_union,
+       |  ROUND(GREATEST(ea.est + eb.est - u.est_u, CAST(0 AS DOUBLE)), 2)
+       |    AS n_inter,
+       |  FLOOR(GREATEST(ea.est + eb.est - u.est_u, CAST(0 AS DOUBLE))
+       |      / u.est_u * 10000 + 0.5) / 10000.0 AS jaccard_est
+       |FROM uests u
+       |JOIN ests ea ON ea.grp = u.ga
+       |JOIN ests eb ON eb.grp = u.gb
+       |ORDER BY 1, 2""".stripMargin
+  }
 
   /** DuckDB oracle for the SKETCH table profiler
     * ([[graft.queries.ScaleQueries.q_table_profile_sketch]]): per

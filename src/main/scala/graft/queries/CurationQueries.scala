@@ -418,6 +418,32 @@ object CurationQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Sketch-algebra cross-source overlap: the SAME contamination
+    * matrix as [[q_source_overlap]], but from per-source HLL sketches
+    * with NO pairwise shingle join — union registers max-merge and the
+    * intersection follows by inclusion–exclusion
+    * ([[graft.ops.SketchOps.hllOverlap]]). At 100 TB the exact form
+    * must equi-join every source pair's full shingle sets; this one
+    * does ONE linear scan, then works on 256 registers per source.
+    * Hash-certified (the estimator chain is the proven HLL pattern),
+    * with accuracy vs the exact sibling audited in SketchOpsSpec.
+    */
+  val q_hll_overlap = QueryDef(
+    "q_hll_overlap", {
+      val shCtes = DedupOps.discriminativeShinglesSqlCtes("documents", "doc_id", "text")
+      graft.ops.SketchOps.hllOverlapOracleSql(
+        s"""$shCtes,
+           |src AS (
+           |  SELECT d.source AS grp, CAST(sh.h AS VARCHAR) AS kstr
+           |  FROM sh JOIN documents d ON d.doc_id = sh.id)""".stripMargin)
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val keyed = DedupOps.discriminativeShingles(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+      .select(col("source"), col("h"))
+    graft.ops.SketchOps.hllOverlap(keyed, "source", "h")
+  }
+
   /** Email-address pattern valid (and identical in semantics) in both
     * Java regex (Spark) and RE2 (DuckDB): character classes, +, and a
     * bounded repetition only.
@@ -592,5 +618,6 @@ object CurationQueries {
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_contamination, q_mix_rates,
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
-    q_pii_scrub, q_soft_dedup_sample, q_bigram_lm, q_dataset_split)
+    q_hll_overlap, q_pii_scrub, q_soft_dedup_sample, q_bigram_lm,
+    q_dataset_split)
 }

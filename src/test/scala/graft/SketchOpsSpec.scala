@@ -52,6 +52,45 @@ class SketchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL overlap tracks the exact cross-source matrix (accuracy audit)") {
+    import graft.ops.DedupOps
+    val keyed = DedupOps.discriminativeShingles(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id").as("id"), col("source")), "id")
+      .select(col("source"), col("h"))
+    val est = SketchOps.hllOverlap(keyed, "source", "h").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+
+    val nSources = docs.select(col("source")).distinct().count().toInt
+    assert(est.size === nSources * (nSources - 1) / 2)
+
+    // exact ground truth from the same keyed table
+    val distinctKeys = keyed.distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    est.foreach { case ((a, b), (nUnion, nInter, jac)) =>
+      val sa = distinctKeys(a); val sb = distinctKeys(b)
+      val exactU = (sa | sb).size.toDouble
+      val exactI = (sa & sb).size.toDouble
+      // m=256 → sigma ~6.5% per sketch; inclusion-exclusion compounds
+      // three estimates, so allow 3-sigma on the union and a wider
+      // absolute band (relative to union size) on the intersection
+      assert(math.abs(nUnion - exactU) / exactU < 0.25,
+        s"($a,$b) union est $nUnion vs exact $exactU")
+      assert(math.abs(nInter - exactI) / exactU < 0.30,
+        s"($a,$b) inter est $nInter vs exact $exactI (union $exactU)")
+      assert(math.abs(jac - exactI / exactU) < 0.30,
+        s"($a,$b) jaccard est $jac vs exact ${exactI / exactU}")
+    }
+    // and the estimator should be unbiased enough that the MEDIAN
+    // relative union error is well inside one sigma band
+    val relErrs = est.toSeq.map { case ((a, b), (nUnion, _, _)) =>
+      val exactU = (distinctKeys(a) | distinctKeys(b)).size.toDouble
+      math.abs(nUnion - exactU) / exactU
+    }.sorted
+    assert(relErrs(relErrs.size / 2) < 0.10,
+      s"median union rel err ${relErrs(relErrs.size / 2)}")
+  }
+
   test("HLL counts a disjoint union as the merged register state") {
     // sketch mergeability: computing over the union equals computing
     // over parts and MAX-merging registers — here certified end-to-end
