@@ -114,5 +114,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5_poly8", exprs => { arity(exprs, "md5_poly8", 1)
         Md5Poly8(exprs(0)) }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_pos_hashes", exprs => { arity(exprs, "shingle_pos_hashes", 2)
+        ShinglePosHashes(exprs(0),
+          constInt(exprs(1), "shingle_pos_hashes", 1)) }, "built-in")
   }
 }

@@ -130,6 +130,123 @@ object DedupOps {
        |rare AS (SELECT h FROM sh0 GROUP BY h HAVING COUNT(*) <= $MaxDf),
        |sh AS (SELECT sh0.id, sh0.h FROM sh0 JOIN rare USING (h))""".stripMargin
 
+  /** Window length for span-level (exact-substring) duplication — the
+    * Lee et al. granularity: long enough that a match is real shared
+    * text, short enough to catch partial boilerplate.
+    */
+  val SpanN = 20
+
+  /** MAXIMAL cross-document duplicated spans: for every doc, merge the
+    * [[SpanN]]-char windows whose content also appears in at least one
+    * OTHER document into maximal character intervals (gaps-and-islands
+    * over window start positions), and report the per-doc span count,
+    * covered chars, longest span, and duplicated fraction.
+    *
+    * This is the substring-level member of the dedup ladder (document
+    * → segment → span): [[q_dup_ngram_rate]]-style df counting says
+    * HOW MUCH of a doc is duplicated; this says WHERE, in directly
+    * removable character intervals — the output a span-trimming
+    * curation pass consumes (reference scope: the dedup stage of
+    * `dedup_consumer.py`, extended to sub-document granularity).
+    *
+    * Scale shape: the position table is linear in corpus chars (one
+    * codegen'd rolling-hash pass per doc, [[graft.functions.ShinglePosHashes]]);
+    * the duplicated-window set is one partial-aggregated df count (NO
+    * df cap — high-df windows are the signal here, and the join back
+    * is a 1:1 semi-join, so there is no quadratic fan-out); span
+    * merging is a per-doc window sort. Three linear shuffles, no
+    * pairwise anything, at any corpus size.
+    */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = SpanN): DataFrame = {
+    require(n >= 1, s"span window must be >= 1, got $n")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val pos = docs.select(col(idCol).as("id"),
+      posexplode(expr(s"shingle_pos_hashes($textCol, $n)")))
+      .select(col("id"), (col("pos") + 1).as("pos"), col("col").as("h"))
+    val dupH = pos.groupBy(col("h"))
+      .agg(count_distinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("h"))
+    val dupPos = pos.join(dupH, Seq("h"), "left_semi")
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val prevEnd = max(col("pos") + n)
+      .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islanded = dupPos
+      .withColumn("ni",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("ni")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+    val spans = islanded.groupBy(col("id"), col("island"))
+      .agg(min(col("pos")).as("s"), max(col("pos") + n).as("e"))
+    val per = spans.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("dup_chars"),
+        max(col("e") - col("s")).cast("long").as("longest_span"))
+    docs.select(col(idCol).as("doc_id"), length(col(textCol)).as("nc"))
+      .join(per.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("longest_span"), lit(0L)).as("longest_span"),
+        (floor(coalesce(col("dup_chars"), lit(0L)).cast("double")
+          / greatest(col("nc"), lit(1)).cast("double") * 1000000 + 0.5)
+          / 1000000.0).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB oracle for [[duplicatedSpans]] — the positional shingle
+    * SQL (= [[shingleTableSql]] minus DISTINCT, plus the start
+    * position) through the same df-count, semi-join, and
+    * gaps-and-islands chain. Integer arithmetic end to end; only the
+    * final fraction is floor-quantized.
+    */
+  def duplicatedSpansOracleSql(table: String, idCol: String, textCol: String,
+      n: Int = SpanN): String = {
+    // 31^(n-1) exceeds BIGINT for n=20, so the hash goes through the
+    // wrap-exact HUGEINT path: exact sum, mod-2^64 residue staged once
+    // in pw0, signed mapping in pw (TextOps.polyHashWrapSql rationale)
+    val raw = TextOps.polyHashRawHugeSql(
+      s"substr($textCol, CAST(g AS INT), $n)", n)
+    s"""WITH pw0 AS (
+       |  SELECT $idCol AS id, g AS pos, ($raw % ${TextOps.Two64Sql}) AS m
+       |  FROM $table CROSS JOIN
+       |    UNNEST(range(1, GREATEST(len($textCol) - ${n - 1}, 0) + 1)) t(g)),
+       |pw AS (
+       |  SELECT id, pos, ${TextOps.polyHashWrapFromResidueSql("m")} AS h
+       |  FROM pw0),
+       |dup AS (SELECT h FROM pw GROUP BY h HAVING COUNT(DISTINCT id) >= 2),
+       |dp AS (SELECT pw.id, pw.pos FROM pw JOIN dup USING (h)),
+       |fl AS (
+       |  SELECT id, pos,
+       |    CASE WHEN MAX(pos + $n) OVER (PARTITION BY id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+       |      OR pos > MAX(pos + $n) OVER (PARTITION BY id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      THEN 1 ELSE 0 END AS ni
+       |  FROM dp),
+       |isl AS (
+       |  SELECT id, pos, SUM(ni) OVER (PARTITION BY id ORDER BY pos
+       |    ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM fl),
+       |spans AS (
+       |  SELECT id, island, MIN(pos) AS s, MAX(pos + $n) AS e
+       |  FROM isl GROUP BY id, island),
+       |per AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |    CAST(SUM(e - s) AS BIGINT) AS dup_chars,
+       |    CAST(MAX(e - s) AS BIGINT) AS longest_span
+       |  FROM spans GROUP BY id)
+       |SELECT d.$idCol AS doc_id,
+       |  COALESCE(p.n_spans, 0) AS n_spans,
+       |  COALESCE(p.dup_chars, 0) AS dup_chars,
+       |  COALESCE(p.longest_span, 0) AS longest_span,
+       |  FLOOR(CAST(COALESCE(p.dup_chars, 0) AS DOUBLE)
+       |    / CAST(GREATEST(len(d.$textCol), 1) AS DOUBLE) * 1000000 + 0.5)
+       |    / 1000000.0 AS dup_frac
+       |FROM $table d LEFT JOIN per p ON p.id = d.$idCol
+       |ORDER BY d.$idCol""".stripMargin
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Per-doc minhash signature columns m0..m{K-1} over the

@@ -67,6 +67,38 @@ object TextOps {
       s"CAST(ascii(substr($s, ${k + 1}, 1)) AS BIGINT) * ${math.pow(31, n - 1 - k).toLong}"
     }.mkString("(", " + ", ")")
 
+  /** SQL rendering of the polynomial hash for window lengths where
+    * 31^(n-1) no longer fits a BIGINT (n ≥ 14): Java long arithmetic
+    * WRAPS mod 2^64 while DuckDB ERRORS on BIGINT overflow (and
+    * [[polyHashSql]]'s `math.pow(...).toLong` constants would saturate
+    * rather than wrap) — so the oracle computes the EXACT sum in
+    * HUGEINT with exact BigInt power constants, reduces mod 2^64, and
+    * maps the unsigned residue to the signed BIGINT Java produces.
+    * Congruence makes this identical to the rolling wrapped kernel
+    * ([[graft.functions.ShinglePosHashes]]) at any n.
+    */
+  def polyHashWrapSql(s: String, n: Int): String =
+    polyHashWrapFromResidueSql(s"(${polyHashRawHugeSql(s, n)} % $Two64Sql)")
+
+  /** The exact (un-wrapped) HUGEINT polynomial sum — stage this in its
+    * own CTE when the hash feeds several expressions, then finish with
+    * [[polyHashWrapFromResidueSql]] over the mod-2^64 residue.
+    */
+  def polyHashRawHugeSql(s: String, n: Int): String =
+    (0 until n).map { k =>
+      val p = BigInt(31).pow(n - 1 - k)
+      s"CAST(ascii(substr($s, ${k + 1}, 1)) AS HUGEINT) * CAST('$p' AS HUGEINT)"
+    }.mkString("(", " + ", ")")
+
+  val Two64Sql = "CAST('18446744073709551616' AS HUGEINT)"
+  val Two63Sql = "CAST('9223372036854775808' AS HUGEINT)"
+
+  /** Unsigned mod-2^64 residue (a HUGEINT expression in [0, 2^64)) →
+    * the signed BIGINT Java's wrapping long arithmetic produces.
+    */
+  def polyHashWrapFromResidueSql(m: String): String =
+    s"CAST(CASE WHEN $m >= $Two63Sql THEN $m - $Two64Sql ELSE $m END AS BIGINT)"
+
   /** Hash of a variable-length word: poly hash of the word truncated /
     * space-padded to 8 chars (documented collision tradeoff: words
     * sharing an 8-char prefix collide — acceptable for SimHash-style

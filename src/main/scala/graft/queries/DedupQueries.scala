@@ -233,8 +233,23 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Maximal cross-document duplicated spans (substring-level dedup —
+    * the granularity between [[q_segment_dedup]]'s lines and
+    * [[q_dedup_exact]]'s whole docs): per doc, the merged character
+    * intervals whose 20-char windows appear in at least one other
+    * document, as (span count, covered chars, longest span, duplicated
+    * fraction). The output a span-trimming curation pass consumes.
+    */
+  val q_dup_spans = QueryDef(
+    "q_dup_spans",
+    graft.ops.DedupOps.duplicatedSpansOracleSql("documents", "doc_id", "text")) {
+    (spark, dir) =>
+      graft.ops.DedupOps.duplicatedSpans(
+        Tables.documents(spark, dir), "doc_id", "text")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_dup_ngram_rate,
+    q_dup_ngram_rate, q_dup_spans,
     q_dedup_exact, q_minhash_lsh, q_simhash, q_ngram_jaccard,
     q_containment_pairs, q_minhash_est, q_segment_dedup,
     q_incremental_dedup, q_clean_corpus,

@@ -173,6 +173,28 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(groups.values.toSet.size < groups.size) // some real grouping happened
   }
 
+  test("duplicatedSpans merges overlapping dup windows into maximal intervals") {
+    import spark.implicits._
+    // doc1/doc2 share "AAAAABBBBB" (one merged 10-char span each);
+    // doc4 shares AAAAA and BBBBB separately (two disjoint 5-char
+    // spans); doc3's repetition is WITHIN one doc only — the cross-doc
+    // criterion must not flag it
+    val tiny = Seq(
+      (1L, "AAAAABBBBBCCCCC"),
+      (2L, "XXXXXAAAAABBBBB"),
+      (3L, "ZZZZZZZZZZ"),
+      (4L, "AAAAA00000BBBBB")).toDF("doc_id", "text")
+    val got = DedupOps.duplicatedSpans(tiny, "doc_id", "text", n = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 10L, 10L, 0.666667),
+      (2L, 1L, 10L, 10L, 0.666667),
+      (3L, 0L, 0L, 0L, 0.0),
+      (4L, 2L, 10L, 5L, 0.666667)))
+  }
+
   test("ShingleHashes expression matches the builtin transform+polyHash formulation") {
     graft.functions.GraftFunctions.register(spark)
     val builtin = docs.select(col("doc_id"),

@@ -117,6 +117,20 @@ object KernelProperties extends Properties("graft.kernels") {
       got == want
     }
 
+  property("ShinglePosHashes: distinct-in-order equals ShingleHashes, one hash per position") =
+    Prop.forAll(Gen.listOf(Gen.oneOf(Gen.alphaLowerChar, Gen.const('a')))
+      .map(_.mkString)) { t =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+      val n = 3
+      val pos = graft.functions.ShinglePosHashes.compute(u, n).toLongArray().toSeq
+      val dist = graft.functions.ShingleHashes.compute(u, n).toLongArray().toSeq
+      pos.length == math.max(t.length - n + 1, 0) &&
+        pos.distinct == dist &&
+        pos.zipWithIndex.forall { case (h, i) =>
+          h == t.substring(i, i + n).foldLeft(0L)((a, c) => a * 31 + c.toLong)
+        }
+    }
+
   property("Md5Poly8 equals polyHash over the md5 hex string") =
     Prop.forAll(Gen.listOf(Gen.asciiPrintableChar).map(_.mkString)) { t =>
       // independent reference path: full hex STRING via commons-style
