@@ -183,37 +183,57 @@ object ScaleQueries {
 
   /** The SKETCH table profiler — q_table_profile's coded 100 TB swap:
     * same per-column rows/nulls sweep, but distinct counts come from
-    * the certified HLL sketch ([[graft.ops.SketchOps.hllEstimateOnly]])
-    * instead of the 11-replica exact multi-distinct. Execution shape:
-    * one unpivot pass (11 stacked replicas map-side, like the exact
-    * plan's Expand) but the per-group aggregation state is the FIXED
-    * 256-register table per column — the shuffle moves ≤ 11·256
-    * register rows plus 11 count rows regardless of input size, where
-    * the exact profiler's distinct state grows with column cardinality.
-    * No exact COUNT(DISTINCT) anywhere in this plan (the exact sibling
-    * doubles as its ground truth at test scale).
+    * the certified HLL sketch instead of the 11-replica exact
+    * multi-distinct, and the WHOLE profile comes out of ONE
+    * [[graft.functions.MultiHllSketch]] pass: every input row updates
+    * all 11 columns' registers and counts in a single fixed-size
+    * aggregation buffer. No `stack` unpivot (the previous certified
+    * shape still pushed 11 physical rows per input row through the
+    * hash aggregate), no Expand, no per-row group probing; the shuffle
+    * carries one ~3 KB buffer per map task regardless of input size.
+    * The register/estimate arithmetic is byte-identical to the
+    * row-oriented certified path (asserted in SketchSpec), so the
+    * oracle is unchanged. No exact COUNT(DISTINCT) anywhere (the exact
+    * sibling doubles as its ground truth at test scale).
     */
   val q_table_profile_sketch = QueryDef(
     "q_table_profile_sketch",
     graft.ops.SketchOps.hllProfileOracleSql(
       "lineitem", ProfileCanon.map { case (n, _, d) => (n, d) })) { (spark, dir) =>
     val li = Tables.lineitem(spark, dir)
-    val stackArgs = ProfileCanon
-      .map { case (n, s, _) => s"'$n', $s" }.mkString(", ")
-    val stacked = li.selectExpr(
-      s"stack(${ProfileCanon.length}, $stackArgs) AS (cname, kv)")
-    // ONE scan, ONE shuffle: registers and row/null counts come out of
-    // the same fused ≤ groups·(m+1)-row aggregate; only that tiny cell
-    // table is materialized for its two read-offs.
-    val cells = graft.ops.Reuse.materialized(
-      graft.ops.SketchOps.hllRegistersCounted(stacked, "cname", "kv"))
-    val counts = cells.groupBy(col("grp"))
-      .agg(sum(col("cnt")).as("n_rows"),
-        coalesce(sum(when(col("idx").isNull, col("cnt"))), lit(0L)).as("n_nulls"))
+    val names = array(ProfileCanon.map { case (n, _, _) => lit(n) }: _*)
+    // canonicalize in a codegen'd projection BEFORE the aggregate: the
+    // TypedImperativeAggregate evaluates its children interpreted
+    // per-row, so feeding it plain attributes keeps the cast/floor
+    // chains in whole-stage codegen
+    // toy-scale inputs arrive as ONE unsplittable row group (a 10 MB
+    // single-file scan), which would serialize the whole update loop on
+    // one thread; fan the COMPACT raw columns across the cores first
+    // (canonical strings are ~6× wider — render them after the
+    // exchange, fused into the aggregate's stage). At scale the scan
+    // already yields >= parallelism partitions and this is a no-op.
+    val par = spark.sparkContext.defaultParallelism
+    val raw = li.select(ProfileCols.map(col): _*)
+    val spread = (if (raw.rdd.getNumPartitions < par) raw.repartition(par)
+      else raw).select(
+      ProfileCanon.map { case (n, s, _) => expr(s).as(n) }: _*)
+    val prof = graft.ops.Reuse.materialized( // 11 rows — read off twice
+      spread.agg(graft.functions.MultiHllSketch.multiHll(
+          ProfileCanon.map { case (n, _, _) => col(n) }).as("prof"))
+        .select(posexplode(col("prof")).as(Seq("ci", "p")))
+        .select(element_at(names, col("ci") + 1).as("grp"),
+          col("p.n_rows").as("n_rows"), col("p.n_nulls").as("n_nulls"),
+          col("p.regs").as("regs")))
     val hll = graft.ops.SketchOps.hllEstimateOnly(
-      cells.filter(col("idx").isNotNull).select(col("grp"), col("idx"), col("reg")),
+      prof.select(col("grp"), posexplode(col("regs")).as(Seq("idx", "reg")))
+        .filter(col("reg") >= 1), // dense table → the sparse certified form
       "grp")
-    counts.join(hll, Seq("grp"), "left")
+    prof.select(col("grp"), col("n_rows"), col("n_nulls"))
+      // empty input: the global agg still emits its zero buffer, but the
+      // oracle's per-column UNION ALL scan emits nothing — drop the
+      // zero-row columns so both engines agree on the empty table
+      .filter(col("n_rows") > 0)
+      .join(hll, Seq("grp"), "left")
       .select(col("grp").as("col_name"), col("n_rows"), col("n_nulls"),
         coalesce(col("n_hll"), lit(0.0)).as("n_hll"))
       .orderBy(col("col_name"))

@@ -105,4 +105,40 @@ class SketchOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(once === twice)
   }
+
+  test("MultiHllSketch state is identical to the row-oriented register path") {
+    import graft.functions.MultiHllSketch
+    // the constants contract the one-pass aggregate duplicates
+    assert(MultiHllSketch.Mersenne === SketchOps.Mersenne)
+    assert(MultiHllSketch.MixA === SketchOps.MixA)
+    assert(MultiHllSketch.MixB === SketchOps.MixB)
+    assert(MultiHllSketch.M === SketchOps.M)
+    assert(MultiHllSketch.W === SketchOps.W)
+    // `value` is double-typed with nulls in the generated data — the
+    // null bucket and a float rendering both go through the contract
+    val cols = Seq("event_type", "user_id", "value")
+    val onePass = events
+      .agg(MultiHllSketch.multiHll(cols.map(c => col(c).cast("string"))).as("p"))
+      .select(posexplode(col("p")).as(Seq("ci", "p")))
+      .select(col("ci"), col("p.n_rows").as("nr"), col("p.n_nulls").as("nn"),
+        posexplode(col("p.regs")).as(Seq("idx", "reg")))
+      .filter(col("reg") >= 1)
+      .collect().map(r => ((r.getInt(0), r.getInt(3)),
+        (r.getLong(1), r.getLong(2), r.getInt(4)))).toMap
+    val total = events.count()
+    cols.zipWithIndex.foreach { case (c, i) =>
+      val nulls = events.filter(col(c).isNull).count()
+      val rowOriented = SketchOps.hllRegisters(
+        events.select(col(c).cast("string").as("kv")).withColumn("g", lit(i)),
+        "g", "kv")
+        .filter(col("idx").isNotNull)
+        .collect().map(r => r.getLong(1).toInt ->
+          r.get(2).toString.toInt).toMap
+      val mine = onePass.collect { case ((ci, idx), v) if ci == i => idx -> v }
+      assert(mine.view.mapValues(_._3).toMap === rowOriented,
+        s"register drift on $c")
+      assert(mine.values.forall { case (nr, nn, _) => nr == total && nn == nulls },
+        s"count drift on $c")
+    }
+  }
 }
