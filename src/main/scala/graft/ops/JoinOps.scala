@@ -63,4 +63,53 @@ object JoinOps {
           leftCols.map(col) ++
           rightValCols.map(c => col(s"$cRv.$c").as(c)): _*)
   }
+
+  /** Interval join: every (left, right) pair with
+    * `start <= point < end` (half-open), when NEITHER side is small
+    * enough to broadcast — the case the J2 broadcast range join can't
+    * cover. A naive theta-join is a cartesian product; this is the
+    * bucketed-blocking plan: both sides map to fixed-width buckets of
+    * the point domain (an interval covers `span/width + 1` buckets, a
+    * point exactly one), the pair-up is a plain EQUI-join on the
+    * bucket id, and the exact range predicate runs as the join's
+    * residual condition. Each matching pair meets in exactly one
+    * bucket (the point's), so no post-join dedup is needed.
+    *
+    * Scale shape: one shuffle keyed on a value-derived bucket id —
+    * co-partitioned, AQE-splittable when event-time is skewed. The
+    * only tunable is `bucketWidth`: replication of the interval side
+    * is `avg_span/width + 1` rows, while residual-filter waste grows
+    * as `width` exceeds the typical span. Set it near the median
+    * interval span so replication is O(1) per interval — then cost is
+    * `O(|left| + |right|)` shuffled rows vs the theta-join's
+    * `O(|left| · |right|)` compares.
+    *
+    * Both `pointCol` (left) and `startCol`/`endCol` (right) must be
+    * LongType in the same unit (day number, epoch-micros, …); empty
+    * intervals (`end <= start`) match nothing and are dropped before
+    * the explode (a reversed `sequence` would throw).
+    */
+  def intervalJoin(
+      left: DataFrame, pointCol: String,
+      right: DataFrame, startCol: String, endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1L, s"bucketWidth must be >= 1 (got $bucketWidth)")
+    val taken = (left.columns ++ right.columns).toSet
+    val bkt = Iterator.from(0).map(i => if (i == 0) "_bkt" else s"_bkt_$i")
+      .find(!taken(_)).get
+    // bucket id = the bucket's START unit (x - pmod(x, w)): pure long
+    // arithmetic, exact for negative units too — `/` on long columns
+    // is DOUBLE division in Spark and silently loses precision for
+    // epoch-micro magnitudes
+    def bstart(x: org.apache.spark.sql.Column) = x - pmod(x, lit(bucketWidth))
+    val l = left.withColumn(bkt, bstart(col(pointCol)))
+    val r = right
+      .filter(col(endCol) > col(startCol))
+      .withColumn(bkt, explode(sequence(
+        bstart(col(startCol)), bstart(col(endCol) - lit(1L)),
+        lit(bucketWidth))))
+    l.join(r, l(bkt) === r(bkt) &&
+        col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop(bkt)
+  }
 }

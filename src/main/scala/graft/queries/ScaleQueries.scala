@@ -239,7 +239,51 @@ object ScaleQueries {
       .orderBy(col("col_name"))
   }
 
+  /** Bucketed interval join ([[graft.ops.JoinOps.intervalJoin]]):
+    * every lineitem shipped inside an urgent order's 3-day fulfilment
+    * window `[o_orderdate, o_orderdate + 3d)` — ~2.4k intervals ×
+    * ~60k points at sf0.01, no join key. The oracle states the naive
+    * theta-join (`ON l.d >= u.d0 AND l.d < u.d0 + 3`); the engine
+    * runs the bucketed-blocking plan — day-wide buckets, each
+    * interval replicated to ≤ 3 buckets, ONE equi-join shuffle with
+    * the range predicate as residual — certifying that blocking
+    * changes the plan, not the answer. Reference analog: the
+    * dashboard's date-window joins of cases against alert spans
+    * (`app_comparative.py` period overlays). Quantities are
+    * cent-quantized BEFORE the sum (order-free across engines).
+    */
+  val q_interval_join = QueryDef(
+    "q_interval_join",
+    """WITH urgent AS (
+      |  SELECT o_orderkey,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d0
+      |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+      |pts AS (
+      |  SELECT datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS d,
+      |    l_quantity
+      |  FROM lineitem)
+      |SELECT u.o_orderkey, COUNT(*) AS n_shipped,
+      |  CAST(SUM(CAST(FLOOR(p.l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS qty_cents
+      |FROM urgent u JOIN pts p ON p.d >= u.d0 AND p.d < u.d0 + 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val epoch = to_date(lit("1970-01-01"))
+    val pts = Tables.lineitem(spark, dir).select(
+      datediff(to_date(col("l_shipdate")), epoch).cast("long").as("d"),
+      col("l_quantity"))
+    val urgent = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        datediff(to_date(col("o_orderdate")), epoch).cast("long").as("d0"))
+      .withColumn("d1", col("d0") + lit(3L))
+    graft.ops.JoinOps.intervalJoin(pts, "d", urgent, "d0", "d1", bucketWidth = 1L)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"),
+        sum(floor(col("l_quantity") * 100 + 0.5).cast("long")).as("qty_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_bloom_join, q_quantile_sketch, q_zorder_tiles, q_table_profile,
-    q_table_profile_sketch)
+    q_table_profile_sketch, q_interval_join)
 }

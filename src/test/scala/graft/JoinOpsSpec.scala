@@ -55,4 +55,38 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(row.isNullAt(0), s"expected a=null from the ts=2 row, got ${row.get(0)}")
     assert(row.getLong(1) === 7L)
   }
+
+  test("intervalJoin: half-open bounds, bucket-straddling intervals, no dup pairs") {
+    import spark.implicits._
+    // width 10; interval A [5, 25) covers buckets 0,10,20; B [20, 21)
+    // exactly one unit; C [30, 30) empty (must match nothing, not throw);
+    // D [-15, -4) exercises negative units (floor-, not truncate-,
+    // aligned buckets)
+    val points = Seq(4L, 5L, 20L, 24L, 25L, -10L, -4L).toDF("p")
+    val ivals = Seq(
+      ("A", 5L, 25L), ("B", 20L, 21L), ("C", 30L, 30L), ("D", -15L, -4L)
+    ).toDF("iv", "s", "e")
+    val got = JoinOps.intervalJoin(points, "p", ivals, "s", "e", bucketWidth = 10L)
+      .select("iv", "p").collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = Seq( // brute-force semantics: s <= p < e
+      ("A", 5L), ("A", 20L), ("A", 24L), ("B", 20L), ("D", -10L))
+    assert(got.sorted === expected.sorted) // exactly once per pair — no dedup needed
+  }
+
+  test("intervalJoin matches the brute-force theta join on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val points = Seq.fill(300)(rnd.nextLong() % 1000L).toDF("p")
+    val ivals = (0 until 80).map { i =>
+      val s = rnd.nextLong() % 1000L
+      (i.toLong, s, s + rnd.nextInt(50))
+    }.toDF("iv", "s", "e")
+    for (w <- Seq(1L, 7L, 64L)) {
+      val got = JoinOps.intervalJoin(points, "p", ivals, "s", "e", w)
+        .groupBy("iv").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val brute = points.join(ivals, $"p" >= $"s" && $"p" < $"e")
+        .groupBy("iv").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === brute, s"width=$w")
+    }
+  }
 }

@@ -155,4 +155,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashed_embed"), s"expected the native expression:\n$p")
     assert(p.contains("*(1)"), s"expected codegen stages:\n$p")
   }
+
+  test("interval join blocks to an equi-join — no nested-loop theta join") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bucketed blocking must avoid the theta-join plan:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), // AQE may demote the small sf side
+      s"expected a hash/merge equi-join on the bucket id:\n$p")
+  }
 }
