@@ -614,10 +614,53 @@ object CurationQueries {
       .orderBy(col("split"))
   }
 
+  /** Leakage-safe GROUP-aware dataset split: q_dataset_split hashes
+    * each doc independently, which lets two copies of the same text
+    * land in train AND test — the classic eval-contamination bug. Here
+    * the split is decided by the duplicate GROUP's representative
+    * (min doc_id per content hash), so a group moves as one unit by
+    * construction: the same overflow-safe multiplicative hash, applied
+    * to `rep` instead of `doc_id`. One shuffle (the window over the
+    * content hash); the certified columns pin the exact doc→split
+    * assignment (id_checksum) plus the group census per split. The
+    * `rep` key generalizes to any grouping — swap in the connected-
+    * component id from [[DedupOps]] near-dup groups for fuzzy-leakage
+    * safety (same plan shape; that variant's oracle would need the CC
+    * replay, so the exact-dup group is the certified form).
+    */
+  val q_group_split = QueryDef(
+    "q_group_split",
+    """WITH g AS (
+      |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, rep,
+      |    (((rep % 1000003) * 2654435761) % 1000003) % 10 AS bucket
+      |  FROM g)
+      |SELECT CASE WHEN bucket < 8 THEN 'train'
+      |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT rep) AS n_groups,
+      |  CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      |FROM b GROUP BY 1 ORDER BY split""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(md5(col("text")))
+    val bucket = ((col("rep") % 1000003L) * 2654435761L) % 1000003L % 10
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("rep"))
+      .select(col("doc_id"), col("rep"),
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+          .as("split"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("rep")).as("n_groups"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy(col("split"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_contamination, q_mix_rates,
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
     q_hll_overlap, q_pii_scrub, q_soft_dedup_sample, q_bigram_lm,
-    q_dataset_split)
+    q_dataset_split, q_group_split)
 }

@@ -147,4 +147,35 @@ class IntegrationSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(plain === two)
   }
+
+  test("group-aware split is leakage-free where the per-doc split leaks") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // ids 1 and 3 share a text; the naive per-doc hash routes them to
+    // buckets 9 (test) and 4 (train) — the eval-contamination bug the
+    // group-aware split exists to prevent
+    val docs = Seq(
+      (1L, "the very same text"), (3L, "the very same text"),
+      (4L, "something else"), (7L, "a third doc")
+    ).toDF("doc_id", "text")
+    def straddling(splitOf: org.apache.spark.sql.Column): Long =
+      docs.select(
+          min(col("doc_id")).over(Window.partitionBy(md5(col("text")))).as("rep"),
+          splitOf.as("split"))
+        .groupBy(col("rep")).agg(count_distinct(col("split")).as("ns"))
+        .filter(col("ns") > 1).count()
+    def bucketOf(key: org.apache.spark.sql.Column) =
+      ((key % 1000003L) * 2654435761L) % 1000003L % 10
+    assert(straddling(bucketOf(col("doc_id"))) === 1L) // naive: leaks
+    val rep = min(col("doc_id")).over(Window.partitionBy(md5(col("text"))))
+    assert(straddling(bucketOf(rep)) === 0L) // group-aware: never
+    // and at the corpus SF the group split still straddles nothing
+    val full = Tables.documents(spark, sf)
+    val w = Window.partitionBy(md5(col("text")))
+    val n = full.select(min(col("doc_id")).over(w).as("rep"),
+        bucketOf(min(col("doc_id")).over(w)).as("b"))
+      .groupBy(col("rep")).agg(count_distinct(col("b")).as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(n === 0L)
+  }
 }
