@@ -418,6 +418,21 @@ object TextQueries {
     * Scale: two broadcast count tables + one scalar cross join; the
     * corpus is never shuffled twice.
     */
+  /** Distributed BPE tokenizer training ([[graft.ops.BpeOps]]): the
+    * first 10 learned merges over the corpus word-frequency table,
+    * certified against a 10-stage unrolled-CTE DuckDB replay of the
+    * same count→argmax→replace round. Per round the cluster does one
+    * explode + hash aggregate over DISTINCT words and the driver
+    * holds one 3-field row — the learned artifact itself. */
+  val q_bpe_merges = QueryDef(
+    "q_bpe_merges",
+    graft.ops.BpeOps.bpeOracleSql("text", rounds = 10)) { (spark, dir) =>
+    val merges = graft.ops.BpeOps.learnMerges(
+      Tables.documents(spark, dir), "text", rounds = 10)
+    spark.createDataFrame(merges).toDF("rank", "s1", "s2", "cnt")
+      .orderBy(col("rank"))
+  }
+
   val q_collocations = QueryDef(
     "q_collocations", {
       val ws = graft.ops.TextOps.wordsSql("text")
@@ -473,5 +488,6 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     q_top_words, q_topk_words, q_text_quality, q_token_stats, q_lang_stats,
     q_doc_hashes, q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords,
-    q_quality_model, q_repetition, q_cms_topwords, q_collocations)
+    q_quality_model, q_repetition, q_cms_topwords, q_collocations,
+    q_bpe_merges)
 }
