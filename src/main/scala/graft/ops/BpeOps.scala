@@ -91,10 +91,46 @@ object BpeOps {
     merges.result()
   }
 
+  /** ENCODE side: re-render `words(s, freq)` with the learned merges
+    * applied in rank order — one projection of `merges.length` chained
+    * codegen `replace`s (the merge table is driver state, exactly how
+    * a trained tokenizer ships to executors at 100 TB: as a broadcast
+    * constant, not a join). */
+  def applyMerges(words: DataFrame, merges: Seq[Merge]): DataFrame =
+    words.withColumn("s",
+      merges.sortBy(_.rank).foldLeft(col("s")) { (s, m) =>
+        replace(s, lit(s"${m.s1}|${m.s2}|"), lit(s"${m.s1}${m.s2}|"))
+      })
+
   /** DuckDB replay of [[learnMerges]]: `rounds` unrolled CTE stages,
     * each = pair count + LIMIT-1 argmax + scalar-subquery replace —
     * the same per-round algebra the engine runs distributed. */
   def bpeOracleSql(textCol: String, rounds: Int): String = {
+    val union = (0 until rounds)
+      .map(r => s"SELECT ${r + 1} AS rank, s1, s2, cnt FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""${oraclePrefix(textCol, rounds)}
+       |$union
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB replay of the ENCODE side: the training chain's final
+    * vocab rendering `w(rounds)` IS the merged form, so the fertility
+    * histogram (words per token count, frequency-weighted) reads
+    * straight off it. */
+  def bpeFertilityOracleSql(textCol: String, rounds: Int): String =
+    s"""${oraclePrefix(textCol, rounds)}
+       |SELECT CAST(len(string_split(s, '|')) - 1 AS INT) AS n_tokens,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(freq) AS BIGINT) AS n_occurrences
+       |FROM w$rounds GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared CTE chain: word freqs → char rendering → `rounds` stages
+    * of (pair count, argmax, merge). MATERIALIZED is load-bearing —
+    * each stage references its predecessors more than once, and
+    * DuckDB's default CTE inlining re-evaluates the whole chain
+    * exponentially (~3^rounds document scans). */
+  private def oraclePrefix(textCol: String, rounds: Int): String = {
     val stages = (0 until rounds).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT syms[i] AS s1, syms[i+1] AS s2, CAST(SUM(freq) AS BIGINT) AS cnt
@@ -107,16 +143,11 @@ object BpeOps {
          |                    (SELECT s1||s2||'|' FROM m$r)) AS s, freq
          |  FROM w$r)""".stripMargin
     }.mkString(",\n")
-    val union = (0 until rounds)
-      .map(r => s"SELECT ${r + 1} AS rank, s1, s2, cnt FROM m$r")
-      .mkString("\nUNION ALL ")
     s"""WITH wf AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS freq FROM (
        |    SELECT unnest(${TextOps.wordsSql(textCol)}) AS word FROM documents)
        |  WHERE regexp_matches(word, '^[a-z]+$$') GROUP BY word),
        |w0 AS MATERIALIZED (SELECT regexp_replace(word, '(.)', '\\1|', 'g') AS s, freq FROM wf),
-       |$stages
-       |$union
-       |ORDER BY rank""".stripMargin
+       |$stages""".stripMargin
   }
 }

@@ -433,6 +433,28 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
+  /** Tokenizer fertility after the 10 learned merges: re-encode the
+    * vocab with [[graft.ops.BpeOps.applyMerges]] (one projection of 10
+    * chained codegen replaces — the merge table ships as broadcast
+    * literals, the 100 TB shape for a trained tokenizer) and histogram
+    * words by their token count, distinct and frequency-weighted. The
+    * oracle reads the same histogram off its training chain's final
+    * CTE — certifying that driver-collected merges + executor re-apply
+    * equals the oracle's in-chain rendering. */
+  val q_bpe_fertility = QueryDef(
+    "q_bpe_fertility",
+    graft.ops.BpeOps.bpeFertilityOracleSql("text", rounds = 10)) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.ops.BpeOps.learnMerges(docs, "text", rounds = 10)
+    val rendered = graft.ops.BpeOps.wordFreqs(docs, "text")
+      .select(regexp_replace(col("word"), "(.)", "$1|").as("s"), col("freq"))
+    graft.ops.BpeOps.applyMerges(rendered, merges)
+      .select((size(split(col("s"), "\\|")) - 1).as("n_tokens"), col("freq"))
+      .groupBy(col("n_tokens"))
+      .agg(count(lit(1)).as("n_words"), sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_tokens"))
+  }
+
   val q_collocations = QueryDef(
     "q_collocations", {
       val ws = graft.ops.TextOps.wordsSql("text")
@@ -489,5 +511,5 @@ object TextQueries {
     q_top_words, q_topk_words, q_text_quality, q_token_stats, q_lang_stats,
     q_doc_hashes, q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords,
     q_quality_model, q_repetition, q_cms_topwords, q_collocations,
-    q_bpe_merges)
+    q_bpe_merges, q_bpe_fertility)
 }
