@@ -167,4 +167,64 @@ object GraphOps {
     }
     ranks.select(col("id"), col("rank"))
   }
+
+  /** Exact per-node triangle counts on an undirected simple graph,
+    * by degree-ordered edge orientation (the "node-iterator++" /
+    * compact-forward scheme): orient every edge toward its higher
+    * (degree, id) endpoint, generate each node's out-neighbor pairs
+    * (wedges), and close each wedge against the oriented edge list.
+    * Orientation makes every out-degree O(√m), so wedge volume is
+    * O(m^1.5) worst case — the optimal bound for exact triangle
+    * enumeration — instead of Σ deg² of the naive neighbor join,
+    * which a few crawl-hub nodes would blow up at 100 TB. Every
+    * stage is an equi-join on node keys (degree join, wedge
+    * self-join on `src`, closing join on the (u,v) pair); each
+    * triangle is found exactly once, at its lowest-ranked vertex.
+    *
+    * Cross-engine determinism is structural: counts are integers and
+    * the triangle SET is orientation-invariant, so an oracle may
+    * enumerate by id order (a<b<c over DISTINCT pairs) and still
+    * count identically.
+    *
+    * Reference computes no graph metrics beyond grouping
+    * (deduplication_consumer.py's pairwise union only); this extends
+    * the near-dup similarity graph family (q_pagerank, q_dedup_groups)
+    * with the standard density/cohesion measure over dup clusters.
+    *
+    * @param nodes one `id` column, every vertex (isolated included)
+    * @param pairs undirected unique edges (`a`, `b`), a < b, no
+    *              self-loops — the near-dup `pairs` shape
+    * @return (`id`, `degree`, `n_triangles`) for every node
+    */
+  def triangleCounts(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("a"), col("b"))
+    val deg = p.select(col("a").as("id")).union(p.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // rank = (degree, id): a total order, so orientation is acyclic
+    // and ties between equal-degree endpoints break deterministically
+    val ranked = p
+      .join(deg.select(col("id").as("a"), col("deg").as("dega")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("degb")), "b")
+    val aLower = struct(col("dega"), col("a")) < struct(col("degb"), col("b"))
+    val oriented = Reuse.materialized(ranked.select(
+      when(aLower, col("a")).otherwise(col("b")).as("src"),
+      when(aLower, struct(col("degb").as("d"), col("b").as("i")))
+        .otherwise(struct(col("dega").as("d"), col("a").as("i"))).as("dst")))
+    // wedges at the lowest-ranked vertex w; the closing (u,v) edge,
+    // if present, is oriented u→v because rank(u) < rank(v) by the
+    // wedge ordering — one equi-join probe, no direction cases
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("w"), col("e1.dst.i").as("u"), col("e2.dst.i").as("v"))
+    val tris = wedges.join(
+      oriented.select(col("src").as("u"), col("dst.i").as("v")), Seq("u", "v"))
+    val perNode = tris
+      .select(explode(array(col("w"), col("u"), col("v"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("tri"))
+    nodes.join(deg, Seq("id"), "left").join(perNode, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("deg"), lit(0L)).as("degree"),
+        coalesce(col("tri"), lit(0L)).as("n_triangles"))
+  }
 }

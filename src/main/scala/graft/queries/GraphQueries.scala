@@ -71,5 +71,54 @@ object GraphQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_pagerank)
+  /** Per-document triangle count + local clustering coefficient on
+    * the same near-dup graph ([[GraphOps.triangleCounts]]): dup
+    * clusters are near-cliques, so triangle density separates true
+    * template/boilerplate clusters (coefficient → 10000 bp) from
+    * chained borderline matches (long paths, coefficient → 0) — the
+    * standard graph-cohesion read on a dedup candidate graph. The
+    * engine enumerates by degree-ordered orientation (O(m^1.5)
+    * wedges); the oracle enumerates by id order over the same pair
+    * set — the triangle SET is orientation-invariant, so integer
+    * counts agree structurally. Coefficient in basis points via
+    * integer floor division (`DIV` = DuckDB `//`), the repo-standard
+    * cross-engine-exact ratio policy.
+    */
+  val q_triangles = QueryDef(
+    "q_triangles",
+    s"""WITH ${DedupOps.minhashPairsSqlCtes(0.8)},
+       |und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM pairs),
+       |deg AS MATERIALIZED (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id),
+       |tri AS MATERIALIZED (
+       |  SELECT p1.a AS x, p1.b AS y, p2.b AS z
+       |  FROM und p1 JOIN und p2 ON p2.a = p1.b
+       |  JOIN und p3 ON p3.a = p1.a AND p3.b = p2.b),
+       |tn AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+       |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+       |    UNION ALL SELECT z FROM tri) GROUP BY id)
+       |SELECT d.doc_id, COALESCE(g.deg, 0) AS degree,
+       |  COALESCE(t.n_triangles, 0) AS n_triangles,
+       |  CASE WHEN COALESCE(g.deg, 0) >= 2
+       |    THEN (20000 * COALESCE(t.n_triangles, 0)) // (g.deg * (g.deg - 1))
+       |    ELSE CAST(0 AS BIGINT) END AS clustering_bp
+       |FROM documents d
+       |LEFT JOIN deg g ON g.id = d.doc_id
+       |LEFT JOIN tn t ON t.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.ops.Reuse.materialized(
+      DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.8)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    GraphOps.triangleCounts(docs.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("degree"), col("n_triangles"),
+        when(col("degree") >= 2,
+          expr("(20000 * n_triangles) DIV (degree * (degree - 1))"))
+          .otherwise(lit(0L)).as("clustering_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_pagerank, q_triangles)
 }

@@ -69,4 +69,40 @@ class GraphOpsSpec extends AnyFunSuite {
     // GraphX labels components by min vertex id too
     assert(mine === gx.map { case (k, v) => (k: Long) -> (v: Long) })
   }
+
+  test("triangleCounts: clique, path, and isolated nodes by hand") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} (4 triangles, each node in 3 of them, all
+    // coefficients 1), a path 5–6–7 (wedge, no triangle), isolated 8
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val nodes = (1L to 8L).toDF("id")
+    val got = GraphOps.triangleCounts(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> ((3L, 3L)), 2L -> ((3L, 3L)), 3L -> ((3L, 3L)), 4L -> ((3L, 3L)),
+      5L -> ((1L, 0L)), 6L -> ((2L, 0L)), 7L -> ((1L, 0L)), 8L -> ((0L, 0L))))
+  }
+
+  test("triangleCounts: global count is orientation-invariant vs brute force") {
+    import spark.implicits._
+    // deterministic pseudo-random sparse graph: every triangle the
+    // brute-force id-ordered enumeration finds, the degree-ordered
+    // orientation must find exactly once (sum of per-node counts = 3×)
+    val n = 60
+    val pairs = (for {
+      a <- 0 until n; b <- (a + 1) until n
+      if ((a * 2654435761L + b * 40503L) % 7) == 0
+    } yield (a.toLong, b.toLong)).toSeq
+    val eset = pairs.toSet
+    val brute = (for {
+      (a, b) <- pairs; c <- (b + 1) until n.toLong
+      if eset.contains((a, c)) && eset.contains((b, c))
+    } yield 1).size
+    val perNodeSum = GraphOps.triangleCounts(
+      (0L until n.toLong).toDF("id"), pairs.toDF("a", "b"))
+      .agg(sum(col("n_triangles"))).head().getLong(0)
+    assert(brute > 0)
+    assert(perNodeSum === 3L * brute)
+  }
 }
