@@ -31,16 +31,23 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's
-    * vectorized parquet reader does not natively support; normalize to
-    * Spark-native microsecond timestamps here so every downstream query
-    * sees a plain `timestamp` column `ts`.
+  /** `events.parquet` has carried several physical timestamp encodings
+    * across testdata generations: INT64 TIMESTAMP(NANOS) (unsupported by
+    * the vectorized reader — read as long and rescale), INT64
+    * TIMESTAMP_MICROS with isAdjustedToUTC=0 (read as TIMESTAMP_NTZ —
+    * cast to session-zone timestamp, with the session zone pinned to UTC
+    * so the wall-clock is preserved exactly), and plain TIMESTAMP.
+    * Normalize all of them here so every downstream query sees a plain
+    * `timestamp` column `ts`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 }

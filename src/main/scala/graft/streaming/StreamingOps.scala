@@ -36,11 +36,14 @@ object StreamingOps {
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{expr, timestamp_micros, col}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val path = s"$dir/events.parquet"
     val raw = parquetStream(spark, path, spark.read.parquet(path).schema)
-    if (raw.schema("ts").dataType.typeName == "long")
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw.withColumn("ts", col("ts"))
+    raw.schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw.withColumn("ts", col("ts"))
+    }
   }
 
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame = {
