@@ -31,23 +31,43 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** `events.parquet` has carried several physical timestamp encodings
-    * across testdata generations: INT64 TIMESTAMP(NANOS) (unsupported by
-    * the vectorized reader — read as long and rescale), INT64
-    * TIMESTAMP_MICROS with isAdjustedToUTC=0 (read as TIMESTAMP_NTZ —
-    * cast to session-zone timestamp, with the session zone pinned to UTC
-    * so the wall-clock is preserved exactly), and plain TIMESTAMP.
-    * Normalize all of them here so every downstream query sees a plain
-    * `timestamp` column `ts`.
+  /** Normalize a timestamp column of ANY physical encoding the testdata
+    * generations have carried to a plain session-zone TIMESTAMP, with
+    * the session zone pinned to UTC so wall-clock is preserved exactly:
+    *
+    *  - INT64 TIMESTAMP(NANOS): unsupported by the vectorized reader;
+    *    with `nanosAsLong` it surfaces as `long` — rescale with integer
+    *    `DIV 1000` (double division loses microseconds).
+    *  - INT64 TIMESTAMP_MICROS isAdjustedToUTC=0: surfaces as
+    *    TIMESTAMP_NTZ — cast is an exact wall-clock reinterpretation
+    *    under a UTC session zone.
+    *  - ISO-8601 strings (the reference's own wire encoding — it lets
+    *    Postgres cast on insert, `psql_db_client.py:290-306`).
+    *  - plain TIMESTAMP: already native.
+    *
+    * Every reader of an event-time column must route through here so the
+    * next encoding drift is a one-line fix (or none) instead of a
+    * 12-query analysis failure.
+    */
+  def normalizeTs(spark: SparkSession, df: DataFrame, colName: String = "ts"): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df.schema(colName).dataType.typeName match {
+      case "long" =>
+        df.withColumn(colName, timestamp_micros(expr(s"`$colName` DIV 1000")))
+      case "timestamp_ntz" | "string" =>
+        df.withColumn(colName, col(colName).cast("timestamp"))
+      case "timestamp" => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported timestamp encoding for column `$colName`: $other")
+    }
+  }
+
+  /** `events.parquet` with its `ts` column normalized via
+    * [[normalizeTs]] so every downstream query sees a plain `timestamp`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val raw = load(spark, dir, "events")
-    raw.schema("ts").dataType.typeName match {
-      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw
-    }
+    normalizeTs(spark, load(spark, dir, "events"))
   }
 }

@@ -27,23 +27,17 @@ object StreamingOps {
     * single-file path works too — `basePath` is pinned to its parent
     * directory (the file source requires a directory basePath).
     */
-  /** The events table as a stream with its INT64-nanos timestamp
-    * normalized to a proper TIMESTAMP — the one place the nanos
-    * gotcha is handled for streaming readers (mirror of
-    * `Tables.events` for the batch path; integer `ts DIV 1000`, NOT
-    * double division, which loses microseconds).
+  /** The events table as a stream with its `ts` column normalized via
+    * [[graft.Tables.normalizeTs]] — the streaming mirror of
+    * `Tables.events`, tolerant of every physical timestamp encoding the
+    * testdata generations have carried (INT64 nanos, TIMESTAMP_NTZ,
+    * strings, native TIMESTAMP).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.functions.{expr, timestamp_micros, col}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val path = s"$dir/events.parquet"
     val raw = parquetStream(spark, path, spark.read.parquet(path).schema)
-    raw.schema("ts").dataType.typeName match {
-      case "long" => raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case "timestamp_ntz" => raw.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => raw.withColumn("ts", col("ts"))
-    }
+    graft.Tables.normalizeTs(spark, raw)
   }
 
   def parquetStream(spark: SparkSession, path: String, schema: StructType): DataFrame = {

@@ -103,4 +103,54 @@ class GoldenSourcesSpec extends AnyFunSuite {
     // leading space
     assert(norm("1pa1g37") === "Urgent care recs")
   }
+
+  test("normalizeTs handles all four physical timestamp encodings") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val d = Files.createTempDirectory("tsenc")
+    // Two instants with sub-second precision, as epoch micros.
+    val micros = Seq(1764288000123456L, 1764374400987654L)
+
+    // (a) INT64 nanos: TIMESTAMP(NANOS) parquet surfaces as `long`
+    // under nanosAsLong — a raw long column exercises the same branch.
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(micros.map(m =>
+        org.apache.spark.sql.Row(m * 1000L))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.LongType))))
+      .write.parquet(s"$d/nanos.parquet")
+    // (b) TIMESTAMP_NTZ (INT64 micros, isAdjustedToUTC=0)
+    spark.range(2).select(
+      element_at(typedLit(micros), (col("id") + 1).cast("int")).as("us"))
+      .select(timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.parquet(s"$d/ntz.parquet")
+    // (c) ISO-8601 strings (the reference's wire encoding)
+    spark.range(2).select(
+      element_at(typedLit(micros), (col("id") + 1).cast("int")).as("us"))
+      .select(date_format(timestamp_micros(col("us")),
+        "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("ts"))
+      .write.parquet(s"$d/str.parquet")
+    // (d) native TIMESTAMP
+    spark.range(2).select(
+      element_at(typedLit(micros), (col("id") + 1).cast("int")).as("us"))
+      .select(timestamp_micros(col("us")).as("ts"))
+      .write.parquet(s"$d/native.parquet")
+
+    for (enc <- Seq("nanos", "ntz", "str", "native")) {
+      val raw = spark.read.parquet(s"$d/$enc.parquet")
+      val norm = Tables.normalizeTs(spark, raw)
+      assert(norm.schema("ts").dataType.typeName === "timestamp", s"enc=$enc")
+      val got = norm.select(unix_micros(col("ts"))).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got === micros, s"enc=$enc")
+    }
+
+    // unknown encodings fail loudly (named column, named type), not at
+    // some downstream unix_micros analysis error
+    val bad = spark.range(2).select(col("id").cast("double").as("ts"))
+    val err = intercept[IllegalArgumentException](
+      Tables.normalizeTs(spark, bad))
+    assert(err.getMessage.contains("ts") && err.getMessage.contains("double"))
+  }
 }
