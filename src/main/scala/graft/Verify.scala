@@ -18,13 +18,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A failing query must leave a machine-readable trace, not just a
+    // missing output dir: the driver's correctness JSON is built from
+    // what exists in outDir, so absence reads as "not run" instead of
+    // "broken". errors.json carries one entry per failed registry query
+    // (empty object when the board is clean).
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(400)}"
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
       }
       // deterministic memory baseline between queries
       graft.ops.Reuse.releaseAllCaches(spark)
@@ -44,6 +52,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // exit 0 even with failures: the driver must still compare the
+    // queries that DID run — errors.json + stderr carry the failures.
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -66,14 +66,25 @@ class PlanSpec extends AnyFunSuite {
       "q_dbscan_profile", "q_minhash_lsh", "q_ngram_jaccard",
       "q_clean_corpus", "q_dedup_decisions", "q_ann_ivf", "q_kmeans_sizes",
       "q_forecast_hw", "q_forecast_alerts")
+    // Collect per-query analysis errors separately from the cartesian
+    // list: a data-encoding drift that breaks analysis should name
+    // every broken query ("q_asof_join: DATATYPE_MISMATCH…"), not die
+    // with one stack trace on an unrelated assertion.
+    val errors = scala.collection.mutable.ListBuffer[String]()
     val offenders = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("q_stream"))
       .filterNot(eager)
       .flatMap { name =>
-        val p = SparkEntry.queries(name)(spark, sf)
-          .queryExecution.executedPlan.toString
-        if (p.contains("CartesianProduct")) Some(name) else None
+        try {
+          val p = SparkEntry.queries(name)(spark, sf)
+            .queryExecution.executedPlan.toString
+          if (p.contains("CartesianProduct")) Some(name) else None
+        } catch { case e: Throwable =>
+          errors += s"$name: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").linesIterator.take(2).mkString(" ")}"
+          None
+        }
       }
+    assert(errors.isEmpty, s"queries failing analysis/planning:\n  ${errors.mkString("\n  ")}")
     assert(offenders.isEmpty, s"cartesian plans: $offenders")
   }
 

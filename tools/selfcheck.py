@@ -80,5 +80,14 @@ for name in sorted(p.name for p in vdir.iterdir() if p.is_dir()):
     else:
         n_fail += 1
 
+# Queries that died inside graft.Verify leave no result dir — count them
+# as failures from errors.json so a broken query can never read as green
+# by absence.
+errp = vdir / "errors.json"
+if errp.exists():
+    for name, msg in sorted(json.loads(errp.read_text()).items()):
+        print(f"FAIL {name}: did not run: {msg}")
+        n_fail += 1
+
 print(f"\n{n_pass} pass, {n_fail} fail")
 sys.exit(1 if n_fail else 0)
