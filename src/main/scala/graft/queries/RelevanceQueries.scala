@@ -284,17 +284,24 @@ object RelevanceQueries {
          |    FROM cn LEFT JOIN dt ON dt.id = cn.id) s) t
          |WHERE rank <= 10 ORDER BY rank""".stripMargin
     }) { (spark, dir) =>
-    // pluggable-embedder search path (HashedEmbedder default); the
-    // zero-norm exclusion inside semanticTopK drops token-less docs
-    // (NaN cosine would sort FIRST) exactly like the oracle's gram
-    // CTEs implicitly do
+    semanticPipeline(Tables.documents(spark, dir), filterCol)
+  }
+
+  /** The semantic-search physical pipeline over a given corpus frame —
+    * shared between the standalone queries and the hybrid fusion (which
+    * passes a materialized scan both branches reuse). The zero-norm
+    * exclusion inside semanticTopK drops token-less docs (NaN cosine
+    * would sort FIRST) exactly like the oracle's gram CTEs implicitly
+    * do; the embedder stays pluggable (HashedEmbedder default).
+    */
+  private def semanticPipeline(
+      docs: org.apache.spark.sql.DataFrame,
+      filterCol: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
     SimilarityOps.semanticTopK(
-      Tables.documents(spark, dir).filter(filterCol),
-      "doc_id", "text", SearchQueryText, 10)
+      docs.filter(filterCol), "doc_id", "text", SearchQueryText, 10)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos_sim"))
       .orderBy(col("rank"))
-  }
 
   /** Single-filter semantic search (lang metadata filter). */
   val q_semantic_search =
@@ -348,6 +355,13 @@ object RelevanceQueries {
          |FROM contrib GROUP BY doc_id
          |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin
     }) { (spark, dir) =>
+    bm25Pipeline(Tables.documents(spark, dir))
+  }
+
+  /** The BM25 physical pipeline over a given corpus frame — shared
+    * between the standalone query and the hybrid fusion. */
+  private def bm25Pipeline(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val terms = SearchQueryText.split(" ").toSeq.distinct
     // materialized once: feeds tf, dl and the corpus stats (the
     // higher-order tokenizer is the expensive part of all three).
@@ -356,8 +370,7 @@ object RelevanceQueries {
     // tokenized corpus cannot be required to fit storage at 100 TB)
     // while cache blocks evict and recompute — see graft.ops.Reuse.
     val docsWs = graft.ops.Reuse.materialized(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), TextOps.words(col("text")).as("ws")))
+      docs.select(col("doc_id"), TextOps.words(col("text")).as("ws")))
     val dl = docsWs.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
     val stats = broadcast(dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl")))
@@ -408,11 +421,17 @@ object RelevanceQueries {
          |FROM b FULL JOIN s ON s.doc_id = b.doc_id
          |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin
     }) { (spark, dir) =>
-    val b = q_bm25.fn(spark, dir)
+    // ONE materialized corpus scan feeds both retrieval branches — the
+    // standalone queries each scan documents themselves, but fusing
+    // them must not pay (or re-tokenize) the scan twice.
+    val docs = graft.ops.Reuse.materialized(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("lang")))
+    val b = bm25Pipeline(docs)
       .select(col("doc_id"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("score_micro").desc, col("doc_id"))).cast("long").as("brank"))
-    val s = q_semantic_search.fn(spark, dir)
+    val s = semanticPipeline(docs, col("lang") === "en")
       .select(col("neighbor_id").as("doc_id"), col("rank").as("srank"))
     val rrf = coalesce(lit(1.0) / (lit(60) + col("brank")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(60) + col("srank")), lit(0.0))
