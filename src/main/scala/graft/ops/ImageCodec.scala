@@ -110,6 +110,79 @@ object ImageCodec {
     Decoded(w, h, sum, sq, hist)
   }
 
+  /** Frame-f gray value of pixel (x, y) under `seed` — the animated
+    * fixture pattern. The per-frame `53·f` term makes every frame
+    * distinct, so a decoder that reads only the first frame (or
+    * composites frames) cannot pass the oracle.
+    */
+  def grayFrame(x: Int, y: Int, seed: Long, frame: Int): Int =
+    ((x.toLong * 31 + y.toLong * 17 + seed * 7 + frame.toLong * 53) % 256).toInt
+
+  /** Render one animation frame on an INDEXED raster with an identity
+    * 256-level gray palette. GIF is palette-based; an exact gray
+    * palette makes the encode LOSSLESS, which is what lets a closed-form
+    * SQL oracle certify the real multi-frame decode.
+    */
+  def renderFrame(w: Int, h: Int, seed: Long, frame: Int): BufferedImage = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, grayFrame(x, y, seed, frame))
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  /** Encode an animated GIF (one image stream, N full frames) with the
+    * JDK's sequence writer — real multi-frame media bytes, no external
+    * dependency.
+    */
+  def encodeGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bo = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bo)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach(f =>
+        writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bo.toByteArray
+  }
+
+  /** Real multi-frame GIF decode: every frame's exact pixel statistics,
+    * in stream order. The gray value is read through the palette via
+    * `getRGB` (palette index order is writer-defined; the COLOR is the
+    * contract). Returns Nil for undecodable bytes.
+    */
+  def decodeFrames(bytes: Array[Byte]): Seq[Decoded] = {
+    val readers = ImageIO.getImageReadersByFormatName("gif")
+    if (!readers.hasNext) return Nil
+    val reader = readers.next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(iis, false, true)
+      val n = reader.getNumImages(true)
+      (0 until n).map(i => stats(reader.read(i)))
+    } catch {
+      case _: Exception => Nil
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
   /** Exact 2×2 box-average downsample (floor division) — a REAL resize
     * over a real decoded raster with deterministic integer math, so the
     * oracle can recompute every output pixel from the generator formula.

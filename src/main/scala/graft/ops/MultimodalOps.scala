@@ -198,6 +198,46 @@ object MultimodalOps {
       .toDF("media_id", "width", "height", "px_sum", "px_sqsum", "payload")
   }
 
+  /** Animated-GIF fixtures: one REAL multi-frame payload per document
+    * (2–4 frames, per-frame-distinct gray pattern). The bytes on the
+    * wire are genuine LZW-compressed GIF89a streams produced by the JDK
+    * sequence writer — nothing a byte-statistics stub could reproduce.
+    */
+  def gifFixtures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (6 + (id % 6) * 2).toInt
+        val h = (6 + ((id / 6) % 6) * 2).toInt
+        val nFrames = (2 + id % 3).toInt
+        val frames = (0 until nFrames).map(f =>
+          ImageCodec.renderFrame(w, h, id, f))
+        (id, ImageCodec.encodeGif(frames))
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** Real multi-frame decode: explode each animated payload into one
+    * row per frame with exact pixel statistics. Same mapPartitions
+    * batch shape as the single-image decode — per-payload frame fan-out
+    * happens inside the partition, so a 100 TB media table never
+    * shuffles undecoded bytes.
+    */
+  def decodeGifFrames(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        ImageCodec.decodeFrames(payload).iterator.zipWithIndex.map {
+          case (d, f) =>
+            (id, f.toLong, d.width.toLong, d.height.toLong, d.pxSum, d.pxSqSum)
+        }
+      })
+      .toDF("media_id", "frame_idx", "width", "height", "px_sum", "px_sqsum")
+  }
+
   /** Build a synthetic media table from the documents table (UTF-8
     * payloads) — test/bench scaffolding for the binary plumbing.
     */

@@ -197,7 +197,47 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** REAL multi-frame (animated GIF) decode certification: each
+    * document becomes a genuine 2–4-frame GIF89a payload (JDK sequence
+    * writer, identity-gray palette → lossless), decoded frame-by-frame
+    * with ImageIO in the mapPartitions path. The oracle reproduces every
+    * frame's exact pixel sums in closed form from the generator formula
+    * — frame COUNT is certified by row multiplicity, frame CONTENT by
+    * the per-frame `53·f` pattern term (reading only the first frame, or
+    * compositing, cannot pass). Reference contract: frame-sampled video
+    * feature extraction ahead of embedding
+    * (`embedding_consumer.py:215-243`).
+    */
+  val q_gif_frames = QueryDef(
+    "q_gif_frames",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    6 + (doc_id % 6) * 2 AS w,
+      |    6 + ((doc_id // 6) % 6) * 2 AS h,
+      |    2 + doc_id % 3 AS nf
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, w, h, CAST(g AS BIGINT) AS frame_idx
+      |  FROM m CROSS JOIN UNNEST(range(0, 4)) t(g)
+      |  WHERE g < nf),
+      |px AS (
+      |  SELECT media_id, frame_idx, SUM(g) AS s, SUM(g * g) AS sq FROM (
+      |    SELECT f.media_id AS media_id, f.frame_idx AS frame_idx,
+      |      ((i % f.w) * 31 + (i // f.w) * 17 + f.media_id * 7
+      |       + f.frame_idx * 53) % 256 AS g
+      |    FROM f CROSS JOIN UNNEST(range(0, f.w * f.h)) t(i))
+      |  GROUP BY 1, 2)
+      |SELECT f.media_id AS media_id, f.frame_idx AS frame_idx,
+      |  CAST(f.w AS BIGINT) AS width, CAST(f.h AS BIGINT) AS height,
+      |  CAST(px.s AS BIGINT) AS px_sum, CAST(px.sq AS BIGINT) AS px_sqsum
+      |FROM f JOIN px ON px.media_id = f.media_id AND px.frame_idx = f.frame_idx
+      |ORDER BY media_id, frame_idx""".stripMargin) { (spark, dir) =>
+    MultimodalOps.decodeGifFrames(
+      MultimodalOps.gifFixtures(Tables.documents(spark, dir)))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_media_features, q_media_frames, q_media_resize,
-    q_image_decode, q_image_resize)
+    q_image_decode, q_image_resize, q_gif_frames)
 }

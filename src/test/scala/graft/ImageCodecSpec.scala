@@ -92,4 +92,27 @@ class ImageCodecSpec extends AnyFunSuite {
       assert(r.getAs[Long]("height") === (8 + ((id / 8) % 8) * 2) / 2)
     }
   }
+
+  test("animated GIF encode->frame decode is lossless and frame-exact") {
+    for (seed <- Seq(0L, 7L, 255L)) {
+      val (w, h, nf) = (10, 8, (2 + seed % 3).toInt)
+      val bytes = ImageCodec.encodeGif(
+        (0 until nf).map(f => ImageCodec.renderFrame(w, h, seed, f)))
+      // a real GIF89a stream, not a raster dump
+      assert(bytes.take(6).map(_.toChar).mkString === "GIF89a")
+      val frames = ImageCodec.decodeFrames(bytes)
+      assert(frames.length === nf)
+      frames.zipWithIndex.foreach { case (d, f) =>
+        var s = 0L; var sq = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val g = ImageCodec.grayFrame(x, y, seed, f)
+          s += g; sq += g.toLong * g
+        }
+        assert((d.width, d.height) === (w, h), s"frame $f")
+        assert((d.pxSum, d.pxSqSum) === (s, sq), s"frame $f")
+      }
+    }
+    // non-GIF bytes: empty, not a throw
+    assert(ImageCodec.decodeFrames("not a gif".getBytes).isEmpty)
+  }
 }
