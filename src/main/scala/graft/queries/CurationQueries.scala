@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
-import graft.ops.{DedupOps, TextOps}
+import graft.ops.{DedupOps, TextOps, UrlOps}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -657,10 +657,60 @@ object CurationQueries {
       .orderBy(col("split"))
   }
 
+  /** Host canonicalization + per-host caps: the standard crawl-curation
+    * guard against any single domain dominating the training mix.
+    * Messy URL fixtures (scheme/host case, `www.`, ports, userinfo,
+    * tracking params — [[UrlOps.urlFixture]]) are canonicalized to one
+    * host key with portable regex column algebra, counted per host, and
+    * capped at [[HostCap]] docs per host selected in scrambled-id-hash
+    * order (reproducible across engines and runs, like the other
+    * sampling panels; NOT rand()).
+    *
+    * 100 TB shape: one shuffle on the canonical host for the count +
+    * rank window; the cap filter discards inside the window stage, so
+    * a mega-host's overflow never reaches downstream operators. (A
+    * pathological single-host corpus would additionally pre-aggregate
+    * with a salted count before ranking — the certified per-host counts
+    * here make that swap observable.)
+    */
+  val HostCap = 10
+  val q_host_caps = QueryDef(
+    "q_host_caps",
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    ${UrlOps.urlFixtureSql("doc_id", "source")} AS url
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, ${UrlOps.canonicalHostSql("url")} AS host FROM u),
+       |r AS (
+       |  SELECT doc_id, host,
+       |    CAST(COUNT(*) OVER (PARTITION BY host) AS BIGINT) AS host_total,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY host
+       |      ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003, doc_id)
+       |      AS BIGINT) AS rn
+       |  FROM h)
+       |SELECT doc_id, host, host_total, rn
+       |FROM r WHERE rn <= $HostCap
+       |ORDER BY host, rn""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("host"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        UrlOps.urlFixture(col("doc_id"), col("source")).as("url"))
+      .select(col("doc_id"), UrlOps.canonicalHost(col("url")).as("host"))
+    docs
+      .select(col("doc_id"), col("host"),
+        count(lit(1)).over(w).as("host_total"),
+        row_number().over(w.orderBy(
+          (col("doc_id") % 1000003L * lit(2654435761L)) % 1000003L,
+          col("doc_id"))).cast("long").as("rn"))
+      .filter(col("rn") <= HostCap)
+      .orderBy(col("host"), col("rn"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_contamination, q_mix_rates,
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
     q_hll_overlap, q_pii_scrub, q_soft_dedup_sample, q_bigram_lm,
-    q_dataset_split, q_group_split)
+    q_dataset_split, q_group_split, q_host_caps)
 }
