@@ -238,6 +238,89 @@ object MultimodalOps {
       .toDF("media_id", "frame_idx", "width", "height", "px_sum", "px_sqsum")
   }
 
+  /** Real-audio fixture table: one deterministic 16-bit PCM mono WAV
+    * clip per document (genuine RIFF/WAVE bytes from the JDK writer,
+    * `javax.sound.sampled`). Clip length is a pure function of the id;
+    * the closed-form signal lets the DuckDB oracle compute the expected
+    * decode output without a codec — the audio analogue of
+    * [[imageFixtures]].
+    */
+  def audioFixtures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (256 + (id % 16) * 32).toInt
+        (id, AudioCodec.renderClip(n, id))
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** Real JDK audio decode of a WAV-payload table to exact integer
+    * sample statistics (PCM is lossless, so sums certify content).
+    * Undecodable payloads are dropped (None) — same contract as
+    * [[decodeImages]].
+    */
+  def decodeAudio(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        AudioCodec.decode(payload).map(d =>
+          (id, d.sampleRate.toLong, d.nSamples.toLong, d.sSum, d.sSqSum,
+            d.sMin.toLong, d.sMax.toLong, d.zeroCross.toLong))
+      })
+      .toDF("media_id", "sample_rate", "n_samples", "s_sum", "s_sqsum",
+        "s_min", "s_max", "zero_cross")
+  }
+
+  /** Frame-level energy extraction (the VAD/speech-featurization
+    * shape): decode each clip, split into fixed `frameLen`-sample
+    * frames (complete frames only), emit per-frame sample-square sums.
+    * Frame fan-out happens inside the partition — a 100 TB audio table
+    * never shuffles undecoded bytes, exactly like [[decodeGifFrames]].
+    */
+  def audioFrameEnergy(df: DataFrame, frameLen: Int): DataFrame = {
+    require(frameLen >= 1, s"frameLen must be >= 1, got $frameLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        AudioCodec.decodeSamples(payload).iterator.flatMap { s =>
+          (0 until s.length / frameLen).iterator.map { f =>
+            var sq = 0L
+            var i = f * frameLen
+            val end = i + frameLen
+            while (i < end) { sq += s(i).toLong * s(i); i += 1 }
+            (id, f.toLong, sq)
+          }
+        }
+      })
+      .toDF("media_id", "frame_idx", "energy")
+  }
+
+  /** Real audio resample: decode, decimate 2:1 (keep even-index
+    * samples), re-encode as WAV, decode AGAIN for the emitted
+    * statistics — certifying the whole decode→decimate→encode→decode
+    * loop, mirroring [[resizeImagesHalf]].
+    */
+  def resampleAudioHalf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        AudioCodec.decodeSamples(payload).flatMap { s =>
+          val dec = Array.tabulate((s.length + 1) / 2)(j => s(2 * j))
+          AudioCodec.decode(AudioCodec.encodePcm16(dec)).map(d =>
+            (id, d.nSamples.toLong, d.sSum, d.sSqSum))
+        }
+      })
+      .toDF("media_id", "n_samples", "s_sum", "s_sqsum")
+  }
+
   /** Build a synthetic media table from the documents table (UTF-8
     * payloads) — test/bench scaffolding for the binary plumbing.
     */

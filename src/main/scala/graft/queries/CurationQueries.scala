@@ -707,10 +707,53 @@ object CurationQueries {
       .orderBy(col("host"), col("rn"))
   }
 
+  /** RAG-style sliding-window document chunking: fixed 200-char
+    * windows advancing by 150 (50-char overlap), the retrieval-corpus
+    * preparation step upstream of embedding (reference analogue: the
+    * embedding consumer's text assembly before vectorization,
+    * `embedding_consumer.py:94-118`). Pure codegen column algebra —
+    * `sequence` + `explode` + `substr`, no UDF — so at 100 TB the
+    * chunk fan-out happens inside whole-stage codegen with zero
+    * shuffles (the output partitioning inherits the scan's). Chunk
+    * CONTENT is certified by md5, chunk GRID by (chunk_idx, start,
+    * chunk_len) row multiplicity.
+    */
+  val q_doc_chunks: QueryDef = {
+    val ChunkLen = 200
+    val Step = 150 // = ChunkLen - 50-char overlap
+    QueryDef(
+      "q_doc_chunks",
+      s"""WITH m AS (
+         |  SELECT doc_id, text, len(text) AS n
+         |  FROM documents WHERE len(text) > 0),
+         |c AS (
+         |  SELECT doc_id, CAST(g AS BIGINT) AS start, text
+         |  FROM m CROSS JOIN UNNEST(range(0, n, $Step)) t(g))
+         |SELECT doc_id, start // $Step AS chunk_idx, start,
+         |  CAST(len(substr(text, CAST(start + 1 AS INT), $ChunkLen)) AS INT)
+         |    AS chunk_len,
+         |  md5(substr(text, CAST(start + 1 AS INT), $ChunkLen)) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+        .where(col("n") > 0)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("n").cast("long") - 1, lit(Step.toLong)))
+            .as("start"))
+        .select(col("doc_id"),
+          (col("start") / Step).cast("long").as("chunk_idx"),
+          col("start"),
+          expr(s"substr(text, start + 1, $ChunkLen)").as("chunk"))
+        .select(col("doc_id"), col("chunk_idx"), col("start"),
+          length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_contamination, q_mix_rates,
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
     q_hll_overlap, q_pii_scrub, q_soft_dedup_sample, q_bigram_lm,
-    q_dataset_split, q_group_split, q_host_caps)
+    q_dataset_split, q_group_split, q_host_caps, q_doc_chunks)
 }

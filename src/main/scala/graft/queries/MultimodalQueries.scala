@@ -237,7 +237,98 @@ object MultimodalQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
+  /** REAL audio decode certification: each document becomes a genuine
+    * 16-bit PCM mono WAV payload (JDK `javax.sound.sampled` writer —
+    * real RIFF header + little-endian frames on the wire), decoded back
+    * with the JDK parser in the mapPartitions path. PCM is lossless, so
+    * the oracle reproduces exact sample sums, min/max, and the
+    * zero-crossing count in closed form from the generator formula.
+    * Reference contract: media feature extraction ahead of embedding
+    * (`embedding_consumer.py:215-243`).
+    */
+  val q_audio_decode = QueryDef(
+    "q_audio_decode",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, 256 + (doc_id % 16) * 32 AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id, CAST(i AS BIGINT) AS i,
+      |    (i * 131 + media_id * 7919) % 4001 - 2000 AS v
+      |  FROM m CROSS JOIN UNNEST(range(0, m.n)) t(i)),
+      |lagged AS (
+      |  SELECT *, LAG(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+      |  FROM s),
+      |agg AS (
+      |  SELECT media_id, COUNT(*) AS n, SUM(v) AS s_sum,
+      |    SUM(v * v) AS s_sqsum, MIN(v) AS s_min, MAX(v) AS s_max,
+      |    SUM(CASE WHEN (pv < 0 AND v > 0) OR (pv > 0 AND v < 0)
+      |        THEN 1 ELSE 0 END) AS zc
+      |  FROM lagged GROUP BY 1)
+      |SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate,
+      |  CAST(n AS BIGINT) AS n_samples, CAST(s_sum AS BIGINT) AS s_sum,
+      |  CAST(s_sqsum AS BIGINT) AS s_sqsum, CAST(s_min AS BIGINT) AS s_min,
+      |  CAST(s_max AS BIGINT) AS s_max, CAST(zc AS BIGINT) AS zero_cross
+      |FROM agg ORDER BY media_id""".stripMargin) { (spark, dir) =>
+    MultimodalOps.decodeAudio(
+      MultimodalOps.audioFixtures(Tables.documents(spark, dir)))
+      .orderBy(col("media_id"))
+  }
+
+  /** Frame-level audio energy (VAD/speech-featurization shape): decode,
+    * split into complete 160-sample frames, per-frame square-sums. The
+    * oracle rebuilds every frame's energy from the signal formula —
+    * frame COUNT certified by row multiplicity, CONTENT by the sums.
+    */
+  val q_audio_frames = QueryDef(
+    "q_audio_frames",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, 256 + (doc_id % 16) * 32 AS n
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, CAST(g AS BIGINT) AS frame_idx, n
+      |  FROM m CROSS JOIN UNNEST(range(0, 8)) t(g)
+      |  WHERE (g + 1) * 160 <= n),
+      |px AS (
+      |  SELECT media_id, frame_idx, SUM(v * v) AS e FROM (
+      |    SELECT f.media_id AS media_id, f.frame_idx AS frame_idx,
+      |      ((f.frame_idx * 160 + i) * 131 + f.media_id * 7919) % 4001
+      |        - 2000 AS v
+      |    FROM f CROSS JOIN UNNEST(range(0, 160)) t(i))
+      |  GROUP BY 1, 2)
+      |SELECT media_id, frame_idx, CAST(e AS BIGINT) AS energy
+      |FROM px ORDER BY media_id, frame_idx""".stripMargin) { (spark, dir) =>
+    MultimodalOps.audioFrameEnergy(
+      MultimodalOps.audioFixtures(Tables.documents(spark, dir)),
+      frameLen = 160)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** REAL audio resample certification: WAV fixtures decoded, 2:1
+    * decimated (even-index samples), re-encoded as WAV, decoded again —
+    * emitted sums must equal the oracle's closed-form decimated signal,
+    * certifying the full decode→decimate→encode→decode loop.
+    */
+  val q_audio_resample = QueryDef(
+    "q_audio_resample",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, (256 + (doc_id % 16) * 32) // 2 AS half
+      |  FROM documents),
+      |s AS (
+      |  SELECT media_id, (2 * i * 131 + media_id * 7919) % 4001 - 2000 AS v
+      |  FROM m CROSS JOIN UNNEST(range(0, m.half)) t(i)),
+      |agg AS (
+      |  SELECT media_id, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS sq
+      |  FROM s GROUP BY 1)
+      |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+      |  CAST(s AS BIGINT) AS s_sum, CAST(sq AS BIGINT) AS s_sqsum
+      |FROM agg ORDER BY media_id""".stripMargin) { (spark, dir) =>
+    MultimodalOps.resampleAudioHalf(
+      MultimodalOps.audioFixtures(Tables.documents(spark, dir)))
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_media_features, q_media_frames, q_media_resize,
-    q_image_decode, q_image_resize, q_gif_frames)
+    q_image_decode, q_image_resize, q_gif_frames,
+    q_audio_decode, q_audio_frames, q_audio_resample)
 }
