@@ -607,9 +607,50 @@ object EventsMore {
       .orderBy(col("event_type"), col("cents").desc, col("day"))
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) interval build from an
+    * event log: per user, compress consecutive same-type events into
+    * change rows, then derive each version's validity interval
+    * [valid_from, valid_to) with LEAD — the open current version
+    * carries NULL valid_to. The dimension-history construction every
+    * warehouse load performs (reference analogue: keep-latest upsert
+    * `psql_db_client.py:240-268`, generalized to full history). Two
+    * windows over the SAME (user_id, ts, event_id) ordering contract →
+    * one shuffle; at 100 TB this partitions by user with no skew
+    * (bounded per-user history).
+    */
+  val q_scd2 = QueryDef(
+    "q_scd2",
+    """WITH e AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+      |    LAG(event_type) OVER (
+      |      PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+      |      AS prev
+      |  FROM events),
+      |ch AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM e WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type,
+      |  epoch_us(ts) AS valid_from_us, epoch_us(valid_to) AS valid_to_us
+      |FROM ch ORDER BY user_id, valid_from_us""".stripMargin) { (spark, dir) =>
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(ord))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(ord))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(col("valid_to")).as("valid_to_us"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_hll_distinct, q_rank_dist, q_robust_stats,
-    q_funnel, q_retention, q_markov, q_topk_daily)
+    q_funnel, q_retention, q_markov, q_topk_daily, q_scd2)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational operator inventory (SURVEY.md §2.2–§2.7) re-expressed over
@@ -426,11 +427,80 @@ object Relational {
       .orderBy(col("tier"))
   }
 
+  /** Blocked fuzzy entity resolution (record linkage): a deterministic
+    * "dirty" feed (part names with 1–2 trailing chars truncated) is
+    * matched back to the clean catalog — equi-join on a blocking key
+    * (first name word) so candidate generation is bucketed, never
+    * all-pairs; `levenshtein` (codegen built-in on both engines) scores
+    * candidates; best match per dirty record by (distance, key) rank.
+    * The reference analogue is source-record reconciliation before
+    * upsert (`psql_db_client.py:240-268` ON CONFLICT merge); at 100 TB
+    * the blocking key is the shuffle key and skewed blocks split under
+    * AQE.
+    */
+  val q_fuzzy_match = QueryDef(
+    "q_fuzzy_match",
+    """WITH dirty AS (
+      |  SELECT p_partkey AS dirty_id,
+      |    substr(p_name, 1, CAST(len(p_name) - 1 - p_partkey % 2 AS INT))
+      |      AS dirty_name,
+      |    split_part(p_name, ' ', 1) || ' '
+      |      || substr(split_part(p_name, ' ', 2), 1, 1) AS block
+      |  FROM part WHERE p_partkey % 3 = 0),
+      |cand AS (
+      |  SELECT d.dirty_id, d.dirty_name, p.p_partkey AS match_id,
+      |    levenshtein(d.dirty_name, p.p_name) AS dist
+      |  FROM dirty d JOIN part p
+      |    ON split_part(p.p_name, ' ', 1) || ' '
+      |      || substr(split_part(p.p_name, ' ', 2), 1, 1) = d.block
+      |  WHERE abs(len(d.dirty_name) - len(p.p_name)) <= 3
+      |    AND levenshtein(d.dirty_name, p.p_name) <= 3),
+      |ranked AS (
+      |  SELECT dirty_id, dirty_name, match_id, CAST(dist AS BIGINT) AS dist,
+      |    CAST(COUNT(*) OVER (PARTITION BY dirty_id) AS BIGINT) AS n_cands,
+      |    ROW_NUMBER() OVER (PARTITION BY dirty_id ORDER BY dist, match_id)
+      |      AS rn
+      |  FROM cand)
+      |SELECT dirty_id, dirty_name, match_id, dist, n_cands
+      |FROM ranked WHERE rn = 1 ORDER BY dirty_id""".stripMargin) { (spark, dir) =>
+    val part = Tables.part(spark, dir)
+    // blocking key: adjective + noun initial — the 1-char noun prefix is
+    // the longest prefix guaranteed stable under the ≤2-trailing-char
+    // corruption (min noun length is 3), so recall stays 100% while the
+    // block fan-out drops ~8× vs adjective-only blocking
+    val blockOf = (name: org.apache.spark.sql.Column) =>
+      concat(substring_index(name, " ", 1), lit(" "),
+        substring(element_at(split(name, " "), 2), 1, 1))
+    val dirty = part
+      .filter(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("dirty_id"),
+        expr("substr(p_name, 1, cast(length(p_name) - 1 - p_partkey % 2 as int))")
+          .as("dirty_name"),
+        blockOf(col("p_name")).as("block"))
+    val cand = dirty
+      .join(part.withColumn("block", blockOf(col("p_name"))), "block")
+      .filter(abs(length(col("dirty_name")) - length(col("p_name"))) <= 3)
+      .select(col("dirty_id"), col("dirty_name"),
+        col("p_partkey").as("match_id"),
+        levenshtein(col("dirty_name"), col("p_name")).as("dist"))
+      .filter(col("dist") <= 3)
+    val byId = Window.partitionBy(col("dirty_id"))
+    cand
+      .select(col("dirty_id"), col("dirty_name"), col("match_id"),
+        col("dist").cast("long").as("dist"),
+        count(lit(1)).over(byId).as("n_cands"),
+        row_number().over(byId.orderBy(col("dist"), col("match_id"))).as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy(col("dirty_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_pricing_summary, q_top_parts, q_priority_counts, q_customer_by_region,
     q_revenue_by_priority, q_customers_no_orders, q_parts_shipped_1999,
     q_price_tiers, q_order_size_classes, q_lineitem_stats,
     q_distinct_parts_per_status, q_key_accounts_union, q_nations_customers_only,
     q_multiset_ops,
-    q_shipping_priority, q_region_volume, q_bbox_lookup, q_brand_prefix_join)
+    q_shipping_priority, q_region_volume, q_bbox_lookup, q_brand_prefix_join,
+    q_fuzzy_match)
 }
