@@ -454,15 +454,12 @@ object Relational {
       |    ON split_part(p.p_name, ' ', 1) || ' '
       |      || substr(split_part(p.p_name, ' ', 2), 1, 1) = d.block
       |  WHERE abs(len(d.dirty_name) - len(p.p_name)) <= 3
-      |    AND levenshtein(d.dirty_name, p.p_name) <= 3),
-      |ranked AS (
-      |  SELECT dirty_id, dirty_name, match_id, CAST(dist AS BIGINT) AS dist,
-      |    CAST(COUNT(*) OVER (PARTITION BY dirty_id) AS BIGINT) AS n_cands,
-      |    ROW_NUMBER() OVER (PARTITION BY dirty_id ORDER BY dist, match_id)
-      |      AS rn
-      |  FROM cand)
-      |SELECT dirty_id, dirty_name, match_id, dist, n_cands
-      |FROM ranked WHERE rn = 1 ORDER BY dirty_id""".stripMargin) { (spark, dir) =>
+      |    AND levenshtein(d.dirty_name, p.p_name) <= 3)
+      |SELECT dirty_id, dirty_name,
+      |  CAST(MIN(dist * 1099511627776 + match_id) % 1099511627776 AS BIGINT) AS match_id,
+      |  CAST(MIN(dist * 1099511627776 + match_id) // 1099511627776 AS BIGINT) AS dist,
+      |  CAST(COUNT(*) AS BIGINT) AS n_cands
+      |FROM cand GROUP BY 1, 2 ORDER BY dirty_id""".stripMargin) { (spark, dir) =>
     val part = Tables.part(spark, dir)
     // blocking key: adjective + noun initial — the 1-char noun prefix is
     // the longest prefix guaranteed stable under the ≤2-trailing-char
@@ -484,14 +481,18 @@ object Relational {
         col("p_partkey").as("match_id"),
         levenshtein(col("dirty_name"), col("p_name")).as("dist"))
       .filter(col("dist") <= 3)
-    val byId = Window.partitionBy(col("dirty_id"))
+    // best-match via a commutative encoded-min aggregate (dist and key
+    // packed into one long), NOT a row_number window: partial hash
+    // aggregation combines map-side, so the exchange carries ≤1 row per
+    // (dirty record × partition) instead of sorting every candidate
+    // pair — the argmin shape that survives a 100 TB candidate set
     cand
-      .select(col("dirty_id"), col("dirty_name"), col("match_id"),
-        col("dist").cast("long").as("dist"),
-        count(lit(1)).over(byId).as("n_cands"),
-        row_number().over(byId.orderBy(col("dist"), col("match_id"))).as("rn"))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("dirty_id"), col("dirty_name"))
+      .agg(min(col("dist").cast("long") * (1L << 40) + col("match_id"))
+        .as("enc"), count(lit(1)).as("n_cands"))
+      .select(col("dirty_id"), col("dirty_name"),
+        (col("enc") % (1L << 40)).as("match_id"),
+        expr("enc div 1099511627776").as("dist"), col("n_cands"))
       .orderBy(col("dirty_id"))
   }
 

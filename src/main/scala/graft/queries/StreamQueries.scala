@@ -479,9 +479,40 @@ object StreamQueries {
       .orderBy(col("new_id"))
   }
 
+  /** HOPPING (sliding) event-time windows — the overlapping-window
+    * kind the tumbling q_stream_hourly doesn't cover: 2-hour windows
+    * sliding every hour, so each event contributes to exactly two
+    * windows. The oracle replays the window assignment arithmetic
+    * (starts = floor_hour(ts) − {0,1} hours) and re-aggregates in SQL.
+    * Complete-mode bounded drain, same posture as q_stream_hourly;
+    * state is windows×types-bounded, independent of event volume.
+    */
+  val q_stream_hopping = QueryDef(
+    "q_stream_hopping",
+    """SELECT win_start, event_type, COUNT(*) AS n,
+      |  ROUND(SUM(value), 2) AS total_value
+      |FROM (
+      |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP)
+      |      - o * INTERVAL 1 HOUR AS win_start,
+      |    event_type, value
+      |  FROM events CROSS JOIN UNNEST([0, 1]) t(o))
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (spark, dir) =>
+    val stream = StreamingOps.eventsStream(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("win"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("win.start").as("win_start"), col("event_type"),
+        col("n"), round(col("total_value"), 2).as("total_value"))
+    StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(stream, OutputMode.Complete())
+    }
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
-    q_stream_hll, q_stream_cms, q_stream_incremental_dedup)
+    q_stream_hll, q_stream_cms, q_stream_incremental_dedup, q_stream_hopping)
 }
