@@ -175,4 +175,25 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), // AQE may demote the small sf side
       s"expected a hash/merge equi-join on the bucket id:\n$p")
   }
+
+  test("fuzzy-match best-match is an aggregate, not a window sort") {
+    val p = plan("q_fuzzy_match")
+    assert(!p.contains("Window"),
+      s"argmin must be the encoded-min aggregate, not row_number:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"expected partial+final hash aggregate:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"blocking-key candidate generation must be an equi-join:\n$p")
+  }
+
+  test("document chunking fans out with zero exchanges before the sort") {
+    val p = plan("q_doc_chunks")
+    // exactly the output ORDER BY's range exchange — the sequence/
+    // explode/substr fan-out itself must add no shuffle
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"chunk fan-out must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("MapPartitions"),
+      s"chunker must stay in codegen column algebra:\n$p")
+  }
 }
