@@ -468,12 +468,20 @@ object Relational {
     val blockOf = (name: org.apache.spark.sql.Column) =>
       concat(substring_index(name, " ", 1), lit(" "),
         substring(element_at(split(name, " "), 2), 1, 1))
+    // the dirty feed is a tiny scan that fans out ~300 candidates per
+    // row through the broadcast join: without an explicit repartition
+    // the whole expansion inherits the scan's single file split and
+    // runs in ONE task. Round-robin spread (the join side is broadcast,
+    // so no co-location is lost) decouples work parallelism from input
+    // splits — the general rule for expansion-heavy ops over small
+    // driving tables.
     val dirty = part
       .filter(col("p_partkey") % 3 === 0)
       .select(col("p_partkey").as("dirty_id"),
         expr("substr(p_name, 1, cast(length(p_name) - 1 - p_partkey % 2 as int))")
           .as("dirty_name"),
         blockOf(col("p_name")).as("block"))
+      .repartition(spark.sessionState.conf.numShufflePartitions)
     val cand = dirty
       .join(part.withColumn("block", blockOf(col("p_name"))), "block")
       .filter(abs(length(col("dirty_name")) - length(col("p_name"))) <= 3)
