@@ -72,6 +72,57 @@ object EventsMore {
       .orderBy(col("purchase_id"))
   }
 
+  /** As-of join WITH TOLERANCE — the feature-store freshness contract:
+    * a match staler than 1 hour is as good as no match, so its value
+    * columns are masked NULL while the left row survives (LEFT-join
+    * semantics). Same one-shuffle union+running-last plan as
+    * q_asof_join; the staleness mask is a post-join column expression,
+    * so tolerance changes per consumer without re-running the join.
+    */
+  val q_asof_tolerance = QueryDef(
+    "q_asof_tolerance",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |    MAX(event_id) AS click_id,
+      |    arg_max(value, event_id) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.purchase_us,
+      |  CASE WHEN p.purchase_us - c.click_us <= 3600000000
+      |    THEN c.click_id END AS recent_click_id,
+      |  CASE WHEN p.purchase_us - c.click_us <= 3600000000
+      |    THEN ROUND(c.click_value, 2) END AS recent_click_value,
+      |  CASE WHEN p.purchase_us - c.click_us <= 3600000000
+      |    THEN CAST((p.purchase_us - c.click_us) // 1000000 AS BIGINT)
+      |    END AS gap_sec
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val tolUs = 3600000000L
+    val ev = Tables.events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    val fresh = col("purchase_us") - col("click_us") <= tolUs
+    JoinOps.asofJoin(purchases, clicks,
+      keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "click_us",
+      rightValCols = Seq("click_us", "click_id", "click_value"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        when(fresh, col("click_id")).as("recent_click_id"),
+        when(fresh, round(col("click_value"), 2)).as("recent_click_value"),
+        when(fresh,
+          floor((col("purchase_us") - col("click_us")) / 1000000L).cast("long"))
+          .as("gap_sec"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** ROLLUP over (event_type, day-of-week): the hierarchical subtotal
     * companion to q_cube_counts' full CUBE — grand total, per-type,
     * per-(type, dow). */
@@ -651,6 +702,7 @@ object EventsMore {
   val all: Seq[QueryDef] = Seq(
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
-    q_rollup_counts, q_asof_join, q_hll_distinct, q_rank_dist, q_robust_stats,
+    q_rollup_counts, q_asof_join, q_asof_tolerance, q_hll_distinct,
+    q_rank_dist, q_robust_stats,
     q_funnel, q_retention, q_markov, q_topk_daily, q_scd2)
 }

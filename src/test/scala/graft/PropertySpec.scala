@@ -201,4 +201,11 @@ object KernelProperties extends Properties("graft.kernels") {
     Prop.forAll(Gen.choose(1L, 10000000000L)) { n =>
       graft.ops.GraphOps.pageRankScale(n) / n >= 1000L
     }
+
+  property("WAV PCM16 encode->decode round-trips any sample vector") =
+    Prop.forAll(Gen.listOf(Gen.choose(-32768, 32767))) { samples =>
+      val arr = samples.toArray
+      graft.ops.AudioCodec.decodeSamples(
+        graft.ops.AudioCodec.encodePcm16(arr)).exists(_.sameElements(arr))
+    }
 }
