@@ -487,8 +487,11 @@ object Relational {
       .filter(abs(length(col("dirty_name")) - length(col("p_name"))) <= 3)
       .select(col("dirty_id"), col("dirty_name"),
         col("p_partkey").as("match_id"),
-        levenshtein(col("dirty_name"), col("p_name")).as("dist"))
-      .filter(col("dist") <= 3)
+        // 3-arg levenshtein abandons a row at distance > threshold
+        // (returns -1) instead of filling the full DP matrix — the
+        // banded early exit that matters when most candidates are far
+        levenshtein(col("dirty_name"), col("p_name"), 3).as("dist"))
+      .filter(col("dist") >= 0 && col("dist") <= 3)
     // best-match via a commutative encoded-min aggregate (dist and key
     // packed into one long), NOT a row_number window: partial hash
     // aggregation combines map-side, so the exchange carries ≤1 row per
