@@ -707,6 +707,53 @@ object CurationQueries {
       .orderBy(col("host"), col("rn"))
   }
 
+  /** Content-aware canonical selection over near-dup groups — the step
+    * after group resolution that dedup pipelines actually ship: each
+    * MinHash+CC group keeps its LONGEST member (tie → lowest id), the
+    * "best representative" policy of crawl curation. Argmax runs as a
+    * map-side-combinable encoded-min aggregate (length complement and
+    * id packed into one long) over the certified q_dedup_groups
+    * labels — no window, no sort, one hash-agg shuffle on group_id.
+    */
+  val q_canonical_docs = QueryDef(
+    "q_canonical_docs", {
+      s"""WITH RECURSIVE ${graft.ops.DedupOps.minhashPairsSqlCtes(0.8)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS rid FROM nodes
+         |  UNION
+         |  SELECT r.id, e.dst AS rid FROM reach r JOIN edges e ON e.src = r.rid),
+         |lbl AS (SELECT id, MIN(rid) AS grp FROM reach GROUP BY id),
+         |g AS (
+         |  SELECT d.doc_id, COALESCE(l.grp, d.doc_id) AS group_id,
+         |    LEAST(d.n_chars, 99999) AS nc
+         |  FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id)
+         |SELECT group_id,
+         |  CAST(MIN((99999 - nc) * 1099511627776 + doc_id) % 1099511627776
+         |    AS BIGINT) AS canonical_id,
+         |  CAST(99999 - MIN((99999 - nc) * 1099511627776 + doc_id)
+         |    // 1099511627776 AS BIGINT) AS canonical_chars,
+         |  CAST(COUNT(*) AS BIGINT) AS n_members
+         |FROM g GROUP BY 1 ORDER BY group_id""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val groups = graft.ops.DedupOps.dedupGroups(docs, "doc_id", "text", 0.8)
+    groups
+      .join(docs.select(col("doc_id"),
+        least(col("n_chars"), lit(99999L)).as("nc")), "doc_id")
+      .groupBy(col("group_id"))
+      .agg(min((lit(99999L) - col("nc")) * (1L << 40) + col("doc_id"))
+        .as("enc"), count(lit(1)).as("n_members"))
+      .select(col("group_id"),
+        (col("enc") % (1L << 40)).as("canonical_id"),
+        (lit(99999L) - expr("enc div 1099511627776")).as("canonical_chars"),
+        col("n_members"))
+      .orderBy(col("group_id"))
+  }
+
   /** RAG-style sliding-window document chunking: fixed 200-char
     * windows advancing by 150 (50-char overlap), the retrieval-corpus
     * preparation step upstream of embedding (reference analogue: the
@@ -755,5 +802,6 @@ object CurationQueries {
     q_text_normalize, q_sequence_pack, q_contamination, q_mix_rates,
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
     q_hll_overlap, q_pii_scrub, q_soft_dedup_sample, q_bigram_lm,
-    q_dataset_split, q_group_split, q_host_caps, q_doc_chunks)
+    q_dataset_split, q_group_split, q_host_caps, q_doc_chunks,
+    q_canonical_docs)
 }
