@@ -311,7 +311,66 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Symmetric per-dimension INT8 embedding quantization with corpus
+    * calibration — the 4× vector-store compression step every serving
+    * stack applies before ANN (PQ's scalar sibling; reference analogue:
+    * the embedding consumer's vector-store write,
+    * `embedding_consumer.py:244-268`). Two passes: (1) calibrate
+    * per-dim scale = maxabs/127 (one 64-row aggregate, collected
+    * bounded like the KMeans centroids and broadcast as a LITERAL
+    * array, so the corpus pass that follows never shuffles);
+    * (2) quantize + measure reconstruction error in pure codegen
+    * column algebra (`zip_with`/`aggregate`). All outputs integer:
+    * q-sums exactly certify the quantized vectors, and the per-term
+    * micro-quantized error sum is order-free (PERF.md summation
+    * policy). floor(x+0.5) not ROUND — half-boundary portability.
+    */
+  val q_embed_int8 = QueryDef(
+    "q_embed_int8",
+    s"""WITH vd AS (SELECT vec_id, $vd AS v FROM embeddings),
+       |px AS (
+       |  SELECT vec_id, i, v[CAST(i + 1 AS INT)] AS x
+       |  FROM vd CROSS JOIN UNNEST(range(0, len(v))) t(i)),
+       |ma AS (
+       |  SELECT i, GREATEST(MAX(ABS(x)), 1e-30) / 127 AS scale
+       |  FROM px GROUP BY i),
+       |q AS (
+       |  SELECT vec_id, x, scale,
+       |    GREATEST(LEAST(FLOOR(x / scale + 0.5), 127), -127) AS qv
+       |  FROM px JOIN ma ON ma.i = px.i)
+       |SELECT vec_id,
+       |  CAST(SUM(qv) AS BIGINT) AS q_sum,
+       |  CAST(SUM(qv * qv) AS BIGINT) AS q_sqsum,
+       |  CAST(SUM(CAST(FLOOR((x - qv * scale) * (x - qv * scale) * 1e12 + 0.5)
+       |    AS BIGINT)) AS BIGINT) AS err_micro
+       |FROM q GROUP BY 1 ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    // calibration: 64 doubles to the driver (bounded, centroid-style),
+    // then a literal array — the quantization pass is join-free
+    val scales: Array[Double] = emb
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(greatest(max(abs(col("x"))), lit(1e-30)).as("ma"))
+      .orderBy(col("i"))
+      .collect()
+      .map(_.getDouble(1) / 127)
+    val scaleArr = array(scales.map(lit): _*)
+    val vdbl = col("embedding").cast("array<double>")
+    val qArr = zip_with(vdbl, scaleArr, (v, s) =>
+      least(greatest(floor(v / s + lit(0.5)), lit(-127.0)), lit(127.0))
+        .cast("long"))
+    val recArr = zip_with(qArr, scaleArr, (q, s) => q.cast("double") * s)
+    val errArr = zip_with(vdbl, recArr, (v, r) =>
+      floor((v - r) * (v - r) * lit(1e12) + lit(0.5)).cast("long"))
+    emb.select(col("vec_id"),
+      aggregate(qArr, lit(0L), (a, x) => a + x).as("q_sum"),
+      aggregate(qArr, lit(0L), (a, x) => a + x * x).as("q_sqsum"),
+      aggregate(errArr, lit(0L), (a, x) => a + x).as("err_micro"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
-    q_ann_pq)
+    q_ann_pq, q_embed_int8)
 }
