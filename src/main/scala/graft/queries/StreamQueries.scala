@@ -510,9 +510,42 @@ object StreamQueries {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** STREAMING bounded-heap top-k: the custom TopKRows aggregate runs
+    * as the stateful streaming aggregation — its per-group ≤k-row heap
+    * buffer serializes into the state store each micro-batch and
+    * MERGES with the next batch's partials, so a green run is the
+    * heap's cross-batch mergeability certificate (the TopKRows
+    * analogue of q_stream_hll / q_stream_cms). Top-20 highest-value
+    * events per type, certified against the plain window-rank oracle.
+    * State is k·types-bounded regardless of stream volume — the
+    * streaming leaderboard shape at any scale.
+    */
+  val q_stream_topk = QueryDef(
+    "q_stream_topk",
+    """SELECT event_type, rank, event_id, ROUND(value, 2) AS value FROM (
+      |  SELECT event_type, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id) AS rank
+      |  FROM events) t WHERE rank <= 20
+      |ORDER BY event_type, rank""".stripMargin) { (spark, dir) =>
+    val heap = StreamingOps.eventsStream(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.TopKRows.topK(
+        struct((-col("value")).as("nv"), col("event_id").as("event_id")), 20)
+        .as("top"))
+    StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(heap, OutputMode.Complete())
+    }
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.event_id").as("event_id"), round(-col("t.nv"), 2).as("value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
-    q_stream_hll, q_stream_cms, q_stream_incremental_dedup, q_stream_hopping)
+    q_stream_hll, q_stream_cms, q_stream_incremental_dedup, q_stream_hopping,
+    q_stream_topk)
 }

@@ -118,4 +118,36 @@ class TopKSpec extends AnyFunSuite {
     assert(merged.toArray.map(_.getLong(0)).sorted.toSeq === Seq(0L, 1L))
     ()
   }
+
+  test("streaming heap state merges across micro-batches (MemoryStream, 2 batches)") {
+    // the q_stream_topk certificate's missing piece when the file
+    // source yields a single batch: two explicit batches through the
+    // state store must equal the one-pass batch heap
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1 to 50).map(i => (s"g${i % 3}", (i * 37) % 101, i.toLong))
+    val ms = MemoryStream[(String, Int, Long)]
+    val q = ms.toDF().toDF("grp", "v", "id")
+      .groupBy(col("grp"))
+      .agg(TopKRows.topK(struct((-col("v")).as("nv"), col("id").as("id")), 4)
+        .as("top"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("topk_2batch").start()
+    try {
+      ms.addData(rows.take(25))
+      q.processAllAvailable()
+      ms.addData(rows.drop(25))
+      q.processAllAvailable()
+      val got = spark.table("topk_2batch")
+        .select(col("grp"), explode(col("top")).as("t"))
+        .select(col("grp"), (-col("t.nv")).as("v"), col("t.id"))
+        .collect().toSeq.map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      val exp = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        rs.map { case (_, v, id) => (g, v, id) }
+          .sortBy { case (_, v, id) => (-v, id) }.take(4)
+      }.sortBy { case (g, v, id) => (g, -v, id) }
+      assert(got.sortBy { case (g, v, id) => (g, -v, id) } === exp)
+    } finally q.stop()
+  }
 }
