@@ -123,6 +123,87 @@ object EventsMore {
       .orderBy(col("purchase_id"))
   }
 
+  /** Explicit GROUPING SETS — the custom subtotal lattice CUBE/ROLLUP
+    * can't express: just the two independent marginals
+    * (per-type, per-day-of-week) plus the grand total, with
+    * GROUPING() flags disambiguating subtotal NULLs from data NULLs.
+    * Declared through `spark.sql` over a temp view (the DataFrame API
+    * has cube/rollup only); Catalyst plans the same single Expand +
+    * hash aggregate as CUBE, pruned to the three requested sets.
+    */
+  val q_grouping_sets = QueryDef(
+    "q_grouping_sets",
+    """SELECT event_type,
+      |  isodow(CAST(date_trunc('day', ts) AS DATE)) - 1 AS dow,
+      |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+      |  CAST(GROUPING(isodow(CAST(date_trunc('day', ts) AS DATE)) - 1)
+      |    AS BIGINT) AS g_dow,
+      |  COUNT(*) AS n
+      |FROM events
+      |GROUP BY GROUPING SETS ((1), (2), ())
+      |ORDER BY g_type, g_dow, event_type NULLS FIRST, dow NULLS FIRST"""
+      .stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("dow",
+        weekday(date_trunc("day", col("ts")).cast("date")).cast("long"))
+      .createOrReplaceTempView("graft_events_gs")
+    spark.sql(
+      """SELECT event_type, dow,
+        |  CAST(grouping(event_type) AS BIGINT) AS g_type,
+        |  CAST(grouping(dow) AS BIGINT) AS g_dow,
+        |  COUNT(*) AS n
+        |FROM graft_events_gs
+        |GROUP BY GROUPING SETS ((event_type), (dow), ())
+        |ORDER BY g_type, g_dow, event_type NULLS FIRST, dow NULLS FIRST"""
+        .stripMargin)
+  }
+
+  /** Time-weighted average of event values per user — the
+    * metrics/feature-engineering aggregate where each observation
+    * holds until the next one (meter readings, prices, state
+    * levels): weight = interval to the next event in µs. All
+    * arithmetic integer (cent-quantized values × µs durations;
+    * products bounded ≪ 2^63), so sums are order-free and the final
+    * ratio is exact floor division on both engines. One window + one
+    * aggregate over the same user partitioning = one shuffle.
+    */
+  val q_time_weighted = QueryDef(
+    "q_time_weighted",
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc, event_id
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, vc,
+      |    LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+      |      AS dur
+      |  FROM e)
+      |SELECT user_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(vc * dur) AS BIGINT) AS weighted_sum,
+      |  CAST(SUM(dur) AS BIGINT) AS total_dur,
+      |  CASE WHEN SUM(dur) > 0
+      |    THEN CAST(SUM(vc * dur) // SUM(dur) AS BIGINT) END AS twa_cents
+      |FROM d WHERE dur IS NOT NULL
+      |GROUP BY 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("vc"), col("event_id"))
+      .withColumn("dur", lead(col("us"), 1).over(ord) - col("us"))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("vc") * col("dur")).as("weighted_sum"),
+        sum(col("dur")).as("total_dur"))
+      .select(col("user_id"), col("n_intervals"), col("weighted_sum"),
+        col("total_dur"),
+        when(col("total_dur") > 0,
+          expr("weighted_sum div total_dur")).as("twa_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** ROLLUP over (event_type, day-of-week): the hierarchical subtotal
     * companion to q_cube_counts' full CUBE — grand total, per-type,
     * per-(type, dow). */
@@ -704,5 +785,6 @@ object EventsMore {
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_tolerance, q_hll_distinct,
     q_rank_dist, q_robust_stats,
-    q_funnel, q_retention, q_markov, q_topk_daily, q_scd2)
+    q_funnel, q_retention, q_markov, q_topk_daily, q_scd2,
+    q_time_weighted, q_grouping_sets)
 }
