@@ -227,4 +227,48 @@ object GraphOps {
         coalesce(col("deg"), lit(0L)).as("degree"),
         coalesce(col("tri"), lit(0L)).as("n_triangles"))
   }
+
+  /** Deterministic synchronous label-propagation communities (LPA,
+    * Raghavan et al. 2007): every node starts as its own label; each
+    * round, every node adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label, all nodes updating
+    * simultaneously from the previous round's labels. Synchronous
+    * updates + total tie order make the algorithm a pure function of
+    * the graph — bit-identical on any engine, certified by an
+    * unrolled-CTE oracle replaying the same `rounds` steps.
+    *
+    * Unlike min-label components (which merge everything reachable),
+    * LPA splits a connected graph into DENSITY communities — on the
+    * near-dup graph that separates distinct boilerplate families that
+    * happen to share a borderline pair. Per round: one ranks⋈edges
+    * equi-join + two hash aggregates (label histogram, then the
+    * (count DESC, label ASC) argmin via `min_by` — map-side
+    * combinable, no window/sort). Two-generation cache via
+    * [[Reuse.materializedHandle]], same memory contract as
+    * [[pageRank]]. Fixed round count, no convergence detection: LPA
+    * on bipartite-ish structures can oscillate, so a fixed horizon is
+    * both the standard practice and the determinism guarantee.
+    *
+    * @param nodes one `id` column, every vertex (isolated included)
+    * @param edges symmetric (`src`,`dst`) — pass both directions
+    */
+  def labelPropagation(nodes: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var (labels, release) = Reuse.materializedHandle(
+      nodes.select(col("id"), col("id").as("lbl")))
+    for (_ <- 0 until rounds) {
+      val best = labels.join(e, col("id") === col("src"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min_by(col("lbl"),
+          struct((-col("cnt")).as("nc"), col("lbl").as("l"))).as("newlbl"))
+      val (next, nextRelease) = Reuse.materializedHandle(
+        labels.join(best.withColumnRenamed("dst", "id"), Seq("id"), "left")
+          .select(col("id"), coalesce(col("newlbl"), col("lbl")).as("lbl")))
+      release.close()
+      labels = next
+      release = nextRelease
+    }
+    labels
+  }
 }

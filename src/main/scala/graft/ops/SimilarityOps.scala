@@ -23,6 +23,62 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** Exact maximum-inner-product top-k (MIPS) — the retrieval metric
+    * of un-normalized learned embeddings (recommendation scores,
+    * dual-encoder logits), where cosine kNN returns the WRONG
+    * neighbors. Same query-broadcast / corpus-never-shuffles shape as
+    * [[bruteForceTopK]], but the per-query selection is the
+    * bounded-heap [[graft.functions.TopKRows]] aggregate (≤ k-row
+    * partial buffers) instead of a window rank — no sort exchange of
+    * the |queries|·|corpus| scored stream.
+    *
+    * 100 TB path: MIPS reduces to cosine by augmenting each corpus
+    * vector with sqrt(M² − ‖x‖²) (M = max corpus norm) and each query
+    * with 0 — augmented corpus norms are all M, so augmented-cosine
+    * order = inner-product order and the existing hyperplane-LSH
+    * bucketing applies unchanged ([[mipsAugment]]; equivalence
+    * asserted in EmbeddingOpsSpec).
+    */
+  def mipsTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    c.crossJoin(q)
+      .select(col("query_id"), col("neighbor_id"),
+        expr("dot_product(qv, cv)").as("ip"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKRows.topK(
+        struct((-col("ip")).as("nip"), col("neighbor_id").as("nid")), k)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nid").as("neighbor_id"),
+        round(-col("col.nip"), 6).as("inner_product"))
+  }
+
+  /** MIPS→cosine augmentation: append sqrt(M² − ‖x‖²) to corpus
+    * vectors (M ≥ every corpus norm) and 0.0 to query vectors. All
+    * augmented corpus vectors then have norm exactly M, so cosine
+    * ordering in the augmented space equals inner-product ordering in
+    * the original space — the standard trick (Bachrach et al. 2014)
+    * that lets any cosine-ANN index serve MIPS. */
+  def mipsAugment(df: DataFrame, vecCol: String, maxNorm: Double,
+      isQuery: Boolean): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val vd = col(vecCol).cast("array<double>")
+    val extra =
+      if (isQuery) lit(0.0)
+      else sqrt(greatest(lit(0.0),
+        lit(maxNorm * maxNorm) - expr(s"dot_product(aug_vd, aug_vd)")))
+    df.withColumn("aug_vd", vd)
+      .withColumn(vecCol, concat(col("aug_vd"), array(extra)))
+      .drop("aug_vd")
+  }
+
   /** Exact top-k neighbors for each query vector.
     * `queries`/`corpus`: (idCol, vecCol). Ties broken by corpus id.
     */

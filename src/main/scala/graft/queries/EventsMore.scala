@@ -780,11 +780,364 @@ object EventsMore {
       .orderBy(col("user_id"), col("valid_from_us"))
   }
 
+  /** CDC changelog apply (MERGE semantics): a keyed snapshot (latest
+    * state per user before the cutoff) has a changelog (events at/after
+    * the cutoff) applied to it — upserts replace the row, deletes
+    * (`error` events as tombstones) remove it, last writer wins under
+    * the total (ts, event_id) order. The warehouse `MERGE INTO` /
+    * Debezium-apply operator the reference's keep-latest upsert
+    * (`psql_db_client.py:240-268`) is the degenerate no-delete case of.
+    * Both the snapshot compaction and the merge are one row_number
+    * window over the SAME user partitioning; at 100 TB the changelog
+    * side is far smaller than the snapshot, so the union shuffles
+    * changelog-bounded extra bytes only.
+    */
+  val q_cdc_apply = QueryDef(
+    "q_cdc_apply",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |snap AS (
+      |  SELECT user_id, op, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, event_id DESC) AS rn
+      |  FROM ev WHERE us < epoch_us(TIMESTAMP '2024-01-16 00:00:00')),
+      |base AS (
+      |  SELECT user_id, CAST(-1 AS BIGINT) AS us, CAST(0 AS BIGINT) AS event_id,
+      |    op, cents
+      |  FROM snap WHERE rn = 1 AND op = 'U'),
+      |chg AS (
+      |  SELECT user_id, us, event_id, op, cents FROM ev
+      |  WHERE us >= epoch_us(TIMESTAMP '2024-01-16 00:00:00')),
+      |merged AS (
+      |  SELECT user_id, us, op, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, event_id DESC) AS rn
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM chg))
+      |SELECT user_id, cents AS value_cents,
+      |  CASE WHEN us = -1 THEN 'base' ELSE 'chg' END AS src
+      |FROM merged WHERE rn = 1 AND op = 'U'
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val cutoffUs = java.time.Instant.parse("2024-01-16T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val base = ev.filter(col("us") < cutoffUs)
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), lit(-1L).as("us"), lit(0L).as("event_id"),
+        col("op"), col("cents"))
+    val chg = ev.filter(col("us") >= cutoffUs)
+      .select("user_id", "us", "event_id", "op", "cents")
+    base.unionByName(chg)
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("cents").as("value_cents"),
+        when(col("us") === -1L, lit("base")).otherwise(lit("chg")).as("src"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Exact rolling 7-day median of per-user daily spend — the robust
+    * rolling statistic W2's mean/std can't give. The frame is bounded
+    * (ROWS 6 PRECEDING), so the engine materializes the ≤7-element
+    * window as a sorted array and takes the middle — constant work per
+    * row, no per-frame re-sort at scale, and the daily pre-aggregation
+    * means the window input is days, not raw events. Cents are integer
+    * so the even-count midpoint average (x.5) is exact in double on
+    * both engines.
+    */
+  val q_rolling_median = QueryDef(
+    "q_rolling_median",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1, 2)
+      |SELECT user_id, day, cents,
+      |  median(cents) OVER (PARTITION BY user_id ORDER BY day
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+      |FROM daily ORDER BY user_id, day""".stripMargin) { (spark, dir) =>
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    daily
+      .withColumn("arr", sort_array(collect_list(col("cents")).over(w)))
+      .withColumn("n", size(col("arr")))
+      .select(col("user_id"), col("day"), col("cents"),
+        when(col("n") % 2 === 1,
+          element_at(col("arr"), expr("cast((n + 1) div 2 as int)")).cast("double"))
+          .otherwise((element_at(col("arr"), expr("cast(n div 2 as int)")) +
+            element_at(col("arr"), expr("cast(n div 2 + 1 as int)"))) / 2.0)
+          .as("med7"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  /** Per-stratum equi-depth binning (NTILE deciles over a TOTAL
+    * (cents, event_id) order, so tie placement is deterministic) — the
+    * feature-engineering discretizer. The window partitions by
+    * event_type, so strata sort independently in parallel; a GLOBAL
+    * equi-depth bin at 100 TB would instead compute decile boundaries
+    * with the mergeable quantile sketch (q_quantile_sketch) and assign
+    * by range lookup — this query is the per-group shape where the
+    * stratum fits a partition's sort.
+    */
+  val q_equidepth_bins = QueryDef(
+    "q_equidepth_bins",
+    """WITH t AS (
+      |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    ntile(10) OVER (PARTITION BY event_type
+      |      ORDER BY CAST(FLOOR(value * 100 + 0.5) AS BIGINT), event_id) AS bin
+      |  FROM events)
+      |SELECT event_type, bin, COUNT(*) AS n,
+      |  MIN(cents) AS lo, MAX(cents) AS hi
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cents"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("bin", ntile(10).over(w).cast("long"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+        max(col("cents")).as("hi"))
+      .orderBy(col("event_type"), col("bin"))
+  }
+
+  /** Exact integer EWMA (α = 1/2) over each user's last ≤32 events:
+    * s₁ = x₁, sᵢ = (sᵢ₋₁ + xᵢ)/2, published as the exact integer
+    * fraction sₙ·2ⁿ⁻¹ / 2ⁿ⁻¹ — the closed form Σ xᵢ·wᵢ with w₁ = 1,
+    * wᵢ = 2ⁱ⁻² needs no recursion, so the "inherently sequential"
+    * smoother becomes one window (tail selection + index) plus one
+    * order-free integer aggregate. The 32-event tail bounds the weights
+    * at 2³⁰ (no overflow: cents·2³⁰ ≪ 2⁶³) and is also the right
+    * semantics — weights below 2⁻³² are noise.
+    */
+  val q_ewma = QueryDef(
+    "q_ewma",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |recent AS (
+      |  SELECT user_id, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, event_id DESC) AS rdesc
+      |  FROM ev),
+      |win AS (
+      |  SELECT user_id, cents,
+      |    (COUNT(*) OVER (PARTITION BY user_id)) - rdesc + 1 AS i,
+      |    COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM recent WHERE rdesc <= 32),
+      |agg AS (
+      |  SELECT user_id, CAST(MAX(n) AS BIGINT) AS n_used,
+      |    CAST(SUM(CASE WHEN i = 1 THEN cents
+      |      ELSE cents * (CAST(1 AS BIGINT) << CAST(i - 2 AS INT)) END)
+      |      AS BIGINT) AS ewma_num
+      |  FROM win GROUP BY 1)
+      |SELECT user_id, n_used, ewma_num,
+      |  CAST(CAST(1 AS BIGINT) << CAST(n_used - 1 AS INT) AS BIGINT)
+      |    AS ewma_denom,
+      |  CAST(ewma_num // (CAST(1 AS BIGINT) << CAST(n_used - 1 AS INT))
+      |    AS BIGINT) AS ewma_cents
+      |FROM agg ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    val wUser = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("rdesc", row_number().over(wDesc))
+      .filter(col("rdesc") <= 32)
+      .withColumn("n", count(lit(1)).over(wUser))
+      .withColumn("i", col("n") - col("rdesc") + 1)
+      .groupBy(col("user_id"))
+      .agg(max(col("n")).as("n_used"),
+        sum(when(col("i") === 1, col("cents"))
+          .otherwise(col("cents") *
+            expr("shiftleft(cast(1 as bigint), cast(i - 2 as int))")))
+          .as("ewma_num"))
+      .select(col("user_id"), col("n_used"), col("ewma_num"),
+        expr("shiftleft(cast(1 as bigint), cast(n_used - 1 as int))")
+          .as("ewma_denom"),
+        expr("ewma_num div shiftleft(cast(1 as bigint), cast(n_used - 1 as int))")
+          .as("ewma_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Linear multi-touch attribution with a 7-day lookback: each
+    * purchase splits its cent value equally across the user's clicks in
+    * the preceding week (floor share, remainder to the LAST touch so
+    * per-purchase credit sums exactly to the purchase). The
+    * marketing-analytics operator last-touch as-of join (q_asof_join)
+    * generalizes to. The click×purchase pairing is a user-keyed
+    * equi-join with a time-band filter — never all-pairs; at 100 TB a
+    * hot user (bot traffic) would be capped or salted exactly like
+    * q_salted_agg.
+    */
+  val q_attribution = QueryDef(
+    "q_attribution",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |p AS (SELECT event_id AS pid, user_id, us AS pus, cents
+      |  FROM ev WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS cid, user_id, us AS cus
+      |  FROM ev WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT p.pid, p.user_id, p.cents, c.cid, c.cus,
+      |    COUNT(*) OVER (PARTITION BY p.pid) AS n_touch,
+      |    ROW_NUMBER() OVER (PARTITION BY p.pid
+      |      ORDER BY c.cus DESC, c.cid DESC) AS touch_rank
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.cus <= p.pus AND c.cus > p.pus - 604800000000),
+      |credits AS (
+      |  SELECT user_id, pid,
+      |    cents // n_touch
+      |      + CASE WHEN touch_rank = 1 THEN cents % n_touch ELSE 0 END AS credit
+      |  FROM pairs),
+      |agg AS (
+      |  SELECT user_id, COUNT(DISTINCT pid) AS n_attributed,
+      |    COUNT(*) AS n_credits, CAST(SUM(credit) AS BIGINT) AS attributed_cents
+      |  FROM credits GROUP BY 1),
+      |pp AS (SELECT user_id, COUNT(*) AS n_purchases FROM p GROUP BY 1)
+      |SELECT pp.user_id, pp.n_purchases,
+      |  COALESCE(agg.n_attributed, 0) AS n_attributed,
+      |  pp.n_purchases - COALESCE(agg.n_attributed, 0) AS n_orphans,
+      |  COALESCE(agg.n_credits, 0) AS n_credits,
+      |  COALESCE(agg.attributed_cents, 0) AS attributed_cents
+      |FROM pp LEFT JOIN agg ON pp.user_id = agg.user_id
+      |ORDER BY pp.user_id""".stripMargin) { (spark, dir) =>
+    val lookbackUs = 604800000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"),
+        col("us").as("pus"), col("cents"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cuser"),
+        col("us").as("cus"))
+    val wTouch = Window.partitionBy(col("pid"))
+    val wRank = Window.partitionBy(col("pid"))
+      .orderBy(col("cus").desc, col("cid").desc)
+    val credits = p.join(c, col("user_id") === col("cuser") &&
+        col("cus") <= col("pus") && col("cus") > col("pus") - lookbackUs)
+      .withColumn("n_touch", count(lit(1)).over(wTouch))
+      .withColumn("touch_rank", row_number().over(wRank))
+      .select(col("user_id"), col("pid"),
+        (expr("cents div n_touch") +
+          when(col("touch_rank") === 1, pmod(col("cents"), col("n_touch")))
+            .otherwise(lit(0L))).as("credit"))
+    val agg = credits.groupBy(col("user_id"))
+      .agg(countDistinct(col("pid")).as("n_attributed"),
+        count(lit(1)).as("n_credits"),
+        sum(col("credit")).as("attributed_cents"))
+    p.groupBy(col("user_id")).agg(count(lit(1)).as("n_purchases"))
+      .join(agg, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_purchases"),
+        coalesce(col("n_attributed"), lit(0L)).as("n_attributed"),
+        (col("n_purchases") - coalesce(col("n_attributed"), lit(0L)))
+          .as("n_orphans"),
+        coalesce(col("n_credits"), lit(0L)).as("n_credits"),
+        coalesce(col("attributed_cents"), lit(0L)).as("attributed_cents"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Full pairwise correlation matrix of the per-type daily count
+    * series (upper triangle): q_daily_corr's single pair generalized to
+    * every pair in ONE pass over the daily rollup — the series table is
+    * tiny after aggregation (days × types), so the self-join broadcasts
+    * and the quadratic blowup is over types, never rows.
+    */
+  val q_corr_matrix = QueryDef(
+    "q_corr_matrix",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    event_type, CAST(COUNT(*) AS DOUBLE) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  ROUND(CORR(a.n, b.n), 4) AS corr_n, COUNT(*) AS n_days
+      |FROM daily a JOIN daily b
+      |  ON a.day = b.day AND a.event_type < b.event_type
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    val daily = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val a = daily.select(col("day"), col("event_type").as("type_a"),
+      col("n").as("na"))
+    val b = daily.select(col("day").as("day_b"), col("event_type").as("type_b"),
+      col("n").as("nb"))
+    a.join(b, col("day") === col("day_b") && col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(round(corr(col("na"), col("nb")), 4).as("corr_n"),
+        count(lit(1)).as("n_days"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Daily audience growth decomposition: active users, first-touch
+    * new users, returning = active − new, and the cumulative
+    * distinct-user curve — computed EXACTLY without any distinct-over-
+    * window blowup, because "cumulative distinct users through day d"
+    * ≡ "users whose FIRST day ≤ d": one groupBy(user).min(day) +
+    * a running sum over the (bounded) day spine. The shape that keeps
+    * working at 100 TB where a COUNT(DISTINCT) OVER (ORDER BY day)
+    * window would re-scan history per day.
+    */
+  val q_user_growth = QueryDef(
+    "q_user_growth",
+    """WITH act AS (
+      |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+      |  FROM events GROUP BY 1),
+      |fst AS (
+      |  SELECT user_id,
+      |    MIN(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)) AS day
+      |  FROM events GROUP BY 1),
+      |nu AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      |  FROM fst GROUP BY 1)
+      |SELECT a.day, a.active_users,
+      |  COALESCE(n.new_users, 0) AS new_users,
+      |  a.active_users - COALESCE(n.new_users, 0) AS returning_users,
+      |  CAST(SUM(COALESCE(n.new_users, 0)) OVER (ORDER BY a.day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM act a LEFT JOIN nu n ON a.day = n.day
+      |ORDER BY a.day""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("day"))
+    val act = ev.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val nu = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    // day spine is calendar-bounded, so the global running sum is a
+    // single tiny-partition window by construction
+    val wCum = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    act.join(nu, Seq("day"), "left")
+      .select(col("day"), col("active_users"),
+        coalesce(col("new_users"), lit(0L)).as("new_users"),
+        (col("active_users") - coalesce(col("new_users"), lit(0L)))
+          .as("returning_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(wCum))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q_user_growth,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_tolerance, q_hll_distinct,
     q_rank_dist, q_robust_stats,
     q_funnel, q_retention, q_markov, q_topk_daily, q_scd2,
-    q_time_weighted, q_grouping_sets)
+    q_time_weighted, q_grouping_sets, q_cdc_apply, q_rolling_median,
+    q_equidepth_bins, q_ewma, q_attribution, q_corr_matrix)
 }

@@ -120,5 +120,57 @@ object GraphQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_pagerank, q_triangles)
+  private val LpaRounds = 4
+
+  /** Deterministic label-propagation communities
+    * ([[GraphOps.labelPropagation]]) on the near-dup graph: where
+    * connected components (q_dedup_groups) merge everything
+    * reachable, LPA's density criterion splits chained borderline
+    * matches into distinct boilerplate families. Synchronous rounds +
+    * smallest-label tie-break = a pure function of the graph, so the
+    * oracle replays all `LpaRounds` rounds as unrolled CTEs over the
+    * same certified MinHash pair CTEs — exact integer equality, like
+    * q_pagerank.
+    */
+  val q_communities = QueryDef(
+    "q_communities", {
+      val iters = (0 until LpaRounds).map { t =>
+        s"""cnt$t AS MATERIALIZED (
+           |  SELECT e.dst AS id, l.lbl, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM lab$t l JOIN edges e ON e.src = l.id GROUP BY 1, 2),
+           |best$t AS MATERIALIZED (
+           |  SELECT id, lbl AS newlbl FROM (
+           |    SELECT id, lbl, ROW_NUMBER() OVER (PARTITION BY id
+           |      ORDER BY cnt DESC, lbl) AS rn FROM cnt$t) t WHERE rn = 1),
+           |lab${t + 1} AS MATERIALIZED (
+           |  SELECT n.id, COALESCE(b.newlbl, n.lbl) AS lbl
+           |  FROM lab$t n LEFT JOIN best$t b ON b.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupOps.minhashPairsSqlCtes(0.8)},
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+         |lab0 AS MATERIALIZED (SELECT id, id AS lbl FROM nodes),
+         |$iters
+         |SELECT l.id AS doc_id, l.lbl AS community,
+         |  CAST(COUNT(*) OVER (PARTITION BY l.lbl) AS BIGINT)
+         |    AS community_size
+         |FROM lab$LpaRounds l ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.ops.Reuse.materialized(
+      DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.8)
+        .select(col("doc_a"), col("doc_b")))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lbl"))
+    GraphOps.labelPropagation(docs.select(col("doc_id").as("id")), edges, LpaRounds)
+      .withColumn("community_size", count(lit(1)).over(w))
+      .select(col("id").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_pagerank, q_triangles, q_communities)
 }

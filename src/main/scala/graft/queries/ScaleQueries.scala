@@ -283,7 +283,128 @@ object ScaleQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Order-free cross-engine table fingerprints — the reconciliation
+    * primitive a 100 TB migration runs on BOTH systems to prove a copy
+    * is byte-faithful without moving data: per table, row count + XOR
+    * and modular-sum of per-row 60-bit md5 fingerprints over a
+    * canonical `|`-joined string of stable fields (integers, µs
+    * epochs, cent-quantized amounts — never raw float formatting,
+    * which differs across engines). XOR catches any single-row change
+    * but cancels on duplicated rows; the mod-sum (1e9+7 residues,
+    * overflow-safe to ~9e9 rows per partition-sum) catches
+    * duplication — together they pin the multiset. Both aggregates are
+    * commutative → map-side partials, one 3-row result regardless of
+    * input size, no sort anywhere.
+    */
+  val q_table_checksum = QueryDef(
+    "q_table_checksum", {
+      val evRow = "concat_ws('|', CAST(event_id AS VARCHAR), " +
+        "CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), " +
+        "CAST(user_id AS VARCHAR), event_type, " +
+        "CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR))"
+      val docRow = "concat_ws('|', CAST(doc_id AS VARCHAR), md5(text), " +
+        "lang, source, CAST(n_chars AS VARCHAR))"
+      val ordRow = "concat_ws('|', CAST(o_orderkey AS VARCHAR), " +
+        "CAST(o_custkey AS VARCHAR), o_orderstatus, " +
+        "CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), " +
+        "CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS VARCHAR), " +
+        "o_orderpriority)"
+      def fp(row: String): String =
+        s"('0x' || substr(md5($row), 1, 15))::BIGINT"
+      def one(table: String, row: String): String =
+        s"""SELECT '$table' AS table_name, COUNT(*) AS n_rows,
+           |  CAST(bit_xor(${fp(row)}) AS BIGINT) AS xor_fp,
+           |  CAST(SUM(${fp(row)} % 1000000007) AS BIGINT) AS modsum_fp
+           |FROM $table""".stripMargin
+      one("events", evRow) + "\nUNION ALL\n" + one("documents", docRow) +
+        "\nUNION ALL\n" + one("orders", ordRow) +
+        "\nORDER BY table_name"
+    }) { (spark, dir) =>
+    def fp(row: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      conv(substring(md5(row), 1, 15), 16, 10).cast("long")
+    def one(name: String, df: org.apache.spark.sql.DataFrame,
+        row: org.apache.spark.sql.Column) = {
+      val h = fp(row)
+      df.select(h.as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("xor_fp"),
+          sum(pmod(col("h"), lit(1000000007L))).as("modsum_fp"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("xor_fp"),
+          col("modsum_fp"))
+    }
+    val ev = one("events", Tables.events(spark, dir),
+      concat_ws("|", col("event_id").cast("string"),
+        unix_micros(col("ts")).cast("string"), col("user_id").cast("string"),
+        col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").cast("string")))
+    val docs = one("documents", Tables.documents(spark, dir),
+      concat_ws("|", col("doc_id").cast("string"), md5(col("text")),
+        col("lang"), col("source"), col("n_chars").cast("string")))
+    val ords = one("orders",
+      Tables.normalizeTs(spark, Tables.orders(spark, dir), "o_orderdate"),
+      concat_ws("|", col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").cast("string"),
+        unix_micros(col("o_orderdate")).cast("string"),
+        col("o_orderpriority")))
+    ev.unionByName(docs).unionByName(ords).orderBy(col("table_name"))
+  }
+
+  /** GLOBAL equi-depth deciles without a global sort — the companion
+    * to q_equidepth_bins' per-stratum NTILE. Boundary k = the smallest
+    * value whose cumulative count covers k/10 of the rows (cum·10 ≥
+    * k·N in exact integers), read off a CDF over DISTINCT values —
+    * the window is value-DOMAIN-bounded (cents ∈ [1, 49002]), not
+    * row-bounded, so it stays one small partition at any row count.
+    * Rows then bin by broadcast range lookup (bin = 1 + #boundaries
+    * below). Ties share a bin (value-defined, unlike NTILE's
+    * tie-splitting): counts per bin are approximately-equal up to tie
+    * mass, which is the honest semantics of value boundaries — and
+    * exactly what the mergeable quantile sketch would hand back at
+    * 100 TB with an unbounded value domain.
+    */
+  val q_global_bins = QueryDef(
+    "q_global_bins",
+    """WITH t AS (
+      |  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM t),
+      |vals AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      |cdf AS (SELECT cents, CAST(SUM(c) OVER (ORDER BY cents
+      |  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM vals),
+      |ks AS (SELECT k FROM (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) t(k)),
+      |bounds AS (
+      |  SELECT k, MIN(cents) AS b
+      |  FROM ks CROSS JOIN n JOIN cdf ON cdf.cum * 10 >= k * n.ntot
+      |  GROUP BY k),
+      |bi AS (
+      |  SELECT v.cents, v.c,
+      |    CAST(1 + SUM(CASE WHEN bo.b < v.cents THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS bin
+      |  FROM vals v CROSS JOIN bounds bo GROUP BY v.cents, v.c)
+      |SELECT bin, CAST(SUM(c) AS BIGINT) AS n, MIN(cents) AS lo,
+      |  MAX(cents) AS hi
+      |FROM bi GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    val t = Tables.events(spark, dir)
+      .select(floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val vals = t.groupBy(col("cents")).agg(count(lit(1)).as("c"))
+    val wCdf = org.apache.spark.sql.expressions.Window.orderBy(col("cents"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cdf = vals.withColumn("cum", sum(col("c")).over(wCdf))
+    val nDf = t.agg(count(lit(1)).as("ntot"))
+    val ks = spark.range(1, 10).select(col("id").as("k"))
+    val bounds = ks.crossJoin(broadcast(nDf))
+      .join(cdf, col("cum") * 10 >= col("k") * col("ntot"))
+      .groupBy(col("k")).agg(min(col("cents")).as("b"))
+    vals.crossJoin(broadcast(bounds))
+      .groupBy(col("cents"), col("c"))
+      .agg((lit(1) + sum(when(col("b") < col("cents"), 1).otherwise(0)))
+        .cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(sum(col("c")).as("n"), min(col("cents")).as("lo"),
+        max(col("cents")).as("hi"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_bloom_join, q_quantile_sketch, q_zorder_tiles, q_table_profile,
-    q_table_profile_sketch, q_interval_join)
+    q_table_profile_sketch, q_interval_join, q_table_checksum, q_global_bins)
 }

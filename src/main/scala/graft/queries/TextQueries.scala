@@ -507,9 +507,66 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Per-source vocabulary drift: total-variation distance between
+    * each source's word distribution and the rest of the corpus — the
+    * corpus-monitoring statistic that flags a crawl source whose
+    * language shifted (spam influx, template change) WITHOUT any
+    * libm: probabilities are micro-quantized by integer floor
+    * division (exactly reproducible on any engine, unlike a KL
+    * divergence's logs), and TV = Σ|p−q|/2 over the shared vocab.
+    * The source×vocab expansion is vocab-bounded, not row-bounded —
+    * word counts aggregate first, so document volume never reaches
+    * the quadratic stage.
+    */
+  val q_vocab_drift = QueryDef(
+    "q_vocab_drift", {
+      val ws = TextOps.wordsSql("text")
+      s"""WITH words AS (
+         |  SELECT source, unnest($ws) AS w FROM documents),
+         |sc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM words GROUP BY 1, 2),
+         |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM sc GROUP BY 1),
+         |gt AS (SELECT w, CAST(SUM(c) AS BIGINT) AS g FROM sc GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS nt FROM sc),
+         |pairs AS (
+         |  SELECT st.source, gt.w, COALESCE(sc.c, 0) AS c,
+         |    (COALESCE(sc.c, 0) * 1000000) // st.ns AS p_micro,
+         |    CASE WHEN t.nt - st.ns = 0 THEN 0
+         |      ELSE ((gt.g - COALESCE(sc.c, 0)) * 1000000) // (t.nt - st.ns)
+         |      END AS q_micro
+         |  FROM st CROSS JOIN gt CROSS JOIN tot t
+         |  LEFT JOIN sc ON sc.source = st.source AND sc.w = gt.w)
+         |SELECT source,
+         |  CAST(SUM(ABS(p_micro - q_micro)) // 2 AS BIGINT) AS tv_micro,
+         |  CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_src_terms
+         |FROM pairs GROUP BY 1 ORDER BY source""".stripMargin
+    }) { (spark, dir) =>
+    val sc = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextOps.words(col("text"))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val scM = graft.ops.Reuse.materialized(sc)
+    val st = scM.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val gt = scM.groupBy(col("w")).agg(sum(col("c")).as("g"))
+    val tot = scM.agg(sum(col("c")).as("nt"))
+    val pairs = broadcast(st).crossJoin(broadcast(tot))
+      .crossJoin(gt)
+      .join(scM, Seq("source", "w"), "left")
+      .select(col("source"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        expr("(coalesce(c, 0L) * 1000000) div ns").as("p_micro"),
+        when(col("nt") - col("ns") === 0, lit(0L))
+          .otherwise(expr("((g - coalesce(c, 0L)) * 1000000) div (nt - ns)"))
+          .as("q_micro"))
+    pairs.groupBy(col("source"))
+      .agg(expr("sum(abs(p_micro - q_micro)) div 2").as("tv_micro"),
+        sum(when(col("c") > 0, 1L).otherwise(0L)).as("n_src_terms"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_top_words, q_topk_words, q_text_quality, q_token_stats, q_lang_stats,
     q_doc_hashes, q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords,
     q_quality_model, q_repetition, q_cms_topwords, q_collocations,
-    q_bpe_merges, q_bpe_fertility)
+    q_bpe_merges, q_bpe_fertility, q_vocab_drift)
 }

@@ -370,7 +370,37 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Exact maximum-inner-product top-k (MIPS): the retrieval metric
+    * for un-normalized embeddings, where the highest dot product is
+    * NOT the nearest cosine neighbor. Query batch broadcast, corpus
+    * never shuffles; per-query selection is the bounded-heap TopKRows
+    * aggregate (no window sort of the scored stream). The
+    * MIPS→cosine augmentation that plugs this into the hyperplane-LSH
+    * index at 100 TB is [[graft.ops.SimilarityOps.mipsAugment]],
+    * order-equivalence asserted in EmbeddingOpsSpec.
+    */
+  val q_ann_mips = QueryDef(
+    "q_ann_mips",
+    s"""WITH n AS (SELECT vec_id, $vd AS vd FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.vd, c.vd) AS ip
+       |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10)
+       |SELECT query_id, rank, neighbor_id, ROUND(ip, 6) AS inner_product
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY ip DESC, neighbor_id) AS rank
+       |  FROM scored) t WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.mipsTopK(
+      emb.filter(col("vec_id") < 10),
+      emb.filter(col("vec_id") >= 10),
+      "vec_id", "embedding", 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
-    q_ann_pq, q_embed_int8)
+    q_ann_pq, q_embed_int8, q_ann_mips)
 }

@@ -147,4 +147,33 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       .collect().head.getSeq[Float](0)
     assert(z.length === EmbeddingOps.Dim && z.forall(_ == 0.0f))
   }
+
+  test("MIPS augmentation: augmented-cosine order equals inner-product order") {
+    // the reduction that lets the hyperplane-LSH cosine index serve
+    // max-inner-product queries at scale (SimilarityOps.mipsAugment)
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter(col("vec_id") < 10)
+    val corpus = emb.filter(col("vec_id") >= 10)
+    // direct MIPS ranking
+    val direct = graft.ops.SimilarityOps
+      .mipsTopK(queries, corpus, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // augmented-cosine ranking: M = max corpus norm
+    graft.functions.GraftFunctions.register(spark)
+    val maxNorm = corpus
+      .select(sqrt(expr(
+        "dot_product(cast(embedding as array<double>), cast(embedding as array<double>))"))
+        .as("n"))
+      .agg(max(col("n"))).collect().head.getDouble(0)
+    val qa = graft.ops.SimilarityOps.mipsAugment(queries, "embedding", maxNorm, isQuery = true)
+    val ca = graft.ops.SimilarityOps.mipsAugment(corpus, "embedding", maxNorm, isQuery = false)
+    val viaCos = graft.ops.SimilarityOps
+      .bruteForceTopK(qa, ca, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+    assert(direct === viaCos)
+  }
 }

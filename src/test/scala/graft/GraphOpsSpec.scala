@@ -105,4 +105,24 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(brute > 0)
     assert(perNodeSum === 3L * brute)
   }
+
+  test("label propagation splits bridged triangles that CC would merge") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} joined by the single bridge
+    // 3–4: one connected component, but two LPA density communities
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val nodes = (1L to 6L).toDF("id")
+    val got = GraphOps.labelPropagation(nodes, edges, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // hand-replayed synchronous rounds with min-label tie-break
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // isolated node keeps its own label
+    val iso = GraphOps.labelPropagation(
+      (1L to 3L).toDF("id"), Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iso(3L) === 3L)
+  }
 }
