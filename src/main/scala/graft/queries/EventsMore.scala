@@ -1131,8 +1131,152 @@ object EventsMore {
       .orderBy(col("day"))
   }
 
+  /** Keyed-state snapshot diff with change classification — the
+    * reconciliation operator for comparing a warehouse state before
+    * and after a load window: per user, the CDC state (last op wins,
+    * `error` = tombstone, same contract as q_cdc_apply) at the cutoff
+    * vs at end-of-log, FULL OUTER joined and classified
+    * added/removed/changed/unchanged. Two window compactions over the
+    * same user partitioning + one key-aligned join; at 100 TB both
+    * snapshots partition by the key, so the diff is co-located.
+    */
+  val q_snapshot_diff = QueryDef(
+    "q_snapshot_diff",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |s1 AS (
+      |  SELECT user_id, cents FROM (
+      |    SELECT user_id, op, cents, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM ev
+      |    WHERE us < epoch_us(TIMESTAMP '2024-01-16 00:00:00')) t
+      |  WHERE rn = 1 AND op = 'U'),
+      |s2 AS (
+      |  SELECT user_id, cents FROM (
+      |    SELECT user_id, op, cents, ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, event_id DESC) AS rn
+      |    FROM ev) t
+      |  WHERE rn = 1 AND op = 'U'),
+      |d AS (
+      |  SELECT COALESCE(s1.user_id, s2.user_id) AS user_id,
+      |    CASE WHEN s1.user_id IS NULL THEN 'added'
+      |         WHEN s2.user_id IS NULL THEN 'removed'
+      |         WHEN s1.cents <> s2.cents THEN 'changed'
+      |         ELSE 'unchanged' END AS class
+      |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id)
+      |SELECT class, CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(SUM(user_id) AS BIGINT) AS id_checksum
+      |FROM d GROUP BY 1 ORDER BY class""".stripMargin) { (spark, dir) =>
+    val cutoffUs = java.time.Instant.parse("2024-01-16T00:00:00Z")
+      .getEpochSecond * 1000000L
+    val ev = Tables.events(spark, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val wDesc = Window.partitionBy(col("user_id"))
+      .orderBy(col("us").desc, col("event_id").desc)
+    def state(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("rn", row_number().over(wDesc))
+      .filter(col("rn") === 1 && col("op") === "U")
+      .select(col("user_id"), col("cents"))
+    val s1 = state(ev.filter(col("us") < cutoffUs))
+      .select(col("user_id").as("u1"), col("cents").as("c1"))
+    val s2 = state(ev)
+      .select(col("user_id").as("u2"), col("cents").as("c2"))
+    s1.join(s2, col("u1") === col("u2"), "full_outer")
+      .select(coalesce(col("u1"), col("u2")).as("user_id"),
+        when(col("u1").isNull, lit("added"))
+          .when(col("u2").isNull, lit("removed"))
+          .when(col("c1") =!= col("c2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("class"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("id_checksum"))
+      .orderBy(col("class"))
+  }
+
+  /** Week-over-week change in basis points: each (type, day) count
+    * against the same weekday last week (LAG 7 within the type's day
+    * series — the seasonality-respecting comparison), integer
+    * floor-division bp so both engines agree exactly, NULL for the
+    * first week (no baseline).
+    */
+  val q_wow_change = QueryDef(
+    "q_wow_change",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, day, n,
+      |    LAG(n, 7) OVER (PARTITION BY event_type ORDER BY day) AS n7
+      |  FROM daily)
+      |SELECT event_type, day, n, n7,
+      |  CASE WHEN n7 > 0 THEN ((n - n7) * 10000) // n7 END AS wow_bp
+      |FROM l ORDER BY event_type, day""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n7", lag(col("n"), 7).over(w))
+      .select(col("event_type"), col("day"), col("n"), col("n7"),
+        when(col("n7") > 0, expr("((n - n7) * 10000) div n7")).as("wow_bp"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Burst detection: maximal runs of CONSECUTIVE hours where a
+    * type's hourly count exceeds 2× its own average over present
+    * hours (self-calibrating integer threshold — scale-free across
+    * SFs). Islands-and-gaps on the hour grid: group key =
+    * hour_index − row_number, so a sub-threshold or silent hour
+    * breaks the run naturally. The alerting primitive behind the
+    * reference's outbreak spike detection (`disease_outbreak_
+    * forecaster.py` risk ladder), without the forecast model.
+    */
+  val q_bursts = QueryDef(
+    "q_bursts",
+    """WITH hourly AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hr,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |thr AS (
+      |  SELECT event_type, (2 * CAST(SUM(n) AS BIGINT)) // COUNT(*) AS t
+      |  FROM hourly GROUP BY 1),
+      |q AS (
+      |  SELECT h.event_type, h.hr, h.n,
+      |    epoch_us(h.hr) // 3600000000 - ROW_NUMBER() OVER (
+      |      PARTITION BY h.event_type ORDER BY h.hr) AS grp
+      |  FROM hourly h JOIN thr ON h.event_type = thr.event_type
+      |    AND h.n > thr.t)
+      |SELECT event_type, MIN(hr) AS burst_start, MAX(hr) AS burst_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |  CAST(SUM(n) AS BIGINT) AS total_events
+      |FROM q GROUP BY event_type, grp
+      |ORDER BY event_type, burst_start""".stripMargin) { (spark, dir) =>
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val thr = hourly.groupBy(col("event_type"))
+      .agg(expr("(2 * sum(n)) div count(*)").as("t"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    hourly.join(broadcast(thr), Seq("event_type"))
+      .filter(col("n") > col("t"))
+      .withColumn("grp",
+        expr("unix_micros(hr) div 3600000000") - row_number().over(w))
+      .groupBy(col("event_type"), col("grp"))
+      .agg(min(col("hr")).as("burst_start"), max(col("hr")).as("burst_end"),
+        count(lit(1)).as("n_hours"), sum(col("n")).as("total_events"))
+      .drop("grp")
+      .orderBy(col("event_type"), col("burst_start"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_user_growth,
+    q_user_growth, q_snapshot_diff, q_wow_change, q_bursts,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_tolerance, q_hll_distinct,

@@ -542,10 +542,76 @@ object StreamQueries {
       .orderBy(col("event_type"), col("rank"))
   }
 
+  /** STREAMING CDC apply: the event changelog arrives in micro-batches
+    * and a keyed parquet state (user → last op) is MERGE-maintained in
+    * foreachBatch — upserts replace, `error` tombstones shadow, and
+    * the winner per key is the (us, event_id)-argmax over state ∪
+    * batch, which is ASSOCIATIVE — so the final state is independent
+    * of where the stream cuts batches. That batch-cut invariance is
+    * exactly what the batch oracle (last op per user over the whole
+    * log, tombstones filtered at readout) certifies. State versions
+    * by batch id (read vN-1, write vN) — never read-and-overwrite the
+    * same files; at 100 TB this is the compacted-upsert table shape
+    * (Hudi/Delta MERGE) with the state bucketed by key.
+    */
+  val q_stream_cdc = QueryDef(
+    "q_stream_cdc",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+      |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |last AS (
+      |  SELECT user_id, us, op, cents, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn
+      |  FROM ev)
+      |SELECT user_id, cents AS value_cents, us AS last_us
+      |FROM last WHERE rn = 1 AND op = 'U'
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val work = StreamingOps.tempSinkDir("graft_stream_cdc_")
+    val stateCols = Seq("user_id", "us", "event_id", "op", "cents")
+    val stream = StreamingOps.eventsStream(spark, dir).select(
+      col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+      when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    // versioned state: read v(n-1), write v(n); tracked on the driver
+    var stateVersion = -1L
+    StreamingOps.withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val incoming =
+            if (stateVersion < 0) batch
+            else batch.unionByName(
+              spark.read.parquet(s"$work/state_$stateVersion"))
+          // (us, event_id)-argmax per key: associative, so state ∪
+          // batch compaction equals whole-log compaction
+          incoming
+            .groupBy(col("user_id"))
+            .agg(max_by(struct(stateCols.map(col): _*),
+              struct(col("us"), col("event_id"))).as("w"))
+            .select(col("w.*"))
+            .write.mode("overwrite").parquet(s"$work/state_$id")
+          stateVersion = id
+          ()
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    spark.read.parquet(s"$work/state_$stateVersion")
+      .filter(col("op") === "U")
+      .select(col("user_id"), col("cents").as("value_cents"),
+        col("us").as("last_us"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
     q_stream_hll, q_stream_cms, q_stream_incremental_dedup, q_stream_hopping,
-    q_stream_topk)
+    q_stream_topk, q_stream_cdc)
 }

@@ -549,8 +549,10 @@ object TextQueries {
     val st = scM.groupBy(col("source")).agg(sum(col("c")).as("ns"))
     val gt = scM.groupBy(col("w")).agg(sum(col("c")).as("g"))
     val tot = scM.agg(sum(col("c")).as("nt"))
-    val pairs = broadcast(st).crossJoin(broadcast(tot))
-      .crossJoin(gt)
+    // vocab table streams; the 1-row total and the per-source totals
+    // broadcast — each crossJoin is a BroadcastNestedLoopJoin, never a
+    // CartesianProduct (PlanSpec-swept)
+    val pairs = gt.crossJoin(broadcast(tot)).crossJoin(broadcast(st))
       .join(scM, Seq("source", "w"), "left")
       .select(col("source"),
         coalesce(col("c"), lit(0L)).as("c"),
