@@ -1275,8 +1275,54 @@ object EventsMore {
       .orderBy(col("event_type"), col("burst_start"))
   }
 
+  /** Theil–Sen robust trend slope per event type: the MEDIAN of all
+    * pairwise day-to-day slopes of the daily count series — the
+    * outlier-proof trend estimator (one spike day corrupts an OLS
+    * slope; it's just one vote here), the statistic behind
+    * "is this disease's volume actually trending up" in the
+    * reference's surveillance framing. Slopes micro-quantized by
+    * integer floor division (cross-engine exact), median = exact
+    * midpoint (.5 halves exact in double). The pair stage is
+    * O(days²) per type — CALENDAR-bounded, never row-bounded, because
+    * events pre-aggregate to the day grain first.
+    */
+  val q_trend_slope = QueryDef(
+    "q_trend_slope",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |d AS (SELECT event_type,
+      |  CAST(day - DATE '1970-01-01' AS BIGINT) AS x, n FROM daily),
+      |p AS (
+      |  SELECT a.event_type,
+      |    ((b.n - a.n) * 1000000) // (b.x - a.x) AS slope
+      |  FROM d a JOIN d b ON a.event_type = b.event_type AND b.x > a.x)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  median(slope) AS sen_slope_micro
+      |FROM p GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("1970-01-01")).cast("long").as("x"),
+        col("n"))
+    val a = d.select(col("event_type"), col("x").as("xa"), col("n").as("na"))
+    val b = d.select(col("event_type").as("tb"), col("x").as("xb"),
+      col("n").as("nb"))
+    a.join(b, col("event_type") === col("tb") && col("xb") > col("xa"))
+      .select(col("event_type"),
+        expr("((nb - na) * 1000000) div (xb - xa)").as("slope"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile(slope, 0.5)").as("sen_slope_micro"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_user_growth, q_snapshot_diff, q_wow_change, q_bursts,
+    q_user_growth, q_snapshot_diff, q_wow_change, q_bursts, q_trend_slope,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_tolerance, q_hll_distinct,

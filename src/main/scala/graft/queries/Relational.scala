@@ -507,6 +507,46 @@ object Relational {
       .orderBy(col("dirty_id"))
   }
 
+  /** Share-of-parent hierarchical ratio: each nation's order volume as
+    * basis points of its region's total — the ratio-to-parent rollup
+    * every drill-down dashboard needs, computed WINDOWLESS: child
+    * aggregate, parent re-aggregate (tiny), broadcast join-back, exact
+    * integer bp. At 100 TB only the first aggregate sees the fact
+    * table; the parent table is |nations| rows.
+    */
+  val q_share_of_region = QueryDef(
+    "q_share_of_region",
+    """WITH vol AS (
+      |  SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+      |    CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT regionkey, CAST(SUM(cents) AS BIGINT) AS rcents
+      |  FROM vol GROUP BY 1)
+      |SELECT rg.r_name AS region, v.nation, v.cents,
+      |  (v.cents * 10000) // r.rcents AS share_bp
+      |FROM vol v JOIN r ON v.regionkey = r.regionkey
+      |JOIN region rg ON rg.r_regionkey = v.regionkey
+      |ORDER BY region, nation""".stripMargin) { (spark, dir) =>
+    val vol = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("regionkey"), col("n_name").as("nation"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .as("cents"))
+    val r = vol.groupBy(col("regionkey")).agg(sum(col("cents")).as("rcents"))
+    vol.join(broadcast(r), Seq("regionkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("r_regionkey") === col("regionkey"))
+      .select(col("r_name").as("region"), col("nation"), col("cents"),
+        expr("(cents * 10000) div rcents").as("share_bp"))
+      .orderBy(col("region"), col("nation"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_pricing_summary, q_top_parts, q_priority_counts, q_customer_by_region,
     q_revenue_by_priority, q_customers_no_orders, q_parts_shipped_1999,
@@ -514,5 +554,5 @@ object Relational {
     q_distinct_parts_per_status, q_key_accounts_union, q_nations_customers_only,
     q_multiset_ops,
     q_shipping_priority, q_region_volume, q_bbox_lookup, q_brand_prefix_join,
-    q_fuzzy_match)
+    q_fuzzy_match, q_share_of_region)
 }

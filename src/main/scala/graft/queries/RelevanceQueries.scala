@@ -442,8 +442,60 @@ object RelevanceQueries {
       .limit(10)
   }
 
+  /** Entity co-mention graph with independence lift: for every pair of
+    * gazetteer entities, the number of documents mentioning BOTH and
+    * the micro-quantized lift n_ab·N / (n_a·n_b) — the document-level
+    * co-occurrence companion to q_collocations' adjacency PMI (the
+    * reference's location co-mention question, `location_consumer.py`
+    * downstream joins, answered corpus-wide). The pair fan-out is per
+    * doc over its DISTINCT mentions — gazetteer-vocabulary-bounded,
+    * never text-length-bounded; marginals broadcast.
+    */
+  val q_entity_pairs = QueryDef(
+    "q_entity_pairs", {
+      val arr = Gazetteer.map(g => s"'$g'").mkString("[", ", ", "]")
+      s"""WITH m AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_filter(ws, w -> list_contains($arr, w)))) AS e
+         |  FROM (SELECT doc_id, ${graft.ops.TextOps.wordsSql("text")} AS ws
+         |        FROM documents)),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |ec AS (SELECT e, CAST(COUNT(*) AS BIGINT) AS c FROM m GROUP BY 1),
+         |p AS (
+         |  SELECT a.e AS ent_a, b.e AS ent_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.e < b.e
+         |  GROUP BY 1, 2)
+         |SELECT p.ent_a, p.ent_b, p.n_docs,
+         |  (p.n_docs * nd.n * 1000000) // (ca.c * cb.c) AS lift_micro
+         |FROM p CROSS JOIN nd
+         |JOIN ec ca ON ca.e = p.ent_a JOIN ec cb ON cb.e = p.ent_b
+         |ORDER BY ent_a, ent_b""".stripMargin
+    }) { (spark, dir) =>
+    val vocab = array(Gazetteer.map(lit): _*)
+    val found = filter(graft.ops.TextOps.words(col("text")),
+      w => array_contains(vocab, w))
+    val m = graft.ops.Reuse.materialized(Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(found)).as("e")))
+    val nd = Tables.documents(spark, dir).agg(count(lit(1)).as("n"))
+    val ec = m.groupBy(col("e")).agg(count(lit(1)).as("c"))
+    val a = m.select(col("doc_id"), col("e").as("ent_a"))
+    val b = m.select(col("doc_id").as("db"), col("e").as("ent_b"))
+    a.join(b, col("doc_id") === col("db") && col("ent_a") < col("ent_b"))
+      .groupBy(col("ent_a"), col("ent_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(nd))
+      .join(broadcast(ec.select(col("e").as("ent_a"), col("c").as("ca"))),
+        Seq("ent_a"))
+      .join(broadcast(ec.select(col("e").as("ent_b"), col("c").as("cb"))),
+        Seq("ent_b"))
+      .select(col("ent_a"), col("ent_b"), col("n_docs"),
+        expr("(n_docs * n * 1000000) div (ca * cb)").as("lift_micro"))
+      .orderBy(col("ent_a"), col("ent_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_relevance, q_gazetteer, q_distinct_sets, q_label_coherence,
     q_label_coherence_capped, q_impute_coords, q_hashed_embedding,
-    q_semantic_search, q_semantic_search_multi, q_bm25, q_hybrid_search)
+    q_semantic_search, q_semantic_search_multi, q_bm25, q_hybrid_search,
+    q_entity_pairs)
 }

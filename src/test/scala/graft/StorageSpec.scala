@@ -54,4 +54,27 @@ class StorageSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS g_lineitem_b")
     }
   }
+
+  test("ORC round-trips losslessly and pushes filters into the scan") {
+    // second columnar format (built-in ORC reader/writer): a warehouse
+    // swap-in for parquet with the same pushdown posture
+    val docs = Tables.documents(spark, sf)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_orc_").toString + "/docs_orc"
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // lossless round-trip: same schema, same multiset of rows
+    assert(back.schema === docs.schema)
+    val fp = (df: org.apache.spark.sql.DataFrame) => df
+      .agg(count(lit(1)), sum(col("doc_id")), sum(length(col("text"))))
+      .collect().head.toSeq
+    assert(fp(back) === fp(docs))
+    // predicate + projection reach the ORC scan
+    val q = back.filter(col("n_chars") > 500).select("doc_id", "n_chars")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,500)]"),
+      scan.take(600))
+    assert(q.count() ===
+      docs.filter(col("n_chars") > 500).count())
+  }
 }
