@@ -54,5 +54,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5_poly8"),
       new ExpressionInfo(classOf[Md5Poly8].getName, "md5_poly8"),
       exprs => Md5Poly8(exprs.head)))
+    // whole-operator extension (§7.3 ladder step (c)): the native
+    // as-of join planner strategy
+    e.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
   }
 }

@@ -64,6 +64,41 @@ object JoinOps {
           rightValCols.map(c => col(s"$cRv.$c").as(c)): _*)
   }
 
+  /** [[asofJoin]] through the NATIVE whole-operator path
+    * ([[graft.plans.AsofJoinNode]] → [[graft.plans.AsofJoinExec]]):
+    * same semantics and same certified oracle, but the physical plan
+    * is two co-partitioned exchanges + per-partition sorts feeding a
+    * single streaming merge — no union blow-up, no window pass, no
+    * right-row filter. The strategy installs idempotently on the
+    * session (cluster deploys can use
+    * `spark.sql.extensions=graft.GraftExtensions` instead).
+    *
+    * Key and ts columns must be LongType; the right side is re-aliased
+    * internally so a self-join (both sides derived from one table —
+    * the common case) never presents duplicate attribute ids to the
+    * custom node.
+    */
+  def asofJoinNative(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, leftTsCol: String, rightTsCol: String,
+      rightValCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.{GraftPlanBridge => B}
+    val spark = left.sparkSession
+    B.installStrategy(spark, graft.plans.AsofJoinStrategy)
+    val r = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
+    val lPlan = B.analyzed(left)
+    val rPlan = B.analyzed(r)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"asofJoinNative: no column `$name`"))
+    B.ofRows(spark, graft.plans.AsofJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, keyCol), attr(rPlan, keyCol),
+      attr(lPlan, leftTsCol), attr(rPlan, rightTsCol),
+      rightValCols.map(attr(rPlan, _))))
+  }
+
   /** Interval join: every (left, right) pair with
     * `start <= point < end` (half-open), when NEITHER side is small
     * enough to broadcast — the case the J2 broadcast range join can't

@@ -1,0 +1,143 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Native whole-operator as-of join — SURVEY §7.3 ladder step (c):
+  * a custom logical node, planner strategy, and physical exec,
+  * registered per-session (`GraftPlanBridge.installStrategy`) or via
+  * `spark.sql.extensions=graft.GraftExtensions` on a cluster deploy.
+  *
+  * Semantics (identical to [[graft.ops.JoinOps.asofJoin]], certified
+  * against DuckDB's native ASOF LEFT JOIN): every left row picks the
+  * LATEST right row with `right.ts <= left.ts` (inclusive) within the
+  * same key; left rows with no predecessor emit null right values.
+  *
+  * Why a physical operator beats the union+window composition: the
+  * exec declares `requiredChildDistribution` (hash on key, both
+  * sides) and `requiredChildOrdering` ((key, ts) ascending), so
+  * Catalyst plans exactly one co-partitioned exchange per side plus
+  * per-partition sorts — then the join itself is a single streaming
+  * two-pointer merge holding ONE buffered right row: no union row
+  * blow-up, no null-tagged columns, no window machinery, no second
+  * pass to drop the right-side rows. Memory per partition is O(1)
+  * beyond the sort — the operator never materializes a key group.
+  */
+case class AsofJoinNode(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute,
+    rightVals: Seq[Attribute]) extends BinaryNode {
+  require(leftKey.dataType == LongType && rightKey.dataType == LongType &&
+    leftTs.dataType == LongType && rightTs.dataType == LongType,
+    "asof-join native operator: key and ts columns must be LongType " +
+      "(epoch-micros / integer keys — the engine's event contract)")
+  override def output: Seq[Attribute] =
+    left.output ++ rightVals.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoinNode]] to [[AsofJoinExec]]; every other node falls
+  * through to the built-in strategies. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinNode(l, r, lk, rk, lts, rts, rv) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Attribute, rightKey: Attribute,
+    leftTs: Attribute, rightTs: Attribute,
+    rightVals: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightVals.map(_.withNullability(true))
+
+  // hash-cluster both sides on the key (EnsureRequirements co-partitions
+  // them, exactly as it does for SortMergeJoin) and sort (key, ts) —
+  // the operator itself is then a single streaming merge pass
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lKeyOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
+    val lTsOrd = left.output.indexWhere(_.exprId == leftTs.exprId)
+    val rKeyOrd = right.output.indexWhere(_.exprId == rightKey.exprId)
+    val rTsOrd = right.output.indexWhere(_.exprId == rightTs.exprId)
+    require(lKeyOrd >= 0 && lTsOrd >= 0 && rKeyOrd >= 0 && rTsOrd >= 0,
+      "asof-join: key/ts attributes must come from the respective child")
+    val rightSchema = right.output
+    val leftSchema = left.output
+    val rvAttrs = rightVals
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val rValProj = UnsafeProjection.create(rvAttrs, rightSchema)
+      val outProj = UnsafeProjection.create(outAttrs, leftSchema ++ rvAttrs)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rvAttrs.size)
+
+      new Iterator[InternalRow] {
+        // one-row lookahead into the right side; `lastVals` is the
+        // latest right row at-or-before the current left timestamp for
+        // the CURRENT key — the operator's entire join state
+        private var rBuf: InternalRow = advanceRight()
+        private var lastKey = 0L
+        private var haveLast = false
+        private var lastVals: InternalRow = null
+
+        private def advanceRight(): InternalRow =
+          if (rIt.hasNext) rIt.next() else null
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          val lk = l.getLong(lKeyOrd)
+          val lt = l.getLong(lTsOrd)
+          if (haveLast && lastKey != lk) { haveLast = false; lastVals = null }
+          var continue = rBuf != null
+          while (continue) {
+            val rk = rBuf.getLong(rKeyOrd)
+            if (rk < lk || (rk == lk && rBuf.getLong(rTsOrd) <= lt)) {
+              if (rk == lk) {
+                // UnsafeProjection reuses its buffer — copy the one row
+                // we retain (the only allocation per match-advance)
+                lastVals = rValProj(rBuf).copy()
+                lastKey = lk
+                haveLast = true
+              }
+              rBuf = advanceRight()
+              continue = rBuf != null
+            } else continue = false
+          }
+          joined(l, if (haveLast) lastVals else nullRight)
+          outProj(joined)
+        }
+      }
+    }
+  }
+}

@@ -72,6 +72,52 @@ object EventsMore {
       .orderBy(col("purchase_id"))
   }
 
+  /** q_asof_join through the NATIVE whole-operator path
+    * ([[graft.plans.AsofJoinExec]] via [[JoinOps.asofJoinNative]]):
+    * IDENTICAL oracle (DuckDB native ASOF LEFT JOIN), different
+    * physical plan — a custom logical node + planner strategy +
+    * streaming-merge exec instead of the union+running-last window.
+    * Green here certifies the custom operator end-to-end against an
+    * independent engine; the plan shape (AsofJoinExec present, no
+    * Window) is asserted in JoinOpsSpec.
+    */
+  val q_asof_native = QueryDef(
+    "q_asof_native",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |    MAX(event_id) AS click_id,
+      |    arg_max(value, event_id) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.purchase_us,
+      |  c.click_id AS last_click_id,
+      |  ROUND(c.click_value, 2) AS last_click_value,
+      |  CAST((p.purchase_us - c.click_us) // 1000000 AS BIGINT) AS gap_sec
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    JoinOps.asofJoinNative(purchases, clicks,
+      keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "click_us",
+      rightValCols = Seq("click_us", "click_id", "click_value"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("click_id").as("last_click_id"),
+        round(col("click_value"), 2).as("last_click_value"),
+        floor((col("purchase_us") - col("click_us")) / 1000000L).cast("long")
+          .as("gap_sec"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** As-of join WITH TOLERANCE — the feature-store freshness contract:
     * a match staler than 1 hour is as good as no match, so its value
     * columns are masked NULL while the left row survives (LEFT-join
@@ -1325,7 +1371,7 @@ object EventsMore {
     q_user_growth, q_snapshot_diff, q_wow_change, q_bursts, q_trend_slope,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
-    q_rollup_counts, q_asof_join, q_asof_tolerance, q_hll_distinct,
+    q_rollup_counts, q_asof_join, q_asof_native, q_asof_tolerance, q_hll_distinct,
     q_rank_dist, q_robust_stats,
     q_funnel, q_retention, q_markov, q_topk_daily, q_scd2,
     q_time_weighted, q_grouping_sets, q_cdc_apply, q_rolling_median,

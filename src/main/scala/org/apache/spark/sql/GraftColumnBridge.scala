@@ -30,3 +30,34 @@ object GraftColumnBridge {
   def toRdd(df: DataFrame): RDD[InternalRow] =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd
 }
+
+/** Bridge to the `private[sql]` plan-level constructors — what a
+  * library shipping a CUSTOM WHOLE-OPERATOR (logical node + strategy +
+  * physical exec, SURVEY §7.3 ladder step (c)) needs to lift its node
+  * into the public DataFrame API on Spark 4.
+  */
+object GraftPlanBridge {
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+  /** The ANALYZED logical plan of a DataFrame (stable attribute ids —
+    * the form custom nodes must be built from). */
+  def analyzed(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  /** Wrap a logical plan (containing custom nodes) back into a
+    * DataFrame; runs the analyzer, which leaves an already-resolved
+    * custom node untouched. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently install an extra planner strategy on the session —
+    * the in-process equivalent of
+    * `spark.sql.extensions=graft.GraftExtensions` for deploys that
+    * build their session first. */
+  def installStrategy(spark: SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
+}

@@ -89,4 +89,36 @@ class JoinOpsSpec extends AnyFunSuite {
       assert(got === brute, s"width=$w")
     }
   }
+
+  test("native asof exec ≡ union+window asof on adversarial data; plans AsofJoinExec") {
+    import spark.implicits._
+    // deterministic pseudo-random series: multiple keys, tie
+    // timestamps, keys with no right rows, right rows after all lefts
+    def series(tag: Int, n: Int) = (0 until n).map { i =>
+      val h = i * 2654435761L + tag * 97L
+      (math.abs(h) % 7, math.abs(h / 11) % 50, s"v$tag-$i")
+    }
+    val left = series(1, 80).toDF("k", "ts", "pid")
+      .selectExpr("k", "ts", "pid")
+    val right = series(2, 60).toDF("k", "ts", "rid")
+      // unique per (key, ts): the as-of contract both paths require
+      .groupBy("k", "ts").agg(org.apache.spark.sql.functions.max("rid").as("rid"))
+    val viaWindow = JoinOps.asofJoin(left, right,
+      keyCol = "k", leftTsCol = "ts", rightTsCol = "ts",
+      rightValCols = Seq("rid"))
+      .select("k", "ts", "pid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).sortBy(t => (t._1, t._2, t._3))
+    val native = JoinOps.asofJoinNative(left, right,
+      keyCol = "k", leftTsCol = "ts", rightTsCol = "ts",
+      rightValCols = Seq("rid"))
+    val gotNative = native.select("k", "ts", "pid", "rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).sortBy(t => (t._1, t._2, t._3))
+    assert(gotNative === viaWindow)
+    // the physical plan is the custom operator, not a window
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+  }
 }
