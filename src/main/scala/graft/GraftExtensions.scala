@@ -55,7 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Md5Poly8].getName, "md5_poly8"),
       exprs => Md5Poly8(exprs.head)))
     // whole-operator extension (§7.3 ladder step (c)): the native
-    // as-of join planner strategy
+    // as-of join planner strategy + the pushdown rule that lets
+    // Catalyst carry left-side predicates through the custom node
     e.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
+    e.injectOptimizerRule(_ => plans.AsofJoinPushdown)
   }
 }

@@ -85,6 +85,7 @@ object JoinOps {
     import org.apache.spark.sql.{GraftPlanBridge => B}
     val spark = left.sparkSession
     B.installStrategy(spark, graft.plans.AsofJoinStrategy)
+    B.installRule(spark, graft.plans.AsofJoinPushdown)
     val r = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
     val lPlan = B.analyzed(left)
     val rPlan = B.analyzed(r)

@@ -44,6 +44,37 @@ case class AsofJoinNode(
     copy(left = newLeft, right = newRight)
 }
 
+/** Custom optimizer rule completing the extension surface: a custom
+  * logical node BLOCKS Catalyst's own predicate pushdown (the built-in
+  * `PushDownPredicates` only knows built-in nodes), so a filter
+  * written above an as-of join would otherwise run after the join —
+  * at 100 TB that is the difference between scanning a partition and
+  * scanning a table. This rule pushes every conjunct that references
+  * ONLY left-side columns through the node into the left child (safe:
+  * each output row is one left row plus its independently-determined
+  * match, so dropping left rows never changes surviving rows'
+  * matches); right-side or mixed conjuncts stay above. From the left
+  * child the built-in rules take over and carry the predicate to the
+  * scan — PushedFilters reach parquet, asserted in JoinOpsSpec.
+  */
+object AsofJoinPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, a: AsofJoinNode) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(_.references.subsetOf(a.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val node = a.copy(left = Filter(pushable.reduce(And), a.left))
+        rest.reduceOption(And).map(Filter(_, node)).getOrElse(node)
+      }
+  }
+}
+
 /** Plans [[AsofJoinNode]] to [[AsofJoinExec]]; every other node falls
   * through to the built-in strategies. */
 object AsofJoinStrategy extends SparkStrategy {
@@ -92,11 +123,16 @@ case class AsofJoinExec(
     val rightSchema = right.output
     val leftSchema = left.output
     val rvAttrs = rightVals
+    // bind the output projection against NULLABLE right-value attrs:
+    // unmatched left rows read from an all-null row, and a
+    // non-nullable binding would skip the null check and read garbage
+    // zeros instead of nulls
+    val rvNullable = rightVals.map(_.withNullability(true))
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val rValProj = UnsafeProjection.create(rvAttrs, rightSchema)
-      val outProj = UnsafeProjection.create(outAttrs, leftSchema ++ rvAttrs)
+      val outProj = UnsafeProjection.create(outAttrs, leftSchema ++ rvNullable)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rvAttrs.size)
 

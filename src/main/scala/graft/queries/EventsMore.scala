@@ -1321,6 +1321,41 @@ object EventsMore {
       .orderBy(col("event_type"), col("burst_start"))
   }
 
+  /** Running-max drawdown per user: the largest peak-to-current drop
+    * of the event-value series (cents, exact integers) — the
+    * financial-series window shape (expanding MAX) the rolling/
+    * expanding mean-std family (W2–W4) doesn't cover. One user
+    * partition carries both the window and the final aggregate — a
+    * single shuffle.
+    */
+  val q_drawdown = QueryDef(
+    "q_drawdown",
+    """WITH s AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, cents,
+      |    MAX(cents) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS peak
+      |  FROM s)
+      |SELECT user_id,
+      |  CAST(MAX(peak - cents) AS BIGINT) AS max_drawdown_cents,
+      |  CAST(MAX(peak) AS BIGINT) AS peak_cents
+      |FROM r GROUP BY 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("peak", max(col("cents")).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("peak") - col("cents")).as("max_drawdown_cents"),
+        max(col("peak")).as("peak_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** Theil–Sen robust trend slope per event type: the MEDIAN of all
     * pairwise day-to-day slopes of the daily count series — the
     * outlier-proof trend estimator (one spike day corrupts an OLS
@@ -1369,6 +1404,7 @@ object EventsMore {
 
   val all: Seq[QueryDef] = Seq(
     q_user_growth, q_snapshot_diff, q_wow_change, q_bursts, q_trend_slope,
+    q_drawdown,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_tolerance, q_hll_distinct,

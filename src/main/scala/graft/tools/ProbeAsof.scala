@@ -1,0 +1,65 @@
+package graft.tools
+
+import graft.ops.JoinOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Head-to-head of the two as-of join plans on a synthetic series far
+  * larger than the sf0.1 events table (the 0.1-s-scale certified query
+  * can't separate them): union+running-last window
+  * ([[JoinOps.asofJoin]]) vs the native streaming-merge exec
+  * ([[JoinOps.asofJoinNative]]). Same keys/timestamps, result
+  * equality asserted on checksums before timing is reported.
+  * Re-runnable: `runMain graft.tools.ProbeAsof [nLeft] [nRight]`.
+  */
+object ProbeAsof {
+  def main(args: Array[String]): Unit = {
+    val nLeft = args.headOption.map(_.toLong).getOrElse(5000000L)
+    val nRight = args.drop(1).headOption.map(_.toLong).getOrElse(5000000L)
+    val nKeys = 100000L
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    // deterministic scattered (key, ts) series; ts globally unique per
+    // side (scattered high bits + the unique id as low bits), so the
+    // right side satisfies the unique-per-(key, ts) as-of contract
+    def series(n: Long, salt: Long) = spark.range(n).select(
+      pmod(col("id") * 2654435761L + salt, lit(nKeys)).as("k"),
+      (pmod(col("id") * 40503L + salt * 7L, lit(1000000000L)) * (n + 1) +
+        col("id")).as("ts"),
+      col("id").as("payload"))
+    val left = series(nLeft, 1L)
+    val right = series(nRight, 2L)
+
+    def checksum(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(coalesce(col("payload_r"), lit(-1L)).as("m"), col("payload"))
+        .agg(sum(expr("m * 31 + payload"))).collect().head.getLong(0)
+
+    def run(name: String,
+        f: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      f().count() // warm
+      val t0 = System.nanoTime()
+      val cs = checksum(f())
+      ((System.nanoTime() - t0) / 1e9, cs)
+    }
+
+    // both paths share the unique-names-apart-from-key contract
+    val rightNat = right.select(col("k"), col("ts").as("rts"),
+      col("payload").as("payload_r"))
+    val (tWin, csWin) = run("window", () =>
+      JoinOps.asofJoin(left, rightNat, "k", "ts", "rts", Seq("payload_r")))
+    val (tNat, csNat) = run("native", () =>
+      JoinOps.asofJoinNative(left, rightNat, "k", "ts", "rts",
+        Seq("payload_r")))
+    require(csWin == csNat, s"result mismatch: $csWin vs $csNat")
+    println(f"asof probe: nLeft=$nLeft nRight=$nRight keys=$nKeys " +
+      f"window=${tWin}%.2fs native=${tNat}%.2fs speedup=${tWin / tNat}%.2fx " +
+      s"checksum=$csWin")
+    spark.stop()
+  }
+}

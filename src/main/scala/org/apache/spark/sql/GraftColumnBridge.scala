@@ -60,4 +60,14 @@ object GraftPlanBridge {
     if (!exp.extraStrategies.contains(s))
       exp.extraStrategies = exp.extraStrategies :+ s
   }
+
+  /** Idempotently install an extra optimizer rule on the session (the
+    * in-process counterpart of `injectOptimizerRule`). */
+  def installRule(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(r))
+      exp.extraOptimizations = exp.extraOptimizations :+ r
+  }
 }

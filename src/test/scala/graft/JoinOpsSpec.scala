@@ -100,25 +100,64 @@ class JoinOpsSpec extends AnyFunSuite {
     }
     val left = series(1, 80).toDF("k", "ts", "pid")
       .selectExpr("k", "ts", "pid")
+    // rid is nullable (string); rnum is a NON-NULLABLE long — a left
+    // row with no match must still read NULL for it, not a garbage 0
+    // (regression: the output projection must bind right values as
+    // nullable because unmatched rows read from the all-null row)
     val right = series(2, 60).toDF("k", "ts", "rid")
       // unique per (key, ts): the as-of contract both paths require
       .groupBy("k", "ts").agg(org.apache.spark.sql.functions.max("rid").as("rid"))
-    val viaWindow = JoinOps.asofJoin(left, right,
-      keyCol = "k", leftTsCol = "ts", rightTsCol = "ts",
-      rightValCols = Seq("rid"))
-      .select("k", "ts", "pid", "rid")
+      .withColumn("rnum", org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("rid")),
+        org.apache.spark.sql.functions.lit(0)).cast("long"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "ts", "pid", "rid", "rnum")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-        Option(r.getString(3)))).sortBy(t => (t._1, t._2, t._3))
+        Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(t => (t._1, t._2, t._3))
+    val viaWindow = norm(JoinOps.asofJoin(left, right,
+      keyCol = "k", leftTsCol = "ts", rightTsCol = "ts",
+      rightValCols = Seq("rid", "rnum")))
     val native = JoinOps.asofJoinNative(left, right,
       keyCol = "k", leftTsCol = "ts", rightTsCol = "ts",
-      rightValCols = Seq("rid"))
-    val gotNative = native.select("k", "ts", "pid", "rid")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
-        Option(r.getString(3)))).sortBy(t => (t._1, t._2, t._3))
+      rightValCols = Seq("rid", "rnum"))
+    val gotNative = norm(native)
     assert(gotNative === viaWindow)
+    // some rows must be genuine no-matches or the null path went untested
+    assert(gotNative.exists(_._4.isEmpty))
+    assert(gotNative.exists(_._4.nonEmpty))
     // the physical plan is the custom operator, not a window
     val plan = native.queryExecution.executedPlan.toString
     assert(plan.contains("AsofJoin"), plan.take(800))
     assert(!plan.contains("Window"), plan.take(800))
+  }
+
+  test("AsofJoinPushdown carries left-side predicates through the custom node to the scan") {
+    import org.apache.spark.sql.functions._
+    // both sides read the events parquet; a left-only predicate written
+    // ABOVE the native as-of join must reach the left scan's
+    // PushedFilters (the built-in pushdown can't see through a custom
+    // node — graft.plans.AsofJoinPushdown does this)
+    val ev = Tables.events(spark, sf).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    val joined = JoinOps.asofJoinNative(purchases, clicks,
+      keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "click_us",
+      rightValCols = Seq("click_id"))
+    val filtered = joined.filter(col("user_id") < 7)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(user_id,7)"),
+      "left predicate did not reach a scan's PushedFilters:\n" + plan.take(1500))
+    // and the result equals post-hoc filtering
+    val viaPost = joined.collect().filter(_.getLong(1) < 7)
+      .map(_.toString).sorted.toSeq
+    val viaPush = filtered.collect().map(_.toString).sorted.toSeq
+    assert(viaPush === viaPost)
   }
 }
