@@ -608,10 +608,68 @@ object StreamQueries {
       .orderBy(col("user_id"))
   }
 
+  /** STREAMING as-of enrichment through the NATIVE custom operator
+    * ([[graft.ops.JoinOps.asofJoinNative]] inside foreachBatch):
+    * purchases arrive in micro-batches and each batch as-of joins the
+    * STATIC click index — per-left-row results are independent of the
+    * batch cut (each purchase's match depends only on the static
+    * right side), which is exactly why the batch oracle (the same
+    * DuckDB native ASOF JOIN that certifies q_asof_join/q_asof_native)
+    * certifies the streamed union unchanged. This is the feature-store
+    * point-in-time-correct enrichment shape: events stream in, each
+    * picks the latest feature row at-or-before its timestamp.
+    */
+  val q_stream_asof = QueryDef(
+    "q_stream_asof",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |    MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.purchase_us,
+      |  c.click_id AS last_click_id
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    import graft.ops.JoinOps
+    val clicks = Tables.events(spark, dir)
+      .filter(col("event_type") === "click")
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    val work = StreamingOps.tempSinkDir("graft_stream_asof_")
+    val stream = StreamingOps.eventsStream(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    StreamingOps.withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          JoinOps.asofJoinNative(batch, clicks,
+            keyCol = "user_id", leftTsCol = "purchase_us",
+            rightTsCol = "click_us", rightValCols = Seq("click_id"))
+            .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+              col("click_id").as("last_click_id"))
+            .write.mode("append").parquet(s"$work/out")
+          ()
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    spark.read.parquet(s"$work/out").orderBy(col("purchase_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
     q_stream_hll, q_stream_cms, q_stream_incremental_dedup, q_stream_hopping,
-    q_stream_topk, q_stream_cdc)
+    q_stream_topk, q_stream_cdc, q_stream_asof)
 }

@@ -400,7 +400,55 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: per query, the
+    * most-similar corpus vectors BELOW the near-duplicate threshold —
+    * "hard" because they're close, "negative" because they're not
+    * dups. Same query-broadcast / corpus-never-shuffles scoring as
+    * q_ann_topk, with the threshold filter BEFORE the bounded-heap
+    * top-k (TopKRows ≤k-row partials, no sort exchange).
+    */
+  val q_hard_negatives = QueryDef(
+    "q_hard_negatives",
+    s"""WITH n AS (
+       |  SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm
+       |  FROM (SELECT vec_id, $vd AS vd FROM embeddings)),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm) AS cos
+       |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id >= 10),
+       |negs AS (SELECT * FROM scored WHERE cos < CAST(0.4 AS DOUBLE))
+       |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM negs) t WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    graft.functions.GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("vd", col("embedding").cast("array<double>"))
+      .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
+    val q = broadcast(emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("vd").as("qv"),
+        col("nrm").as("qn")))
+    val c = emb.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("neighbor_id"), col("vd").as("cv"),
+        col("nrm").as("cn"))
+      .filter(col("cn") > 0)
+    c.crossJoin(q).filter(col("qn") > 0)
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("dot_product(qv, cv)") / (col("qn") * col("cn"))).as("cos"))
+      .filter(col("cos") < 0.4)
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKRows.topK(
+        struct((-col("cos")).as("nc"), col("neighbor_id").as("nid")), 5)
+        .as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.nid").as("neighbor_id"), round(-col("col.nc"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
-    q_ann_pq, q_embed_int8, q_ann_mips)
+    q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives)
 }
