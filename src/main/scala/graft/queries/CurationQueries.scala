@@ -797,11 +797,45 @@ object CurationQueries {
     }
   }
 
+  /** Dataset-card profile: the per-source / per-lang / marginal /
+    * grand-total corpus statistics a dataset release documents, in ONE
+    * pass via explicit GROUPING SETS (one Expand, four subtotal
+    * levels; GROUPING() flags disambiguate subtotal NULLs). Mean via
+    * exact integer floor division — no float summation anywhere.
+    */
+  val q_dataset_card = QueryDef(
+    "q_dataset_card",
+    """SELECT source, lang,
+      |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+      |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+      |ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST"""
+      .stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).createOrReplaceTempView("graft_docs_card")
+    spark.sql(
+      """SELECT source, lang,
+        |  CAST(grouping(source) AS BIGINT) AS g_source,
+        |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+        |  COUNT(*) AS n_docs,
+        |  SUM(n_chars) AS total_chars,
+        |  SUM(n_chars) div COUNT(*) AS mean_chars,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM graft_docs_card
+        |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        |ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST"""
+        .stripMargin)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_contamination, q_mix_rates,
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
     q_hll_overlap, q_pii_scrub, q_soft_dedup_sample, q_bigram_lm,
     q_dataset_split, q_group_split, q_host_caps, q_doc_chunks,
-    q_canonical_docs)
+    q_canonical_docs, q_dataset_card)
 }

@@ -102,5 +102,44 @@ object DqQueries {
       .orderBy(col("check_name"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_dq_checks)
+  /** k-anonymity audit over the quasi-identifier (event_type, day,
+    * value tier): per type, how many equivalence classes fall below
+    * k=5 and how many rows they hold — the privacy gate run before a
+    * dataset release (suppress or generalize those rows). One
+    * grouping pass + one rollup; class counts are exact integers.
+    */
+  val q_k_anonymity = QueryDef(
+    "q_k_anonymity",
+    """WITH q AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(FLOOR(value / 50) AS BIGINT) AS value_tier,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(5 AS BIGINT) AS k,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS small_classes,
+      |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+      |    AS rows_to_suppress,
+      |  CAST(MIN(n) AS BIGINT) AS min_class_size
+      |FROM q GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        floor(col("value") / 50).cast("long").as("value_tier"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < 5, 1L).otherwise(0L)).as("small_classes"),
+        sum(when(col("n") < 5, col("n")).otherwise(0L))
+          .as("rows_to_suppress"),
+        min(col("n")).as("min_class_size"))
+      .select(col("event_type"), lit(5L).as("k"), col("n_classes"),
+        col("small_classes"), col("rows_to_suppress"),
+        col("min_class_size"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_dq_checks, q_k_anonymity)
 }

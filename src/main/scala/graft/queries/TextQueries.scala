@@ -507,6 +507,48 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Flesch-style readability per document, ALL-INTEGER: words from
+    * the portable tokenizer, sentences as runs of terminal
+    * punctuation, syllables as vowel-group runs (the standard
+    * heuristic), and the score in milli-units by exact floor
+    * division — 206.835 − 1.015·W/S − 84.6·Syl/W becomes
+    * 206835 − (1015·W)//S − (84600·Syl)//W, so no float ever crosses
+    * the engine boundary. Pure column algebra, linear scan.
+    */
+  val q_readability = QueryDef(
+    "q_readability", {
+      val ws = TextOps.wordsSql("text")
+      s"""SELECT doc_id,
+         |  CAST(len($ws) AS BIGINT) AS n_words,
+         |  CAST(GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+         |    AS BIGINT) AS n_sentences,
+         |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |    AS BIGINT) AS n_syllables,
+         |  CASE WHEN len($ws) > 0 THEN
+         |    CAST(206835
+         |      - (1015 * len($ws))
+         |        // GREATEST(1, len(regexp_extract_all(text, '[.!?]+')))
+         |      - (84600 * len(regexp_extract_all(lower(text), '[aeiouy]+')))
+         |        // len($ws) AS BIGINT)
+         |  END AS flesch_milli
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val w = size(TextOps.words(col("text"))).cast("long")
+    val s = greatest(lit(1L),
+      size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+    val syl = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+      .cast("long")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), w.as("n_words"), s.as("n_sentences"),
+        syl.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0,
+          lit(206835L) - expr("(1015 * n_words) div n_sentences") -
+            expr("(84600 * n_syllables) div n_words")).as("flesch_milli"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-source vocabulary drift: total-variation distance between
     * each source's word distribution and the rest of the corpus — the
     * corpus-monitoring statistic that flags a crawl source whose
@@ -570,5 +612,5 @@ object TextQueries {
     q_top_words, q_topk_words, q_text_quality, q_token_stats, q_lang_stats,
     q_doc_hashes, q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords,
     q_quality_model, q_repetition, q_cms_topwords, q_collocations,
-    q_bpe_merges, q_bpe_fertility, q_vocab_drift)
+    q_bpe_merges, q_bpe_fertility, q_vocab_drift, q_readability)
 }
