@@ -1321,6 +1321,78 @@ object EventsMore {
       .orderBy(col("event_type"), col("burst_start"))
   }
 
+  /** RFM segmentation: each purchasing user scored 1–5 on Recency,
+    * Frequency, Monetary via NTILE quintiles under TOTAL tie orders
+    * (metric, then user_id — deterministic on any engine), composed
+    * into the classic 3-digit segment, then the segment census. The
+    * windows order USERS (one row each after the pre-aggregate), so
+    * the global sort is user-bounded — at 100 TB the events scan
+    * dominates and the quintile step is a footnote.
+    */
+  val q_rfm = QueryDef(
+    "q_rfm",
+    """WITH p AS (
+      |  SELECT user_id, MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+      |    CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS monetary
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |s AS (
+      |  SELECT user_id,
+      |    ntile(5) OVER (ORDER BY last_us DESC, user_id) AS r,
+      |    ntile(5) OVER (ORDER BY freq DESC, user_id) AS f,
+      |    ntile(5) OVER (ORDER BY monetary DESC, user_id) AS m
+      |  FROM p)
+      |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users,
+      |  CAST(MIN(user_id) AS BIGINT) AS example_user
+      |FROM s GROUP BY 1 ORDER BY segment""".stripMargin) { (spark, dir) =>
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("monetary"))
+    val wr = Window.orderBy(col("last_us").desc, col("user_id"))
+    val wf = Window.orderBy(col("freq").desc, col("user_id"))
+    val wm = Window.orderBy(col("monetary").desc, col("user_id"))
+    p.select(col("user_id"), ntile(5).over(wr).as("r"),
+        ntile(5).over(wf).as("f"), ntile(5).over(wm).as("m"))
+      .groupBy((col("r") * 100 + col("f") * 10 + col("m")).cast("long")
+        .as("segment"))
+      .agg(count(lit(1)).as("n_users"), min(col("user_id")).as("example_user"))
+      .orderBy(col("segment"))
+  }
+
+  /** Behavioral diversity per user as Gini impurity over the
+    * event-type distribution — the no-logarithm diversity index
+    * (1 − Σ pᵢ², a rational number), micro-quantized by ONE exact
+    * integer floor division so both engines agree bit-for-bit where an
+    * entropy would drown in libm divergence. Two grouping passes on
+    * the same user partitioning.
+    */
+  val q_type_gini = QueryDef(
+    "q_type_gini",
+    """WITH c AS (
+      |  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(c * c) AS BIGINT) AS ss
+      |  FROM c GROUP BY 1)
+      |SELECT user_id, n,
+      |  CAST(1000000 - (ss * 1000000) // (n * n) AS BIGINT) AS gini_micro
+      |FROM u ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
+      .select(col("user_id"), col("n"),
+        (lit(1000000L) - expr("(ss * 1000000) div (n * n)")).as("gini_micro"))
+      .orderBy(col("user_id"))
+  }
+
   /** Running-max drawdown per user: the largest peak-to-current drop
     * of the event-value series (cents, exact integers) — the
     * financial-series window shape (expanding MAX) the rolling/
@@ -1404,7 +1476,7 @@ object EventsMore {
 
   val all: Seq[QueryDef] = Seq(
     q_user_growth, q_snapshot_diff, q_wow_change, q_bursts, q_trend_slope,
-    q_drawdown,
+    q_drawdown, q_rfm, q_type_gini,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_tolerance, q_hll_distinct,

@@ -547,7 +547,53 @@ object Relational {
       .orderBy(col("region"), col("nation"))
   }
 
+  /** Market-basket pair mining: parts co-purchased in the same order,
+    * with independence lift — the classic co-occurrence recommender
+    * primer. The pair fan-out is a self-equi-join on the order key, so
+    * work is Σ basket² — basket-size bounded (TPC-H orders hold ≤7
+    * lines), never catalog². Marginals broadcast; top-20 by support is
+    * a TakeOrderedAndProject, no global sort materialization.
+    */
+  val q_basket_pairs = QueryDef(
+    "q_basket_pairs",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |np AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY 1),
+      |no AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n FROM items),
+      |pairs AS (
+      |  SELECT a.pk AS part_a, b.pk AS part_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      |  GROUP BY 1, 2)
+      |SELECT part_a, part_b, n_orders,
+      |  (n_orders * no.n * 1000000) // (na.n * nb.n) AS lift_micro
+      |FROM pairs CROSS JOIN no
+      |JOIN np na ON na.pk = part_a JOIN np nb ON nb.pk = part_b
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin) { (spark, dir) =>
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val itemsM = graft.ops.Reuse.materialized(items)
+    val np = itemsM.groupBy(col("pk")).agg(count(lit(1)).as("n"))
+    val no = itemsM.agg(countDistinct(col("ok")).as("n_total"))
+    val a = itemsM.select(col("ok"), col("pk").as("part_a"))
+    val b = itemsM.select(col("ok").as("ok_b"), col("pk").as("part_b"))
+    a.join(b, col("ok") === col("ok_b") && col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(no))
+      .join(broadcast(np.select(col("pk").as("part_a"), col("n").as("na"))),
+        Seq("part_a"))
+      .join(broadcast(np.select(col("pk").as("part_b"), col("n").as("nb"))),
+        Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("n_orders"),
+        expr("(n_orders * n_total * 1000000) div (na * nb)").as("lift_micro"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q_basket_pairs,
     q_pricing_summary, q_top_parts, q_priority_counts, q_customer_by_region,
     q_revenue_by_priority, q_customers_no_orders, q_parts_shipped_1999,
     q_price_tiers, q_order_size_classes, q_lineitem_stats,
