@@ -149,17 +149,22 @@ object GraphOps {
       .select(col("id"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
         lit(r0).as("rank")))
     for (_ <- 0 until iterations) {
+      // dangling mass folds into the update plan as a broadcast 1-row
+      // aggregate (cross join) instead of a per-round driver collect:
+      // one Spark job per iteration, not two — same exact integer
+      // arithmetic the unrolled-CTE oracle replays (dm DIV n)
       val dangling = ranks.filter(col("outdeg") === 0L)
-        .agg(coalesce(sum(col("rank")), lit(0L))).head().getLong(0)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
       val contribs = ranks.filter(col("outdeg") > 0L)
         .join(e, col("id") === col("src"))
         .select(col("dst"), expr("rank DIV outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val (next, nextRelease) = Reuse.materializedHandle(ranks
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"), col("outdeg"),
           (lit(teleport) +
-            expr(s"(85 * (coalesce(s, 0L) + ${dangling / n}L)) DIV 100").cast("long"))
+            expr(s"(85 * (coalesce(s, 0L) + dm DIV ${n}L)) DIV 100").cast("long"))
             .as("rank")))
       release.close()
       ranks = next
