@@ -1321,6 +1321,70 @@ object EventsMore {
       .orderBy(col("event_type"), col("burst_start"))
   }
 
+  /** Ordered LISTAGG — the user-journey string: each user's first 10
+    * event types concatenated in time order. The ORDER-BY-inside-
+    * aggregate shape (`string_agg(x, sep ORDER BY k)`) Spark expresses
+    * as collect_list(struct(k, x)) → array_sort → transform →
+    * array_join: sort keys travel WITH the values, so partial
+    * aggregation stays order-free and the sort happens once per group
+    * on ≤10 elements.
+    */
+  val q_event_paths = QueryDef(
+    "q_event_paths",
+    """WITH o AS (
+      |  SELECT user_id, event_type, ROW_NUMBER() OVER (
+      |    PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events)
+      |SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+      |  CAST(SUM(1) AS BIGINT) AS n_steps
+      |FROM o WHERE rn <= 10 GROUP BY user_id ORDER BY user_id"""
+      .stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("rn"), col("event_type"))).as("steps"),
+        count(lit(1)).as("n_steps"))
+      .select(col("user_id"),
+        array_join(transform(array_sort(col("steps")),
+          s => s.getField("event_type")), ">").as("path"),
+        col("n_steps"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Windowless MODE: the most frequent cent value per event type,
+    * ties to the SMALLEST value — count then `min_by` over the
+    * (−count, value) struct, a map-side-combinable hash-aggregate
+    * argmin instead of a rank window over every distinct value.
+    */
+  val q_mode_value = QueryDef(
+    "q_mode_value",
+    """WITH c AS (
+      |  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, cents, n, ROW_NUMBER() OVER (
+      |    PARTITION BY event_type ORDER BY n DESC, cents) AS rn
+      |  FROM c)
+      |SELECT event_type, cents AS mode_cents, n AS mode_count
+      |FROM m WHERE rn = 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(min_by(struct(col("cents"), col("n")),
+        struct((-col("n")).as("nn"), col("cents").as("c"))).as("w"))
+      .select(col("event_type"), col("w.cents").as("mode_cents"),
+        col("w.n").as("mode_count"))
+      .orderBy(col("event_type"))
+  }
+
   /** RFM segmentation: each purchasing user scored 1–5 on Recency,
     * Frequency, Monetary via NTILE quintiles under TOTAL tie orders
     * (metric, then user_id — deterministic on any engine), composed
@@ -1476,7 +1540,7 @@ object EventsMore {
 
   val all: Seq[QueryDef] = Seq(
     q_user_growth, q_snapshot_diff, q_wow_change, q_bursts, q_trend_slope,
-    q_drawdown, q_rfm, q_type_gini,
+    q_drawdown, q_rfm, q_type_gini, q_event_paths, q_mode_value,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_tolerance, q_hll_distinct,
