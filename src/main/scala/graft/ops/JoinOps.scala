@@ -148,4 +148,39 @@ object JoinOps {
         col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
       .drop(bkt)
   }
+
+  /** INTERVAL×INTERVAL overlap join (half-open [start, end)): every
+    * (a, b) pair with `a.start < b.end AND b.start < a.end` — the
+    * harder sibling of [[intervalJoin]] where BOTH sides span buckets.
+    * Same blocking idea, one extra rule: a pair now meets in every
+    * bucket their spans share, so each pair is COUNTED ONCE by keeping
+    * it only in the canonical bucket `bstart(max(a.start, b.start))` —
+    * the first bucket where both are live. No post-join dedup, no
+    * theta join: one equi-join shuffle on the bucket id, replication
+    * `span/width + 1` per row, AQE-splittable under time skew.
+    *
+    * Inputs: (`aId`, `aStart`, `aEnd`) / (`bId`, `bStart`, `bEnd`),
+    * all LongType units; empty intervals dropped. Output: the id
+    * pairs plus overlap bounds (`ov_start`, `ov_end`).
+    */
+  def intervalOverlapJoin(
+      a: DataFrame, aId: String, aStart: String, aEnd: String,
+      b: DataFrame, bId: String, bStart: String, bEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1L, s"bucketWidth must be >= 1 (got $bucketWidth)")
+    def bstart(x: org.apache.spark.sql.Column) = x - pmod(x, lit(bucketWidth))
+    def spread(df: DataFrame, s: String, e: String) = df
+      .filter(col(e) > col(s))
+      .withColumn("_bkt", explode(sequence(
+        bstart(col(s)), bstart(col(e) - lit(1L)), lit(bucketWidth))))
+    val la = spread(a.select(col(aId), col(aStart), col(aEnd)), aStart, aEnd)
+    val lb = spread(b.select(col(bId), col(bStart), col(bEnd)), bStart, bEnd)
+    la.join(lb, la("_bkt") === lb("_bkt") &&
+        col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+        // canonical-bucket rule: exactly one surviving copy per pair
+        la("_bkt") === bstart(greatest(col(aStart), col(bStart))))
+      .select(col(aId), col(bId),
+        greatest(col(aStart), col(bStart)).as("ov_start"),
+        least(col(aEnd), col(bEnd)).as("ov_end"))
+  }
 }

@@ -404,7 +404,58 @@ object ScaleQueries {
       .orderBy(col("bin"))
   }
 
+  /** INTERVAL×INTERVAL overlap join
+    * ([[graft.ops.JoinOps.intervalOverlapJoin]]): click activity
+    * windows × purchase windows (each event held open for its
+    * cent-value × 10 ms), rolled up to per-day overlap counts +
+    * total overlapped time. The oracle is the plain theta join —
+    * certifying that bucket blocking + the canonical-bucket
+    * once-per-pair rule is result-identical while planning as ONE
+    * equi-join shuffle (PlanSpec's cartesian sweep covers it). Day
+    * keys are integer epoch-days (µs // 86.4e9) — no timezone in
+    * either engine.
+    */
+  val q_interval_overlap = QueryDef(
+    "q_interval_overlap",
+    """WITH iv AS (
+      |  SELECT event_id, event_type,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+      |    epoch_us(CAST(ts AS TIMESTAMP))
+      |      + CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * 10000 AS e
+      |  FROM events),
+      |a AS (SELECT event_id AS aid, s AS sa, e AS ea FROM iv
+      |  WHERE event_type = 'click'),
+      |b AS (SELECT event_id AS bid, s AS sb, e AS eb FROM iv
+      |  WHERE event_type = 'purchase'),
+      |p AS (
+      |  SELECT GREATEST(sa, sb) AS ov_s, LEAST(ea, eb) AS ov_e
+      |  FROM a JOIN b ON sa < eb AND sb < ea)
+      |SELECT ov_s // 86400000000 AS day_idx,
+      |  CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+      |  CAST(SUM(ov_e - ov_s) AS BIGINT) AS total_overlap_us
+      |FROM p GROUP BY 1 ORDER BY day_idx""".stripMargin) { (spark, dir) =>
+    val iv = Tables.events(spark, dir).select(
+      col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("s"),
+      (unix_micros(col("ts")) +
+        floor(col("value") * 100 + 0.5).cast("long") * 10000L).as("e"))
+    val a = iv.filter(col("event_type") === "click")
+      .select(col("event_id").as("aid"), col("s").as("sa"), col("e").as("ea"))
+    val b = iv.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("bid"), col("s").as("sb"), col("e").as("eb"))
+    graft.ops.JoinOps.intervalOverlapJoin(
+      a, "aid", "sa", "ea", b, "bid", "sb", "eb",
+      bucketWidth = 600000000L) // 10 min ≈ 2.4× median span → ~1.4× replication
+      .select((expr("ov_start div 86400000000")).as("day_idx"),
+        col("ov_start"), col("ov_end"))
+      .groupBy(col("day_idx"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("ov_end") - col("ov_start")).as("total_overlap_us"))
+      .orderBy(col("day_idx"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_bloom_join, q_quantile_sketch, q_zorder_tiles, q_table_profile,
-    q_table_profile_sketch, q_interval_join, q_table_checksum, q_global_bins)
+    q_table_profile_sketch, q_interval_join, q_table_checksum, q_global_bins,
+    q_interval_overlap)
 }

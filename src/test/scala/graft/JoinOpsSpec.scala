@@ -134,6 +134,60 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(800))
   }
 
+  test("intervalOverlapJoin ≡ brute theta join for every bucket width, no dup pairs") {
+    import spark.implicits._
+    // deterministic scattered intervals, spans from 0 (dropped) to
+    // far beyond any bucket width
+    def ivs(tag: Int, n: Int) = (0 until n).map { i =>
+      val h = i * 2654435761L + tag * 131L
+      val s = math.abs(h) % 1000
+      (tag * 1000L + i, s, s + math.abs(h / 7) % 90)
+    }
+    val a = ivs(1, 120).toDF("aid", "sa", "ea")
+    val b = ivs(2, 150).toDF("bid", "sb", "eb")
+    val brute = (for {
+      (ai, as_, ae) <- ivs(1, 120); (bi, bs, be) <- ivs(2, 150)
+      if as_ < ae && bs < be && as_ < be && bs < ae
+    } yield (ai, bi)).toSet
+    assert(brute.nonEmpty)
+    for (w <- Seq(1L, 7L, 64L, 1000L, 100000L)) {
+      val got = JoinOps.intervalOverlapJoin(
+        a, "aid", "sa", "ea", b, "bid", "sb", "eb", w)
+        .select("aid", "bid")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length === got.toSet.size, s"dup pairs at width=$w")
+      assert(got.toSet === brute, s"width=$w")
+    }
+  }
+
+  test("degenerate inputs: empty right side, empty graph, empty corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // native asof with an EMPTY right side: every left row survives
+    // with null right values
+    val left = Seq((1L, 10L, "p1"), (2L, 20L, "p2")).toDF("k", "ts", "pid")
+    val emptyRight = Seq.empty[(Long, Long, String)].toDF("k", "rts", "rid")
+    val asof = JoinOps.asofJoinNative(left, emptyRight,
+      "k", "ts", "rts", Seq("rid")).collect()
+    assert(asof.length === 2 && asof.forall(_.isNullAt(3)))
+    // LPA with an empty edge list: every node keeps its own label
+    val lpa = graft.ops.GraphOps.labelPropagation(
+      (1L to 4L).toDF("id"),
+      Seq.empty[(Long, Long)].toDF("src", "dst"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lpa === (1L to 4L).map(i => i -> i).toMap)
+    // MIPS top-k over an empty corpus: no rows, not an error
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val emptyC = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(graft.ops.SimilarityOps.mipsTopK(q, emptyC, "vec_id", "embedding", 3)
+      .count() === 0L)
+    // interval overlap with all-empty intervals: dropped, no rows
+    val z = Seq((1L, 5L, 5L)).toDF("aid", "sa", "ea")
+    assert(JoinOps.intervalOverlapJoin(z, "aid", "sa", "ea",
+      Seq((2L, 0L, 100L)).toDF("bid", "sb", "eb"), "bid", "sb", "eb", 10L)
+      .count() === 0L)
+  }
+
   test("AsofJoinPushdown carries left-side predicates through the custom node to the scan") {
     import org.apache.spark.sql.functions._
     // both sides read the events parquet; a left-only predicate written
