@@ -153,4 +153,61 @@ class GoldenSourcesSpec extends AnyFunSuite {
       Tables.normalizeTs(spark, bad))
     assert(err.getMessage.contains("ts") && err.getMessage.contains("double"))
   }
+
+  test("CSV source: corrupt rows audited in PERMISSIVE, dropped in DROPMALFORMED") {
+    // ingestion-robustness contract: a malformed feed never kills the
+    // job — PERMISSIVE quarantines bad rows into _corrupt_record for
+    // the audit sink, DROPMALFORMED yields the clean subset
+    val d = Files.createTempDirectory("graft_csv")
+    Files.writeString(d.resolve("feed.csv"),
+      """id,amount,label
+        |1,10.5,ok
+        |2,not_a_number,bad-amount
+        |3,7.25,ok
+        |garbage line without commas-at-all? no: has,none
+        |5,1.0,ok
+        |""".stripMargin)
+    val schema = "id LONG, amount DOUBLE, label STRING, _corrupt_record STRING"
+    val permissive = spark.read
+      .option("header", "true").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema).csv(d.toString).cache()
+    assert(permissive.count() === 5)
+    assert(permissive.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull).count() === 2)
+    // NOTE select ALL columns: CSV column pruning only parses queried
+    // columns, so a bare count() would never see the malformed cells
+    val dropped = spark.read
+      .option("header", "true").option("mode", "DROPMALFORMED")
+      .schema("id LONG, amount DOUBLE, label STRING").csv(d.toString)
+      .select("id", "amount", "label").collect()
+    assert(dropped.length === 3)
+    assert(dropped.map(_.getLong(0)).sum === 9L)
+    permissive.unpersist()
+  }
+
+  test("binaryFile source ingests raw image files into the multimodal pipeline") {
+    // the missing front door of the multimodal story: image FILES on
+    // disk (not parquet blobs) → binary column + path/length metadata,
+    // straight into the same decode path q_image_decode certifies
+    val d = Files.createTempDirectory("graft_bin")
+    for (i <- 0 until 4) {
+      val img = new java.awt.image.BufferedImage(
+        8 + i, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xFF0000)
+      Files.write(d.resolve(f"img_$i%02d.png"),
+        graft.ops.ImageCodec.encode(img, "png"))
+    }
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png").load(d.toString)
+    assert(files.count() === 4)
+    assert(files.columns.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+    val dims = files.select("path", "content").collect()
+      .flatMap(r => graft.ops.ImageCodec.decode(r.getAs[Array[Byte]](1))
+        .map(dec => (r.getString(0).split('/').last, dec.width, dec.height)))
+      .sortBy(_._1)
+    assert(dims.length === 4)
+    assert(dims.map(_._2).toSeq === Seq(8, 9, 10, 11))
+    assert(dims.forall(_._3 == 5))
+  }
 }
