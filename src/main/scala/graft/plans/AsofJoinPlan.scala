@@ -96,7 +96,12 @@ case class AsofJoinExec(
 
   // hash-cluster both sides on the key (EnsureRequirements co-partitions
   // them, exactly as it does for SortMergeJoin) and sort (key, ts) —
-  // the operator itself is then a single streaming merge pass
+  // the operator itself is then a single streaming merge pass.
+  // AQE interaction (ProbeAsofAqe, forced-coalescing audit): AQE does
+  // NOT insert coalesced shuffle reads under an unknown exec, so the
+  // two sides always keep identical reducer partitioning — alignment
+  // of the zipped partitions is guaranteed, at the cost of running at
+  // the configured shuffle partition count (no runtime coalesce).
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
