@@ -413,7 +413,10 @@ object ScaleQueries {
     * once-per-pair rule is result-identical while planning as ONE
     * equi-join shuffle (PlanSpec's cartesian sweep covers it). Day
     * keys are integer epoch-days (µs // 86.4e9) — no timezone in
-    * either engine.
+    * either engine. EMPTY intervals ([t, t), a zero-cent event) are
+    * excluded on BOTH sides: the half-open overlap predicate
+    * `sa < eb AND sb < ea` would otherwise treat an empty interval
+    * as the point t — a real sf0.1 event surfaced exactly this.
     */
   val q_interval_overlap = QueryDef(
     "q_interval_overlap",
@@ -424,9 +427,9 @@ object ScaleQueries {
       |      + CAST(FLOOR(value * 100 + 0.5) AS BIGINT) * 10000 AS e
       |  FROM events),
       |a AS (SELECT event_id AS aid, s AS sa, e AS ea FROM iv
-      |  WHERE event_type = 'click'),
+      |  WHERE event_type = 'click' AND s < e),
       |b AS (SELECT event_id AS bid, s AS sb, e AS eb FROM iv
-      |  WHERE event_type = 'purchase'),
+      |  WHERE event_type = 'purchase' AND s < e),
       |p AS (
       |  SELECT GREATEST(sa, sb) AS ov_s, LEAST(ea, eb) AS ov_e
       |  FROM a JOIN b ON sa < eb AND sb < ea)
