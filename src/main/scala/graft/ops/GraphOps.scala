@@ -233,6 +233,41 @@ object GraphOps {
         coalesce(col("tri"), lit(0L)).as("n_triangles"))
   }
 
+  /** Bounded k-core peeling: `rounds` synchronous rounds of "drop
+    * every vertex whose degree among SURVIVORS is < k" — the
+    * density-core extractor (spam-farm / template-cluster detector on
+    * the near-dup graph). True k-core iterates to a data-dependent
+    * fixpoint; the FIXED round count keeps the computation a pure
+    * function of the graph (same reasoning as [[labelPropagation]]),
+    * so an unrolled-CTE oracle replays it exactly — peel chains
+    * longer than `rounds` are documented residue, not nondeterminism.
+    * Per round: two semi-joins against the survivor set + one degree
+    * aggregate — all key equi-joins; two-generation cache via
+    * [[Reuse.materializedHandle]].
+    *
+    * @param pairs undirected unique edges (`a`, `b`)
+    * @return (`id`, `in_core` ∈ {0,1}) for every node in `nodes`
+    */
+  def kCorePeel(nodes: DataFrame, pairs: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var (alive, release) = Reuse.materializedHandle(
+      edges.select(col("src").as("id")).distinct())
+    for (_ <- 0 until rounds) {
+      val (next, nextRelease) = Reuse.materializedHandle(
+        edges.join(alive.select(col("id").as("src")), "src")
+          .join(alive.select(col("id").as("dst")), "dst")
+          .groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("src").as("id")))
+      release.close()
+      alive = next
+      release = nextRelease
+    }
+    nodes.join(alive.withColumn("in_core", lit(1L)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("in_core"), lit(0L)).as("in_core"))
+  }
+
   /** Deterministic synchronous label-propagation communities (LPA,
     * Raghavan et al. 2007): every node starts as its own label; each
     * round, every node adopts the most frequent label among its

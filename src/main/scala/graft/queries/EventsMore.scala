@@ -1356,6 +1356,39 @@ object EventsMore {
       .orderBy(col("user_id"))
   }
 
+  /** Sequential pattern mining: the top-20 most frequent 3-step
+    * event-type sequences across all user timelines — consecutive
+    * trigrams via two LEADs over the per-user total order (one
+    * shuffle; NO self-joins on rn), counted globally with both
+    * occurrence and distinct-user support.
+    */
+  val q_frequent_paths = QueryDef(
+    "q_frequent_paths",
+    """WITH t AS (
+      |  SELECT user_id,
+      |    event_type || '>' || LEAD(event_type, 1) OVER w
+      |      || '>' || LEAD(event_type, 2) OVER w AS path
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id))
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM t WHERE path IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        concat_ws(">", col("event_type"), lead(col("event_type"), 1).over(w),
+          lead(col("event_type"), 2).over(w)).as("path"),
+        lead(col("event_type"), 2).over(w).as("third"))
+      .filter(col("third").isNotNull)
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   /** Windowless MODE: the most frequent cent value per event type,
     * ties to the SMALLEST value — count then `min_by` over the
     * (−count, value) struct, a map-side-combinable hash-aggregate
@@ -1541,6 +1574,7 @@ object EventsMore {
   val all: Seq[QueryDef] = Seq(
     q_user_growth, q_snapshot_diff, q_wow_change, q_bursts, q_trend_slope,
     q_drawdown, q_rfm, q_type_gini, q_event_paths, q_mode_value,
+    q_frequent_paths,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_tolerance, q_hll_distinct,

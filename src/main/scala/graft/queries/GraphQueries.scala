@@ -172,5 +172,47 @@ object GraphQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_pagerank, q_triangles, q_communities)
+  private val CoreRounds = 4
+
+  /** Bounded 2-core peeling ([[GraphOps.kCorePeel]]) on the near-dup
+    * graph: vertices surviving `CoreRounds` rounds of degree-<2
+    * removal — chained borderline matches peel away, true dup
+    * clusters (cycles/cliques) survive. Fixed rounds → pure function
+    * of the graph → unrolled-CTE oracle, like q_pagerank and
+    * q_communities.
+    */
+  val q_kcore = QueryDef(
+    "q_kcore", {
+      val iters = (0 until CoreRounds).map { t =>
+        s"""d$t AS MATERIALIZED (
+           |  SELECT e.src AS id, CAST(COUNT(*) AS BIGINT) AS d
+           |  FROM edges e JOIN al$t x ON e.src = x.id
+           |  JOIN al$t y ON e.dst = y.id
+           |  GROUP BY 1),
+           |al${t + 1} AS MATERIALIZED (SELECT id FROM d$t WHERE d >= 2)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupOps.minhashPairsSqlCtes(0.8)},
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |al0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         |$iters
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN a.id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |    AS in_core
+         |FROM documents d LEFT JOIN al$CoreRounds a ON a.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.ops.Reuse.materialized(
+      DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.8)
+        .select(col("doc_a").as("a"), col("doc_b").as("b")))
+    GraphOps.kCorePeel(docs.select(col("doc_id").as("id")), pairs,
+      k = 2, rounds = CoreRounds)
+      .select(col("id").as("doc_id"), col("in_core"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q_pagerank, q_triangles, q_communities, q_kcore)
 }
