@@ -1356,6 +1356,46 @@ object EventsMore {
       .orderBy(col("user_id"))
   }
 
+  /** DAU / 7-day rolling WAU / stickiness per day — the engagement
+    * triple. Rolling COUNT(DISTINCT) can't reuse the first-touch
+    * trick (q_user_growth) because users re-enter windows, so the
+    * exact shape is a day-spine band join: the (day, user) activity
+    * table joins a ≤|days|-row broadcast spine with a 7-day band —
+    * work is 7× the activity table, linear, no distinct-over-window
+    * rescans. Stickiness in exact integer basis points.
+    */
+  val q_rolling_distinct = QueryDef(
+    "q_rolling_distinct",
+    """WITH act AS (
+      |  SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+      |    AS day, user_id
+      |  FROM events),
+      |days AS (SELECT DISTINCT day FROM act),
+      |wau AS (
+      |  SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+      |  FROM days d JOIN act a ON a.day BETWEEN d.day - 6 AND d.day
+      |  GROUP BY 1),
+      |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM act GROUP BY 1)
+      |SELECT d.day, dau.dau, wau.wau,
+      |  (dau.dau * 10000) // wau.wau AS stickiness_bp
+      |FROM days d JOIN dau ON dau.day = d.day JOIN wau ON wau.day = d.day
+      |ORDER BY d.day""".stripMargin) { (spark, dir) =>
+    val act = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).cast("date").as("day"),
+        col("user_id")).distinct()
+    val actM = graft.ops.Reuse.materialized(act)
+    val days = actM.select(col("day")).distinct()
+    val wau = broadcast(days.select(col("day").as("d")))
+      .join(actM, col("day").between(date_sub(col("d"), 6), col("d")))
+      .groupBy(col("d"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    val dau = actM.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    days.join(dau, Seq("day")).join(wau, col("day") === col("d"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(dau * 10000) div wau").as("stickiness_bp"))
+      .orderBy(col("day"))
+  }
+
   /** Sequential pattern mining: the top-20 most frequent 3-step
     * event-type sequences across all user timelines — consecutive
     * trigrams via two LEADs over the per-user total order (one
@@ -1574,7 +1614,7 @@ object EventsMore {
   val all: Seq[QueryDef] = Seq(
     q_user_growth, q_snapshot_diff, q_wow_change, q_bursts, q_trend_slope,
     q_drawdown, q_rfm, q_type_gini, q_event_paths, q_mode_value,
-    q_frequent_paths,
+    q_frequent_paths, q_rolling_distinct,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_tolerance, q_hll_distinct,
