@@ -1356,6 +1356,33 @@ object EventsMore {
       .orderBy(col("user_id"))
   }
 
+  /** Weekday×hour seasonality heatmap with exact integer traffic
+    * shares — the load-profile matrix behind capacity planning and
+    * the reference dashboard's time-of-day charts. One grouping pass;
+    * the share denominator is a broadcast 1-row total, not a window.
+    */
+  val q_seasonality = QueryDef(
+    "q_seasonality",
+    """WITH g AS (
+      |  SELECT isodow(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE))
+      |      - 1 AS dow,
+      |    hour(CAST(ts AS TIMESTAMP)) AS hr, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g)
+      |SELECT g.dow, g.hr, g.n, (g.n * 1000000) // tot.t AS share_micro
+      |FROM g CROSS JOIN tot ORDER BY dow, hr""".stripMargin) { (spark, dir) =>
+    val g = Tables.events(spark, dir)
+      .groupBy(
+        weekday(date_trunc("day", col("ts")).cast("date")).cast("long").as("dow"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val tot = g.agg(sum(col("n")).as("t"))
+    g.crossJoin(broadcast(tot))
+      .select(col("dow"), col("hr"), col("n"),
+        expr("(n * 1000000) div t").as("share_micro"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
   /** DAU / 7-day rolling WAU / stickiness per day — the engagement
     * triple. Rolling COUNT(DISTINCT) can't reuse the first-touch
     * trick (q_user_growth) because users re-enter windows, so the
@@ -1614,7 +1641,7 @@ object EventsMore {
   val all: Seq[QueryDef] = Seq(
     q_user_growth, q_snapshot_diff, q_wow_change, q_bursts, q_trend_slope,
     q_drawdown, q_rfm, q_type_gini, q_event_paths, q_mode_value,
-    q_frequent_paths, q_rolling_distinct,
+    q_frequent_paths, q_rolling_distinct, q_seasonality,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_tolerance, q_hll_distinct,
