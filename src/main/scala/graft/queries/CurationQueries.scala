@@ -797,6 +797,41 @@ object CurationQueries {
     }
   }
 
+  /** Duplication-cluster size histogram: how many near-dup groups of
+    * each size the corpus contains (singletons included) — the
+    * one-glance duplication health chart built ON TOP of the certified
+    * CC group labels (q_dedup_groups' oracle closure reused verbatim),
+    * so the histogram inherits the transitive-grouping certification.
+    * Two tiny re-aggregations after the group labels; output is
+    * max-cluster-size-bounded.
+    */
+  val q_dup_cluster_sizes = QueryDef(
+    "q_dup_cluster_sizes", {
+      s"""WITH RECURSIVE ${DedupOps.minhashPairsSqlCtes(0.8)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT src AS id FROM edges),
+         |reach AS (
+         |  SELECT id, id AS rid FROM nodes
+         |  UNION
+         |  SELECT r.id, e.dst AS rid FROM reach r JOIN edges e ON e.src = r.rid),
+         |lbl AS (SELECT id, MIN(rid) AS grp FROM reach GROUP BY id),
+         |g AS (
+         |  SELECT COALESCE(l.grp, d.doc_id) AS grp
+         |  FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id),
+         |sizes AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY 1)
+         |SELECT c AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(SUM(c) AS BIGINT) AS n_docs
+         |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin
+    }) { (spark, dir) =>
+    DedupOps.dedupGroups(Tables.documents(spark, dir), "doc_id", "text", 0.8)
+      .groupBy(col("group_id")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("c")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Dataset-card profile: the per-source / per-lang / marginal /
     * grand-total corpus statistics a dataset release documents, in ONE
     * pass via explicit GROUPING SETS (one Expand, four subtotal
@@ -837,5 +872,5 @@ object CurationQueries {
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
     q_hll_overlap, q_pii_scrub, q_soft_dedup_sample, q_bigram_lm,
     q_dataset_split, q_group_split, q_host_caps, q_doc_chunks,
-    q_canonical_docs, q_dataset_card)
+    q_canonical_docs, q_dataset_card, q_dup_cluster_sizes)
 }

@@ -1356,6 +1356,42 @@ object EventsMore {
       .orderBy(col("user_id"))
   }
 
+  /** Repeat-purchase cadence: gaps between each user's consecutive
+    * purchases, summarized with count / exact median / min / max —
+    * the retention-cadence statistic. Median of integer gap seconds
+    * is exact on both engines (avg of two middles = .5-exact); no
+    * interpolated quantiles cross the engine boundary.
+    */
+  val q_repeat_purchase = QueryDef(
+    "q_repeat_purchase",
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      |      PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT (us - prev) // 1000000 AS gap_sec FROM p
+      |  WHERE prev IS NOT NULL)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+      |  median(gap_sec) AS median_gap_sec,
+      |  CAST(MIN(gap_sec) AS BIGINT) AS min_gap_sec,
+      |  CAST(MAX(gap_sec) AS BIGINT) AS max_gap_sec
+      |FROM g""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"),
+        col("event_id"))
+      .withColumn("prev", lag(col("us"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(expr("(us - prev) div 1000000").as("gap_sec"))
+      .agg(count(lit(1)).as("n_gaps"),
+        expr("percentile(gap_sec, 0.5)").as("median_gap_sec"),
+        min(col("gap_sec")).as("min_gap_sec"),
+        max(col("gap_sec")).as("max_gap_sec"))
+  }
+
   /** Weekday×hour seasonality heatmap with exact integer traffic
     * shares — the load-profile matrix behind capacity planning and
     * the reference dashboard's time-of-day charts. One grouping pass;
@@ -1641,7 +1677,7 @@ object EventsMore {
   val all: Seq[QueryDef] = Seq(
     q_user_growth, q_snapshot_diff, q_wow_change, q_bursts, q_trend_slope,
     q_drawdown, q_rfm, q_type_gini, q_event_paths, q_mode_value,
-    q_frequent_paths, q_rolling_distinct, q_seasonality,
+    q_frequent_paths, q_rolling_distinct, q_seasonality, q_repeat_purchase,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_tolerance, q_hll_distinct,
