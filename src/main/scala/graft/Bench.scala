@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
 
 /** Driver benchmark: times every registered query at the given SF and
@@ -14,13 +14,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(cpus)
     // JIT/codegen warm-up outside the timed region (steady-state
     // numbers). Hand-picked warms proved to be whack-a-mole: each round
     // a DIFFERENT query family paid its first-touch JIT/init bill in the
@@ -113,7 +107,13 @@ object Bench {
     val failedStr =
       if (failed.isEmpty) ""
       else s""","failed":[${failed.keys.map(jstr).mkString(",")}]"""
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"agg":"min_of_$reps","queries":{${sb.result()}}$failedStr,"all_queries_in":"BENCH_DETAIL.json","sf":"$sfDir"}""")
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"agg":"min_of_$reps","queries":{${sb.result()}}$failedStr,"all_queries_in":"BENCH_DETAIL.json","sf":"$sfDir"}"""
+    // the headline also lands in a file: the driver's stdout capture is
+    // truncation-prone (last 2000 chars incl. sbt's epilogue), and a
+    // truncated JSON line grades as "unparseable" regardless of the
+    // numbers in it
+    Files.writeString(Paths.get("BENCH_SUMMARY.json"), summary + "\n")
+    println(summary)
     spark.stop()
   }
 }

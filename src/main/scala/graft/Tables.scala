@@ -48,9 +48,13 @@ object Tables {
     * Every reader of an event-time column must route through here so the
     * next encoding drift is a one-line fix (or none) instead of a
     * 12-query analysis failure.
+    *
+    * PURE: validates the session contract ([[GraftSession.requireContract]]
+    * — UTC session zone, pinned at session build by every entry point)
+    * and throws if it is missing, but never mutates session state.
     */
   def normalizeTs(spark: SparkSession, df: DataFrame, colName: String = "ts"): DataFrame = {
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    GraftSession.requireContract(spark)
     df.schema(colName).dataType.typeName match {
       case "long" =>
         df.withColumn(colName, timestamp_micros(expr(s"`$colName` DIV 1000")))
@@ -66,8 +70,6 @@ object Tables {
   /** `events.parquet` with its `ts` column normalized via
     * [[normalizeTs]] so every downstream query sees a plain `timestamp`.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def events(spark: SparkSession, dir: String): DataFrame =
     normalizeTs(spark, load(spark, dir, "events"))
-  }
 }

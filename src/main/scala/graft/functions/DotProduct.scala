@@ -83,40 +83,44 @@ object GraftFunctions {
     require(exprs.length == n,
       s"$fn expects $n argument(s), got ${exprs.length}")
 
+  /** Idempotent per session: re-registering an identical builder is a
+    * no-op (guarded on `functionExists`), so the hot ops that call
+    * `register` defensively on every invocation no longer spam
+    * `SimpleFunctionRegistry ... replaced` WARNs — and the bench/driver
+    * stdout stays machine-parseable. A concurrent first call can at
+    * worst race two threads into `createOrReplaceTempFunction`, which
+    * is itself thread-safe (one benign WARN, same binding).
+    */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", exprs => { arity(exprs, "dot_product", 2)
-        DotProduct(exprs(0), exprs(1)) }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => { arity(exprs, "shingle_hashes", 2)
-        ShingleHashes(exprs(0), constInt(exprs(1), "shingle_hashes", 1)) },
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_sig", exprs => { arity(exprs, "hyperplane_sig", 3)
+    val registry = spark.sessionState.functionRegistry
+    def reg(name: String,
+        builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+    reg("dot_product", exprs => { arity(exprs, "dot_product", 2)
+        DotProduct(exprs(0), exprs(1)) })
+    reg("shingle_hashes", exprs => { arity(exprs, "shingle_hashes", 2)
+        ShingleHashes(exprs(0), constInt(exprs(1), "shingle_hashes", 1)) })
+    reg("hyperplane_sig", exprs => { arity(exprs, "hyperplane_sig", 3)
         HyperplaneSig(exprs(0),
           constInt(exprs(1), "hyperplane_sig", 1),
-          constInt(exprs(2), "hyperplane_sig", 2)) }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "byte_stats", exprs => { arity(exprs, "byte_stats", 1)
-        ByteStats(exprs(0)) }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash_fp", exprs => { arity(exprs, "simhash_fp", 2)
-        SimHashFp(exprs(0), constInt(exprs(1), "simhash_fp", 1)) }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "tokenize_ws", exprs => { arity(exprs, "tokenize_ws", 1)
-        TokenizeWs(exprs(0)) }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hashed_embed", exprs => { arity(exprs, "hashed_embed", 1)
-        HashedEmbed(exprs(0)) }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "word_hashes", exprs => { arity(exprs, "word_hashes", 1)
-        WordHashes(exprs(0)) }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "md5_poly8", exprs => { arity(exprs, "md5_poly8", 1)
-        Md5Poly8(exprs(0)) }, "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_pos_hashes", exprs => { arity(exprs, "shingle_pos_hashes", 2)
+          constInt(exprs(2), "hyperplane_sig", 2)) })
+    reg("byte_stats", exprs => { arity(exprs, "byte_stats", 1)
+        ByteStats(exprs(0)) })
+    reg("simhash_fp", exprs => { arity(exprs, "simhash_fp", 2)
+        SimHashFp(exprs(0), constInt(exprs(1), "simhash_fp", 1)) })
+    reg("tokenize_ws", exprs => { arity(exprs, "tokenize_ws", 1)
+        TokenizeWs(exprs(0)) })
+    reg("hashed_embed", exprs => { arity(exprs, "hashed_embed", 1)
+        HashedEmbed(exprs(0)) })
+    reg("word_hashes", exprs => { arity(exprs, "word_hashes", 1)
+        WordHashes(exprs(0)) })
+    reg("md5_poly8", exprs => { arity(exprs, "md5_poly8", 1)
+        Md5Poly8(exprs(0)) })
+    reg("shingle_pos_hashes", exprs => { arity(exprs, "shingle_pos_hashes", 2)
         ShinglePosHashes(exprs(0),
-          constInt(exprs(1), "shingle_pos_hashes", 1)) }, "built-in")
+          constInt(exprs(1), "shingle_pos_hashes", 1)) })
   }
 }

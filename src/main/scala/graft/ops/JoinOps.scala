@@ -161,26 +161,47 @@ object JoinOps {
     *
     * Inputs: (`aId`, `aStart`, `aEnd`) / (`bId`, `bStart`, `bEnd`),
     * all LongType units; empty intervals dropped. Output: the id
-    * pairs plus overlap bounds (`ov_start`, `ov_end`).
+    * pairs (named `aId`/`bId`, which must therefore differ — alias
+    * one side for a self-overlap-join) plus overlap bounds
+    * (`ov_start`, `ov_end`). Both sides are internally re-aliased to
+    * disjoint fresh names before the join, so the two inputs may
+    * freely share column names (the common self-join case) or already
+    * carry a `_bkt` column — neither makes the join condition
+    * ambiguous.
     */
   def intervalOverlapJoin(
       a: DataFrame, aId: String, aStart: String, aEnd: String,
       b: DataFrame, bId: String, bStart: String, bEnd: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1L, s"bucketWidth must be >= 1 (got $bucketWidth)")
+    require(aId != bId,
+      s"intervalOverlapJoin: output id columns must be distinct (both `$aId`)" +
+        " — alias one side's id before joining")
     def bstart(x: org.apache.spark.sql.Column) = x - pmod(x, lit(bucketWidth))
+    // collision-proof internal names (same deterministic-suffix pattern
+    // as intervalJoin): the join condition references ONLY these, so
+    // identical input column names / a pre-existing _bkt cannot bind
+    // ambiguously
+    val taken = (a.columns ++ b.columns).toSet
+    val sfx = Iterator.from(0).map(i => if (i == 0) "" else "_" + i)
+      .find(s => Seq("_bkt", "_as", "_ae", "_bs", "_be").forall(c => !taken(c + s)))
+      .get
+    val (cBkt, cAs, cAe, cBs, cBe) =
+      ("_bkt" + sfx, "_as" + sfx, "_ae" + sfx, "_bs" + sfx, "_be" + sfx)
     def spread(df: DataFrame, s: String, e: String) = df
       .filter(col(e) > col(s))
-      .withColumn("_bkt", explode(sequence(
+      .withColumn(cBkt, explode(sequence(
         bstart(col(s)), bstart(col(e) - lit(1L)), lit(bucketWidth))))
-    val la = spread(a.select(col(aId), col(aStart), col(aEnd)), aStart, aEnd)
-    val lb = spread(b.select(col(bId), col(bStart), col(bEnd)), bStart, bEnd)
-    la.join(lb, la("_bkt") === lb("_bkt") &&
-        col(aStart) < col(bEnd) && col(bStart) < col(aEnd) &&
+    val la = spread(
+      a.select(col(aId), col(aStart).as(cAs), col(aEnd).as(cAe)), cAs, cAe)
+    val lb = spread(
+      b.select(col(bId), col(bStart).as(cBs), col(bEnd).as(cBe)), cBs, cBe)
+    la.join(lb, la(cBkt) === lb(cBkt) &&
+        col(cAs) < col(cBe) && col(cBs) < col(cAe) &&
         // canonical-bucket rule: exactly one surviving copy per pair
-        la("_bkt") === bstart(greatest(col(aStart), col(bStart))))
-      .select(col(aId), col(bId),
-        greatest(col(aStart), col(bStart)).as("ov_start"),
-        least(col(aEnd), col(bEnd)).as("ov_end"))
+        la(cBkt) === bstart(greatest(col(cAs), col(cBs))))
+      .select(la(aId), lb(bId),
+        greatest(col(cAs), col(cBs)).as("ov_start"),
+        least(col(cAe), col(cBe)).as("ov_end"))
   }
 }

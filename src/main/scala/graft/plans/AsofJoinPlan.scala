@@ -56,6 +56,10 @@ case class AsofJoinNode(
   * matches); right-side or mixed conjuncts stay above. From the left
   * child the built-in rules take over and carry the predicate to the
   * scan — PushedFilters reach parquet, asserted in JoinOpsSpec.
+  * Non-deterministic conjuncts (a `rand()` sampling filter) are NEVER
+  * pushed, matching Catalyst's own `PushDownPredicates` contract —
+  * moving one below the join changes how many times and against which
+  * row set it evaluates.
   */
 object AsofJoinPushdown
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
@@ -66,7 +70,7 @@ object AsofJoinPushdown
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, a: AsofJoinNode) =>
       val (pushable, rest) = splitConjunctivePredicates(cond)
-        .partition(_.references.subsetOf(a.left.outputSet))
+        .partition(c => c.deterministic && c.references.subsetOf(a.left.outputSet))
       if (pushable.isEmpty) f
       else {
         val node = a.copy(left = Filter(pushable.reduce(And), a.left))

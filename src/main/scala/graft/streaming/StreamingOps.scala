@@ -34,7 +34,6 @@ object StreamingOps {
     * strings, native TIMESTAMP).
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$dir/events.parquet"
     val raw = parquetStream(spark, path, spark.read.parquet(path).schema)
     graft.Tables.normalizeTs(spark, raw)

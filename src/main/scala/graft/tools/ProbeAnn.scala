@@ -14,12 +14,7 @@ import org.apache.spark.sql.functions._
 object ProbeAnn {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.GraftSession.local("32", "ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     val k = 10

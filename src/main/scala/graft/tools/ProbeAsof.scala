@@ -17,12 +17,7 @@ object ProbeAsof {
     val nLeft = args.headOption.map(_.toLong).getOrElse(5000000L)
     val nRight = args.drop(1).headOption.map(_.toLong).getOrElse(5000000L)
     val nKeys = 100000L
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.GraftSession.local("32", "ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     // deterministic scattered (key, ts) series; ts globally unique per

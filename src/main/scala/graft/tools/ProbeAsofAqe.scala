@@ -15,9 +15,7 @@ import org.apache.spark.sql.functions._
   */
 object ProbeAsofAqe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = graft.GraftSession.builder("local[8]", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256m")

@@ -11,12 +11,7 @@ import org.apache.spark.sql.functions._
 object ProbeDbscan {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local("32")
     def t[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[probe] $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s")

@@ -6,12 +6,7 @@ import org.apache.spark.sql.SparkSession
 object ProbePlan {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.01"
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.GraftSession.local("4", "ERROR")
     args.foreach { q =>
       println(s"===== $q =====")
       println(graft.SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan

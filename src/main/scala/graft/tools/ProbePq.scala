@@ -7,12 +7,7 @@ import org.apache.spark.sql.functions.col
 object ProbePq {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.GraftSession.local("8", "ERROR")
     val emb = graft.Tables.embeddings(spark, sfDir)
     val q = emb.filter(col("vec_id") < 10)
     val c = emb.filter(col("vec_id") >= 10)

@@ -15,12 +15,7 @@ object ProbeQuery {
       .getOrElse("/root/testdata/sf0.1")
     val names = args.filterNot(s => s.startsWith("reps=") || s.startsWith("sf=")).toSeq
     require(names.nonEmpty, "usage: ProbeQuery <query...> [reps=N] [sf=DIR]")
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.GraftSession.local("32", "ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     try graft.SparkEntry.entry(spark).count() catch { case _: Throwable => () }

@@ -18,12 +18,7 @@ object ProbeScale {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(8)
     val sfDir = "/root/testdata/sf0.1"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.local("32")
 
     def t(name: String)(f: => Long): Long = {
       val t0 = System.nanoTime(); val r = f

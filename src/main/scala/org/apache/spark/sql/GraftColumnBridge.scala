@@ -53,21 +53,32 @@ object GraftPlanBridge {
   /** Idempotently install an extra planner strategy on the session —
     * the in-process equivalent of
     * `spark.sql.extensions=graft.GraftExtensions` for deploys that
-    * build their session first. */
+    * build their session first. The check-and-append is synchronized
+    * on the session's experimental-methods object: concurrent first
+    * use from parallel query threads (a parallel bench harness) would
+    * otherwise double-register (strategy consulted twice per plan) or
+    * drop one of two different strategies racing on the var.
+    */
   def installStrategy(spark: SparkSession,
       s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(s))
-      exp.extraStrategies = exp.extraStrategies :+ s
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
   }
 
   /** Idempotently install an extra optimizer rule on the session (the
-    * in-process counterpart of `injectOptimizerRule`). */
+    * in-process counterpart of `injectOptimizerRule`); synchronized
+    * like [[installStrategy]] — a double-registered rule RUNS twice
+    * per optimizer batch. */
   def installRule(spark: SparkSession,
       r: org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraOptimizations.contains(r))
-      exp.extraOptimizations = exp.extraOptimizations :+ r
+    exp.synchronized {
+      if (!exp.extraOptimizations.contains(r))
+        exp.extraOptimizations = exp.extraOptimizations :+ r
+    }
   }
 }
