@@ -73,14 +73,28 @@ object JoinOps {
     * session (cluster deploys can use
     * `spark.sql.extensions=graft.GraftExtensions` instead).
     *
-    * Key and ts columns must be LongType; the right side is re-aliased
-    * internally so a self-join (both sides derived from one table —
-    * the common case) never presents duplicate attribute ids to the
-    * custom node.
+    * Keys: one or more columns of any orderable atomic type (long,
+    * string, date, …); ts: LongType epoch-micros, TIMESTAMP, or
+    * TIMESTAMP_NTZ. NULL keys/timestamps follow SQL semantics (never
+    * match; left rows survive with null right values). The right side
+    * is re-aliased internally so a self-join (both sides derived from
+    * one table — the common case) never presents duplicate attribute
+    * ids to the custom node.
     */
   def asofJoinNative(
       left: DataFrame, right: DataFrame,
       keyCol: String, leftTsCol: String, rightTsCol: String,
+      rightValCols: Seq[String]): DataFrame =
+    asofJoinNativeKeys(left, right, Seq(keyCol), leftTsCol, rightTsCol,
+      rightValCols)
+
+  /** [[asofJoinNative]] with a COMPOSITE key — the feature-store shape
+    * (entity × feature-group, user × event-type, …). Both sides must
+    * carry every key column under the same name.
+    */
+  def asofJoinNativeKeys(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTsCol: String, rightTsCol: String,
       rightValCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.{GraftPlanBridge => B}
     val spark = left.sparkSession
@@ -95,7 +109,7 @@ object JoinOps {
         throw new IllegalArgumentException(s"asofJoinNative: no column `$name`"))
     B.ofRows(spark, graft.plans.AsofJoinNode(
       lPlan, rPlan,
-      attr(lPlan, keyCol), attr(rPlan, keyCol),
+      keyCols.map(attr(lPlan, _)), keyCols.map(attr(rPlan, _)),
       attr(lPlan, leftTsCol), attr(rPlan, rightTsCol),
       rightValCols.map(attr(rPlan, _))))
   }

@@ -2,11 +2,11 @@ package graft.plans
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** Native whole-operator as-of join — SURVEY §7.3 ladder step (c):
   * a custom logical node, planner strategy, and physical exec,
@@ -17,10 +17,21 @@ import org.apache.spark.sql.types.LongType
   * against DuckDB's native ASOF LEFT JOIN): every left row picks the
   * LATEST right row with `right.ts <= left.ts` (inclusive) within the
   * same key; left rows with no predecessor emit null right values.
+  * SQL NULL semantics: a NULL in any key column or in the timestamp
+  * NEVER matches — such left rows still survive (LEFT-join contract)
+  * with null right values, and such right rows are skipped — exactly
+  * what an equi-join predicate plus `ts >= ts` would do.
+  *
+  * Keys: one or MORE columns of any orderable atomic type (long,
+  * string, date, decimal, …) — both sides' key lists must line up
+  * pairwise in type. Timestamps: LongType (epoch-micros by
+  * convention), TIMESTAMP, or TIMESTAMP_NTZ — the latter two are
+  * micros-backed in Tungsten rows, so the exec normalizes all three
+  * to a primitive long read; no conversion pass.
   *
   * Why a physical operator beats the union+window composition: the
-  * exec declares `requiredChildDistribution` (hash on key, both
-  * sides) and `requiredChildOrdering` ((key, ts) ascending), so
+  * exec declares `requiredChildDistribution` (hash on keys, both
+  * sides) and `requiredChildOrdering` ((keys…, ts) ascending), so
   * Catalyst plans exactly one co-partitioned exchange per side plus
   * per-partition sorts — then the join itself is a single streaming
   * two-pointer merge holding ONE buffered right row: no union row
@@ -30,13 +41,24 @@ import org.apache.spark.sql.types.LongType
   */
 case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     rightVals: Seq[Attribute]) extends BinaryNode {
-  require(leftKey.dataType == LongType && rightKey.dataType == LongType &&
-    leftTs.dataType == LongType && rightTs.dataType == LongType,
-    "asof-join native operator: key and ts columns must be LongType " +
-      "(epoch-micros / integer keys — the engine's event contract)")
+  require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+    "asof-join: need at least one key column and equally many on both sides")
+  leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
+    require(lk.dataType == rk.dataType,
+      s"asof-join: key type mismatch ${lk.name}:${lk.dataType.simpleString}" +
+        s" vs ${rk.name}:${rk.dataType.simpleString}")
+    require(RowOrdering.isOrderable(lk.dataType),
+      s"asof-join: key ${lk.name}:${lk.dataType.simpleString} is not orderable")
+  }
+  private def tsOk(dt: DataType) =
+    dt == LongType || dt == TimestampType || dt == TimestampNTZType
+  require(tsOk(leftTs.dataType) && tsOk(rightTs.dataType),
+    "asof-join: ts columns must be LongType (epoch-micros), TIMESTAMP, " +
+      s"or TIMESTAMP_NTZ — got ${leftTs.dataType.simpleString} / " +
+      s"${rightTs.dataType.simpleString}")
   override def output: Seq[Attribute] =
     left.output ++ rightVals.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -83,23 +105,23 @@ object AsofJoinPushdown
   * through to the built-in strategies. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lts, rts, rv) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv) :: Nil
+    case AsofJoinNode(l, r, lks, rks, lts, rts, rv) =>
+      AsofJoinExec(planLater(l), planLater(r), lks, rks, lts, rts, rv) :: Nil
     case _ => Nil
   }
 }
 
 case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
-    leftKey: Attribute, rightKey: Attribute,
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
     rightVals: Seq[Attribute]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ rightVals.map(_.withNullability(true))
 
-  // hash-cluster both sides on the key (EnsureRequirements co-partitions
-  // them, exactly as it does for SortMergeJoin) and sort (key, ts) —
+  // hash-cluster both sides on the keys (EnsureRequirements co-partitions
+  // them, exactly as it does for SortMergeJoin) and sort (keys…, ts) —
   // the operator itself is then a single streaming merge pass.
   // AQE interaction (ProbeAsofAqe, forced-coalescing audit): AQE does
   // NOT insert coalesced shuffle reads under an unknown exec, so the
@@ -107,30 +129,39 @@ case class AsofJoinExec(
   // of the zipped partitions is guaranteed, at the cost of running at
   // the configured shuffle partition count (no runtime coalesce).
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(Seq(leftKey)) ::
-      ClusteredDistribution(Seq(rightKey)) :: Nil
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // Ascending defaults to NULLS FIRST — the merge relies on that: all
+  // null-keyed/null-ts rows of a group sort before any matchable row,
+  // so skipping them never strands buffered right state.
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTs, Ascending))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] =
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTs, Ascending)
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
     copy(left = newLeft, right = newRight)
 
   protected override def doExecute(): RDD[InternalRow] = {
-    val lKeyOrd = left.output.indexWhere(_.exprId == leftKey.exprId)
-    val lTsOrd = left.output.indexWhere(_.exprId == leftTs.exprId)
-    val rKeyOrd = right.output.indexWhere(_.exprId == rightKey.exprId)
-    val rTsOrd = right.output.indexWhere(_.exprId == rightTs.exprId)
-    require(lKeyOrd >= 0 && lTsOrd >= 0 && rKeyOrd >= 0 && rTsOrd >= 0,
-      "asof-join: key/ts attributes must come from the respective child")
+    def ordsIn(attrs: Seq[Attribute], child: Seq[Attribute]): Array[Int] = {
+      val o = attrs.map(a => child.indexWhere(_.exprId == a.exprId)).toArray
+      require(o.forall(_ >= 0),
+        "asof-join: key/ts attributes must come from the respective child")
+      o
+    }
+    val lKeyOrds = ordsIn(leftKeys, left.output)
+    val rKeyOrds = ordsIn(rightKeys, right.output)
+    val lTsOrd = ordsIn(Seq(leftTs), left.output)(0)
+    val rTsOrd = ordsIn(Seq(rightTs), right.output)(0)
+    val keyTypes = leftKeys.map(_.dataType)
     val rightSchema = right.output
     val leftSchema = left.output
+    val lKeyAttrs = leftKeys
+    val rKeyAttrs = rightKeys
     val rvAttrs = rightVals
     // bind the output projection against NULLABLE right-value attrs:
     // unmatched left rows read from an all-null row, and a
@@ -140,39 +171,71 @@ case class AsofJoinExec(
     val outAttrs = output
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      // all codegen'd artifacts are created HERE, per partition — a
+      // generated projection/ordering captured on the driver would have
+      // to survive serialization
+      val lKeyProj = UnsafeProjection.create(lKeyAttrs, leftSchema)
+      val rKeyProj = UnsafeProjection.create(rKeyAttrs, rightSchema)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val rValProj = UnsafeProjection.create(rvAttrs, rightSchema)
       val outProj = UnsafeProjection.create(outAttrs, leftSchema ++ rvNullable)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rvAttrs.size)
+      def anyKeyNull(row: InternalRow, ords: Array[Int]): Boolean = {
+        var i = 0
+        while (i < ords.length) {
+          if (row.isNullAt(ords(i))) return true
+          i += 1
+        }
+        false
+      }
 
       new Iterator[InternalRow] {
-        // one-row lookahead into the right side; `lastVals` is the
-        // latest right row at-or-before the current left timestamp for
-        // the CURRENT key — the operator's entire join state
+        // one-row lookahead into the right side (null-keyed/null-ts
+        // right rows are unmatchable under SQL semantics and skipped at
+        // the source); `lastVals` is the latest right row at-or-before
+        // the current left timestamp for the CURRENT key — the
+        // operator's entire join state
         private var rBuf: InternalRow = advanceRight()
-        private var lastKey = 0L
+        private var lastKey: InternalRow = null
         private var haveLast = false
         private var lastVals: InternalRow = null
 
-        private def advanceRight(): InternalRow =
-          if (rIt.hasNext) rIt.next() else null
+        private def advanceRight(): InternalRow = {
+          while (rIt.hasNext) {
+            val r = rIt.next()
+            if (!anyKeyNull(r, rKeyOrds) && !r.isNullAt(rTsOrd)) return r
+          }
+          null
+        }
 
         override def hasNext: Boolean = lIt.hasNext
 
         override def next(): InternalRow = {
           val l = lIt.next()
-          val lk = l.getLong(lKeyOrd)
+          if (anyKeyNull(l, lKeyOrds) || l.isNullAt(lTsOrd)) {
+            // NULL never matches; the left row still survives. State is
+            // untouched — these rows sort FIRST in their group (nulls
+            // first), so no matchable row's merge position is affected.
+            joined(l, nullRight)
+            return outProj(joined)
+          }
+          val lk = lKeyProj(l) // reused buffer, valid until next l
           val lt = l.getLong(lTsOrd)
-          if (haveLast && lastKey != lk) { haveLast = false; lastVals = null }
+          if (haveLast && keyOrd.compare(lastKey, lk) != 0) {
+            haveLast = false; lastVals = null
+          }
           var continue = rBuf != null
           while (continue) {
-            val rk = rBuf.getLong(rKeyOrd)
-            if (rk < lk || (rk == lk && rBuf.getLong(rTsOrd) <= lt)) {
-              if (rk == lk) {
+            val rk = rKeyProj(rBuf) // reused buffer, valid until advance
+            val c = keyOrd.compare(rk, lk)
+            if (c < 0 || (c == 0 && rBuf.getLong(rTsOrd) <= lt)) {
+              if (c == 0) {
                 // UnsafeProjection reuses its buffer — copy the one row
-                // we retain (the only allocation per match-advance)
+                // (and its key) we retain: the only per-match-advance
+                // allocations
                 lastVals = rValProj(rBuf).copy()
-                lastKey = lk
+                lastKey = rk.copy()
                 haveLast = true
               }
               rBuf = advanceRight()

@@ -118,6 +118,122 @@ object EventsMore {
       .orderBy(col("purchase_id"))
   }
 
+  /** STRING-keyed native as-of join — the common feature-store case
+    * (entity keys are opaque strings in production, not longs). Same
+    * custom exec ([[graft.plans.AsofJoinExec]]); the generalized merge
+    * compares projected key rows under a natural ordering instead of a
+    * primitive long, so string/composite keys keep the identical
+    * one-buffered-row state. Certified against the same DuckDB ASOF
+    * LEFT JOIN oracle family, with VARCHAR keys.
+    */
+  val q_asof_native_str = QueryDef(
+    "q_asof_native_str",
+    """WITH clicks AS (
+      |  SELECT 'u' || CAST(user_id AS VARCHAR) AS uid,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |    MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, 'u' || CAST(user_id AS VARCHAR) AS uid,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.uid, c.click_id AS last_click_id
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.uid = c.uid AND p.purchase_us >= c.click_us
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+      .withColumn("uid", concat(lit("u"), col("user_id").cast("string")))
+      .withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("uid"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("uid"),
+        col("us").as("purchase_us"))
+    JoinOps.asofJoinNative(purchases, clicks,
+      keyCol = "uid", leftTsCol = "purchase_us", rightTsCol = "click_us",
+      rightValCols = Seq("click_id"))
+      .select(col("purchase_id"), col("uid"),
+        col("click_id").as("last_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** COMPOSITE-key native as-of join (long × string key): each order
+    * joined to the customer's latest STRICTLY EARLIER order total with
+    * the same order status — "previous state of this exact entity
+    * slice", the SCD-lookup shape. Strictly-earlier is expressed
+    * inside the inclusive operator by lagging the probe timestamp one
+    * day (`pday = day - 1`), so the exec itself stays one code path.
+    * Day numbers ride as epoch-day longs; right side pre-aggregated
+    * unique per (key, day) per the as-of contract.
+    */
+  val q_asof_native_multi = QueryDef(
+    "q_asof_native_multi",
+    """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+      |    o_totalprice FROM orders),
+      |r AS (SELECT o_custkey, o_orderstatus, day, MAX(o_totalprice) AS prev_total
+      |      FROM o GROUP BY 1,2,3)
+      |SELECT l.o_orderkey, l.o_custkey, l.o_orderstatus,
+      |  r.prev_total, r.day AS prev_day
+      |FROM (SELECT *, day - 1 AS pday FROM o) l
+      |ASOF LEFT JOIN r ON l.o_custkey = r.o_custkey
+      |  AND l.o_orderstatus = r.o_orderstatus AND l.pday >= r.day
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      unix_date(col("o_orderdate").cast("date")).cast("long").as("day"),
+      col("o_totalprice"))
+    val r = o.groupBy(col("o_custkey"), col("o_orderstatus"), col("day"))
+      .agg(max(col("o_totalprice")).as("prev_total"))
+    val l = o.withColumn("pday", col("day") - 1L)
+    JoinOps.asofJoinNativeKeys(
+      l, r.withColumnRenamed("day", "rday"),
+      keyCols = Seq("o_custkey", "o_orderstatus"),
+      leftTsCol = "pday", rightTsCol = "rday",
+      rightValCols = Seq("prev_total", "rday"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("prev_total"), col("rday").as("prev_day"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Native as-of join over raw TIMESTAMP columns — no epoch-micros
+    * prep: the exec reads TIMESTAMP/TIMESTAMP_NTZ through their
+    * Tungsten micros representation directly, so the common "join on
+    * the event-time column as-is" call needs no conversion pass on
+    * either side.
+    */
+  val q_asof_native_ts = QueryDef(
+    "q_asof_native_ts",
+    """WITH clicks AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts,
+      |    MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    CAST(ts AS TIMESTAMP) AS purchase_ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.purchase_ts,
+      |  c.click_ts AS last_click_ts, c.click_id AS last_click_id
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("click_ts"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    JoinOps.asofJoinNative(purchases, clicks,
+      keyCol = "user_id", leftTsCol = "purchase_ts", rightTsCol = "click_ts",
+      rightValCols = Seq("click_ts", "click_id"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("click_ts").as("last_click_ts"),
+        col("click_id").as("last_click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** As-of join WITH TOLERANCE — the feature-store freshness contract:
     * a match staler than 1 hour is as good as no match, so its value
     * columns are masked NULL while the left row survives (LEFT-join
@@ -1680,7 +1796,8 @@ object EventsMore {
     q_frequent_paths, q_rolling_distinct, q_seasonality, q_repeat_purchase,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
-    q_rollup_counts, q_asof_join, q_asof_native, q_asof_tolerance, q_hll_distinct,
+    q_rollup_counts, q_asof_join, q_asof_native, q_asof_native_str,
+    q_asof_native_multi, q_asof_native_ts, q_asof_tolerance, q_hll_distinct,
     q_rank_dist, q_robust_stats,
     q_funnel, q_retention, q_markov, q_topk_daily, q_scd2,
     q_time_weighted, q_grouping_sets, q_cdc_apply, q_rolling_median,

@@ -134,6 +134,115 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(800))
   }
 
+  test("native asof with STRING keys ≡ union+window asof; plans AsofJoinExec") {
+    import spark.implicits._
+    def series(tag: Int, n: Int) = (0 until n).map { i =>
+      val h = i * 2654435761L + tag * 97L
+      (s"key-${math.abs(h) % 7}", math.abs(h / 11) % 50, s"v$tag-$i")
+    }
+    val left = series(1, 80).toDF("k", "ts", "pid")
+    val right = series(2, 60).toDF("k", "ts", "rid")
+      .groupBy("k", "ts").agg(org.apache.spark.sql.functions.max("rid").as("rid"))
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "ts", "pid", "rid")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3))))
+      .sortBy(t => (t._1, t._2, t._3))
+    val viaWindow = norm(JoinOps.asofJoin(left, right,
+      keyCol = "k", leftTsCol = "ts", rightTsCol = "ts",
+      rightValCols = Seq("rid")))
+    val native = JoinOps.asofJoinNative(left, right,
+      keyCol = "k", leftTsCol = "ts", rightTsCol = "ts",
+      rightValCols = Seq("rid"))
+    val gotNative = norm(native)
+    assert(gotNative === viaWindow)
+    assert(gotNative.exists(_._4.isEmpty) && gotNative.exists(_._4.nonEmpty))
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin") && !plan.contains("Window"), plan.take(800))
+  }
+
+  test("native asof with COMPOSITE (long, string) keys ≡ brute force; plans AsofJoinExec") {
+    import spark.implicits._
+    def series(tag: Int, n: Int) = (0 until n).map { i =>
+      val h = i * 2654435761L + tag * 131L
+      (math.abs(h) % 4, s"t${math.abs(h / 5) % 3}", math.abs(h / 11) % 40,
+        tag * 1000L + i)
+    }
+    val ls = series(1, 90)
+    val rs = series(2, 70)
+      // unique per (keys, ts): keep the max id per slot
+      .groupBy(t => (t._1, t._2, t._3)).values.map(_.maxBy(_._4)).toSeq
+    val left = ls.toDF("k1", "k2", "ts", "lid")
+    val right = rs.toDF("k1", "k2", "ts", "rid")
+    val native = JoinOps.asofJoinNativeKeys(left, right,
+      keyCols = Seq("k1", "k2"), leftTsCol = "ts", rightTsCol = "ts",
+      rightValCols = Seq("rid"))
+    val got = native.select("lid", "rid")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expected = ls.map { case (k1, k2, ts, lid) =>
+      val cands = rs.filter(r => r._1 == k1 && r._2 == k2 && r._3 <= ts)
+      lid -> (if (cands.isEmpty) None else Some(cands.maxBy(_._3)._4))
+    }.toMap
+    assert(got === expected)
+    assert(expected.values.exists(_.isEmpty) && expected.values.exists(_.nonEmpty))
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(800))
+  }
+
+  test("native asof NULL semantics: null keys/ts never match, left rows survive") {
+    import spark.implicits._
+    val left = Seq(
+      (Option(1L), Option(100L), "match"),     // normal match
+      (Option.empty[Long], Option(100L), "nullkey"), // NULL key: no match
+      (Option(1L), Option.empty[Long], "nullts"),    // NULL ts: no match
+      (Option(3L), Option(100L), "nulldata")   // key whose right rows are all null-ts
+    ).toDF("k", "ts", "pid")
+    val right = Seq(
+      (Option(1L), Option(50L), "r1"),
+      // null-keyed / null-ts right rows must be skipped, not matched
+      (Option.empty[Long], Option(50L), "rNullKey"),
+      (Option(3L), Option.empty[Long], "rNullTs")
+    ).toDF("k", "rts", "rid")
+    val got = JoinOps.asofJoinNative(left, right, "k", "ts", "rts", Seq("rid"))
+      .select("pid", "rid").collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(
+      "match" -> Some("r1"), "nullkey" -> None,
+      "nullts" -> None, "nulldata" -> None))
+  }
+
+  test("AsofJoinPushdown leaves non-deterministic predicates above the node") {
+    import org.apache.spark.sql.functions._
+    // parquet-backed inputs: over a LocalRelation, Catalyst evaluates
+    // filters at plan time and this test would observe nothing
+    val ev = Tables.events(spark, sf).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    val joined = JoinOps.asofJoinNative(purchases, clicks,
+      "user_id", "purchase_us", "click_us", Seq("click_id"))
+    // a rand()-based conjunct must NOT be pushed below the join
+    // (Catalyst's own PushDownPredicates refuses the same move); the
+    // deterministic conjunct still goes down
+    // NOT a tautology — Spark 4 constant-folds rand() range tautologies
+    // (rand >= 0.0) clean out of the plan before any pushdown runs
+    val filtered = joined.filter(rand(7L) < 0.999 && col("user_id") < 7L)
+    val optimized = filtered.queryExecution.optimizedPlan.toString
+    val randIdx = optimized.indexOf("rand(")
+    val nodeIdx = optimized.indexOf("AsofJoinNode")
+    assert(randIdx >= 0 && nodeIdx >= 0 && randIdx < nodeIdx,
+      "rand() predicate was pushed below the as-of node:\n" + optimized.take(1500))
+    // the deterministic conjunct DID get pushed below the node
+    val pushedIdx = optimized.indexOf("user_id", nodeIdx)
+    assert(pushedIdx > nodeIdx, optimized.take(1500))
+    // sampling above the join can only ever REMOVE output rows
+    assert(filtered.count() <= joined.filter(col("user_id") < 7L).count())
+  }
+
   test("intervalOverlapJoin ≡ brute theta join for every bucket width, no dup pairs") {
     import spark.implicits._
     // deterministic scattered intervals, spans from 0 (dropped) to
@@ -158,6 +267,27 @@ class JoinOpsSpec extends AnyFunSuite {
       assert(got.length === got.toSet.size, s"dup pairs at width=$w")
       assert(got.toSet === brute, s"width=$w")
     }
+  }
+
+  test("intervalOverlapJoin: shared column names and pre-existing _bkt don't collide") {
+    import spark.implicits._
+    // SELF-overlap-join shape: both sides carry identical column names
+    // (s, e) plus a column literally named _bkt — the internal aliasing
+    // must keep the join condition unambiguous
+    val df = Seq((1L, 0L, 10L, 99L), (2L, 5L, 15L, 98L), (3L, 20L, 30L, 97L))
+      .toDF("id", "s", "e", "_bkt")
+    val got = JoinOps.intervalOverlapJoin(
+      df, "id", "s", "e",
+      df.withColumnRenamed("id", "id2"), "id2", "s", "e", 7L)
+      .select("id", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute: [0,10)x[0,10) overlap, [0,10)x[5,15), [5,15)x[5,15), [20,30) self
+    val brute = Set((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 3L))
+    assert(got === brute)
+    // same output id name on both sides is rejected loudly, not silently wrong
+    val err = intercept[IllegalArgumentException] {
+      JoinOps.intervalOverlapJoin(df, "id", "s", "e", df, "id", "s", "e", 7L)
+    }
+    assert(err.getMessage.contains("distinct"))
   }
 
   test("degenerate inputs: empty right side, empty graph, empty corpus") {
