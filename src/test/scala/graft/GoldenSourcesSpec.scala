@@ -154,6 +154,27 @@ class GoldenSourcesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("ts") && err.getMessage.contains("double"))
   }
 
+  test("table readers are pure: no session-conf mutation, non-UTC fails fast") {
+    // the session contract (UTC zone, nanosAsLong) is pinned at BUILD
+    // time by GraftSession; a reader that flips session confs breaks
+    // session co-tenants and makes read order semantically significant
+    val before = spark.conf.getAll
+    Tables.events(spark, TestSpark.sf).count()
+    graft.streaming.StreamingOps.eventsStream(spark, TestSpark.sf).schema
+    assert(spark.conf.getAll === before,
+      "a table read mutated session configuration")
+    // a session missing the contract is rejected loudly instead of
+    // silently fixed up (the old behavior) or silently misread
+    val rogue = spark.newSession()
+    rogue.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val err = intercept[IllegalArgumentException] {
+      Tables.events(rogue, TestSpark.sf)
+    }
+    assert(err.getMessage.contains("timeZone"))
+    // and the probe itself didn't touch the main session
+    assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
+  }
+
   test("CSV source: corrupt rows audited in PERMISSIVE, dropped in DROPMALFORMED") {
     // ingestion-robustness contract: a malformed feed never kills the
     // job — PERMISSIVE quarantines bad rows into _corrupt_record for

@@ -241,18 +241,32 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(cap)
   }
 
-  test("event table sink partitions by date and prunes") {
+  test("event table sink partitions by date and STRICTLY prunes the scan") {
     val out = tmpDir("evtbl")
     Sinks.writeEventTable(Tables.events(spark, sf), s"$out/events")
     val back = spark.read.parquet(s"$out/events")
     assert(back.count() === Tables.events(spark, sf).count())
-    val pruned = back.filter(col("event_date") === lit("2024-01-03").cast("date"))
-    val plan = pruned.queryExecution.executedPlan.toString
     assert(back.schema.fieldNames.contains("event_date"))
+    // pruning must be OBSERVABLE: multiple date partitions on disk
+    val totalPartitions = back.select("event_date").distinct().count()
+    assert(totalPartitions > 1, "need >1 date partition to observe pruning")
+    val pruned = back.filter(col("event_date") === lit("2024-01-03").cast("date"))
     assert(pruned.count() > 0)
-    // partition filter must appear as a partition-level predicate, not
-    // a data filter (pushed scan prunes directories)
-    assert(plan.contains("PartitionFilters") || !plan.contains("Filter"))
+    // the 100 TB data-skipping proof, asserted strictly: the date
+    // predicate must surface as a PARTITION filter on the scan node,
+    // and the scan's selected-partition count must be a strict subset
+    // of the directories on disk — not a data filter over a full scan.
+    // (The former string-match version passed vacuously on any plan
+    // whose text contained "PartitionFilters".)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.getOrElse(fail("no FileSourceScanExec under the pruned read"))
+    assert(scan.partitionFilters.nonEmpty,
+      "date predicate did not become a partition filter:\n" + scan)
+    val selected = scan.selectedPartitions.partitionCount
+    assert(selected >= 1 && selected < totalPartitions,
+      s"scan selected $selected of $totalPartitions partitions — pruning" +
+        " silently stopped")
   }
 
   test("upsertByKey keeps the latest version per key, updates win ties") {
