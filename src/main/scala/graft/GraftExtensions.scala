@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{ByteStats, DotProduct, HashedEmbed, HyperplaneSig, Md5Poly8, ShingleHashes, SimHashFp, TokenizeWs, WordHashes}
+import graft.functions.{ByteStats, DotProduct, HammingDist, HashedEmbed, HyperplaneSig, HyperplaneSketch, Md5Poly8, ShingleHashes, SimHashFp, TokenizeWs, WordHashes}
 
 /** Session-extension entry point: registers the engine's native
   * Catalyst expressions at session build time, so a cluster deploy can
@@ -29,6 +29,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HyperplaneSig(exprs.head,
         functions.GraftFunctions.constInt(exprs(1), "hyperplane_sig", 1),
         functions.GraftFunctions.constInt(exprs(2), "hyperplane_sig", 2))))
+    e.injectFunction((
+      new FunctionIdentifier("hyperplane_sketch"),
+      new ExpressionInfo(classOf[HyperplaneSketch].getName, "hyperplane_sketch"),
+      exprs => HyperplaneSketch(exprs.head,
+        functions.GraftFunctions.constInt(exprs(1), "hyperplane_sketch", 1),
+        functions.GraftFunctions.constInt(exprs(2), "hyperplane_sketch", 2))))
+    e.injectFunction((
+      new FunctionIdentifier("hamming_dist"),
+      new ExpressionInfo(classOf[HammingDist].getName, "hamming_dist"),
+      exprs => HammingDist(exprs.head, exprs(1))))
     e.injectFunction((
       new FunctionIdentifier("byte_stats"),
       new ExpressionInfo(classOf[ByteStats].getName, "byte_stats"),

@@ -107,6 +107,12 @@ object GraftFunctions {
         HyperplaneSig(exprs(0),
           constInt(exprs(1), "hyperplane_sig", 1),
           constInt(exprs(2), "hyperplane_sig", 2)) })
+    reg("hyperplane_sketch", exprs => { arity(exprs, "hyperplane_sketch", 3)
+        HyperplaneSketch(exprs(0),
+          constInt(exprs(1), "hyperplane_sketch", 1),
+          constInt(exprs(2), "hyperplane_sketch", 2)) })
+    reg("hamming_dist", exprs => { arity(exprs, "hamming_dist", 2)
+        HammingDist(exprs(0), exprs(1)) })
     reg("byte_stats", exprs => { arity(exprs, "byte_stats", 1)
         ByteStats(exprs(0)) })
     reg("simhash_fp", exprs => { arity(exprs, "simhash_fp", 2)

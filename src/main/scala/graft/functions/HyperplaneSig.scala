@@ -35,6 +35,57 @@ case class HyperplaneSig(child: Expression, bits: Int, dim: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd WIDE random-hyperplane sketch: like [[HyperplaneSig]] but
+  * `bits` may exceed 64 — the signature packs into `ceil(bits/64)`
+  * longs (`array<long>`), word w bit r = global plane i = w·64+r, with
+  * the SAME deterministic coefficient mix ([[HyperplaneSig.coeff]]),
+  * so word 0 of a 256-bit sketch is bit-identical to
+  * `HyperplaneSig(v, 64, dim)`. Wide sketches are the Hamming-rerank
+  * prefilter's substrate ([[graft.ops.SimilarityOps.sketchTopK]]):
+  * 256 bits ≈ 4 longs per vector vs 64 doubles — a 16× smaller scan,
+  * and the distance is POPCNT, not FMA.
+  */
+case class HyperplaneSketch(child: Expression, bits: Int, dim: Int)
+    extends UnaryExpression {
+  require(bits >= 1, s"sketch bits must be >= 1 (got $bits)")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSig.computeWide(input.asInstanceOf[ArrayData], bits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HyperplaneSig.computeWide($c, $bits, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Codegen'd Hamming distance between two packed `array<long>`
+  * sketches (per-word POPCNT of the XOR) — the prefilter metric; ~8
+  * integer ops for a 256-bit sketch vs 64 multiply-adds for the exact
+  * dot, the arithmetic edge the two-stage rerank spends on recall.
+  * Truncates to the shorter sketch (fixed-width sketch columns by
+  * construction). */
+case class HammingDist(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HyperplaneSig.hamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.HyperplaneSig.hamming($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object HyperplaneSig {
 
   /** h_i[d] in {-1, +1} from a murmur-style finalizer over the flat
@@ -47,6 +98,36 @@ object HyperplaneSig {
     x *= 0xff51afd7ed558ccdL
     x ^= x >>> 29
     if (((x >>> 16) & 1L) == 0L) 1.0 else -1.0
+  }
+
+  /** Wide signature: `ceil(bits/64)` packed words, global plane index
+    * (Java-static for codegen). */
+  def computeWide(a: ArrayData, bits: Int, dim: Int): ArrayData = {
+    val n = math.min(dim, a.numElements())
+    val words = (bits + 63) / 64
+    val out = new Array[Long](words)
+    var i = 0
+    while (i < bits) {
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += a.getDouble(d) * coeff(i, d, dim); d += 1 }
+      if (s > 0) out(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** POPCNT Hamming distance over packed sketches (Java-static for
+    * codegen). */
+  def hamming(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var h = 0
+    var i = 0
+    while (i < n) {
+      h += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    h
   }
 
   /** Full signature in one pass (Java-static for codegen). */

@@ -108,6 +108,79 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Hamming-sketch RADIUS prefilter + exact rerank — the recall
+    * frontier past bucketing methods on spread-out (near-isotropic)
+    * embeddings, where IVF/LSH recall ≈ candidate fraction by
+    * construction (no cell structure to exploit; measured in
+    * ProbeAnn). Every (query, corpus) pair is screened on a
+    * `bits`-bit hyperplane sketch (packed longs, POPCNT distance:
+    * ~bits/64 integer ops vs `dim` FMAs per exact dot — 16× less
+    * arithmetic at 256 bits / 64 dims); only pairs within
+    * `maxHamming` reach the exact cosine and the rank window, so the
+    * expensive dot AND the sort exchange both see only the survivor
+    * fraction. Unlike a top-C heap selection, the radius test is
+    * STATELESS — the whole prefilter stays inside one whole-stage-
+    * codegen'd pipeline (the same plan shape as [[bruteForceTopK]]
+    * plus one cheap conjunct), which is what actually beats the brute
+    * wall (an aggregate-based shortlist pays interpreted per-row heap
+    * updates on the full pair stream and loses at any scale where
+    * brute's stage is codegen'd).
+    *
+    * Choosing `maxHamming`: a pair at cosine s agrees per plane with
+    * p = 1 − arccos(s)/π, so its expected distance is bits·(1−p) with
+    * σ = sqrt(bits·p·(1−p)); unrelated pairs sit at bits/2. At 256
+    * bits, threshold 115 passes ≥98% of cos≥0.35 neighbors and ~5% of
+    * noise (recall ≥0.95 at ~0.05× exact-scoring cost, measured in
+    * ProbeAnn). Queries whose true k-th neighbor is weaker than the
+    * radius may return fewer than k rows — the radius is the recall
+    * contract.
+    *
+    * Fully deterministic and input-order invariant (sketches are
+    * deterministic, final ties break by neighbor id — spec'd); the
+    * DuckDB oracle replays sketch signs → per-pair Hamming → radius →
+    * exact rerank from the same literal hyperplane table
+    * (q_ann_sketch). At deploy scale the (id, sketch, vector) tuple
+    * behind the exchange is the stored index, materialized once.
+    */
+  def sketchTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bits: Int, dim: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= bits,
+      s"maxHamming must be in [0, $bits], got $maxHamming")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    // one broadcast row per query: id, sketch, vector, norm
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(expr("dot_product(qv, qv)")))
+      .filter(col("qn") > 0)
+      .withColumn("qsk", expr(s"hyperplane_sketch(qv, $bits, $dim)")))
+    // the corpus-side index tuple, materialized BEHIND an exchange:
+    // whole-stage codegen defers a stream-side projection to first
+    // use, which for a nested-loop join is INSIDE the per-broadcast-
+    // row loop — without the barrier the sketch is recomputed per
+    // (corpus, query) PAIR (measured 0.5 s → 12 s at 97.5k pairs;
+    // thread-dump pinned in computeWide).
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(expr("dot_product(cv, cv)")))
+      .filter(col("cn") > 0)
+      .withColumn("csk", expr(s"hyperplane_sketch(cv, $bits, $dim)"))
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+    val scored = c.crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        expr("hamming_dist(qsk, csk)") <= maxHamming)
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("dot_product(qv, cv)") / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** All-pairs cosine >= threshold (embedding near-duplicate surface,
     * `deduplication_consumer.py:198-222` batch semantics). Brute force
     * O(n²/2) — verification-scale tool; the LSH-bucketed variant below

@@ -448,7 +448,60 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private val SketchBits = 256
+  private val SketchRadius = 115
+
+  /** Hamming-sketch radius-prefiltered ANN
+    * ([[SimilarityOps.sketchTopK]]) — the ≥0.9-recall-below-brute-wall
+    * config from the ProbeAnn frontier (256-bit sketch, radius 115:
+    * recall 0.976 on the bench corpus at ~0.05× exact-scoring cost).
+    * Oracle: the ±1 hyperplane table is rendered as literals from the
+    * same mix function; DuckDB replays per-plane signs → per-pair
+    * disagreement count (≡ POPCNT of the packed XOR) → radius filter →
+    * exact cosine rerank. Deterministic ties (neighbor id) at both the
+    * radius boundary (none — radius is a pure predicate) and the final
+    * rank.
+    */
+  val q_ann_sketch = QueryDef(
+    "q_ann_sketch", {
+      val hpRows = (0 until SketchBits).map { i =>
+        val cs = (0 until LshDim).map(d =>
+          graft.functions.HyperplaneSig.coeff(i, d, LshDim)).mkString("[", ", ", "]")
+        s"($i, $cs)"
+      }.mkString(",\n    ")
+      s"""WITH v AS (SELECT vec_id AS id, $vd AS vd FROM embeddings),
+         |hp(i, hv) AS (VALUES
+         |    $hpRows),
+         |n AS (SELECT id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM v
+         |      WHERE sqrt(list_dot_product(vd, vd)) > 0),
+         |sig AS (SELECT id, i, (list_dot_product(vd, hv) > 0) AS b
+         |        FROM n CROSS JOIN hp),
+         |ham AS (
+         |  SELECT qs.id AS query_id, cs.id AS neighbor_id,
+         |    SUM(CASE WHEN qs.b <> cs.b THEN 1 ELSE 0 END) AS ham
+         |  FROM sig qs JOIN sig cs ON qs.i = cs.i AND qs.id < 50 AND cs.id >= 50
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT h.query_id, h.neighbor_id,
+         |    list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm) AS cos
+         |  FROM ham h JOIN n q ON q.id = h.query_id JOIN n c ON c.id = h.neighbor_id
+         |  WHERE h.ham <= $SketchRadius)
+         |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.sketchTopK(
+      emb.filter(col("vec_id") < 50),
+      emb.filter(col("vec_id") >= 50),
+      "vec_id", "embedding", 10,
+      bits = SketchBits, dim = LshDim, maxHamming = SketchRadius)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
-    q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives)
+    q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch)
 }

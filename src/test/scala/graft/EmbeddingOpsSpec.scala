@@ -176,4 +176,36 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
     assert(direct === viaCos)
   }
+
+  test("sketchTopK: input-order invariant, recall >= 0.9 at the certified config") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val emb = graft.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 50)
+    val corpus = emb.filter(col("vec_id") >= 50)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val base = norm(graft.ops.SimilarityOps.sketchTopK(
+      queries, corpus, "vec_id", "embedding", 10,
+      bits = 256, dim = 64, maxHamming = 115))
+    // ORDERING INVARIANCE: shuffled partitioning and reversed row order
+    // must produce the identical ranked result (ties break by id, the
+    // radius is a pure per-pair predicate — no state to perturb)
+    val shuffled = norm(graft.ops.SimilarityOps.sketchTopK(
+      queries.orderBy(col("vec_id").desc).repartition(7),
+      corpus.orderBy(col("vec_id").desc).repartition(5),
+      "vec_id", "embedding", 10,
+      bits = 256, dim = 64, maxHamming = 115))
+    assert(shuffled === base)
+    // RECALL vs exact brute force at the certified (256, 115) config
+    val truth = graft.ops.SimilarityOps.bruteForceTopK(
+      queries, corpus, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = base.map(t => (t._1, t._3)).toSet
+    val recall = (got & truth).size.toDouble / truth.size
+    assert(recall >= 0.9, f"sketch recall $recall%.3f < 0.9")
+  }
 }
