@@ -196,4 +196,67 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("MapPartitions"),
       s"chunker must stay in codegen column algebra:\n$p")
   }
+
+  // ---- golden plan-shape snapshots -----------------------------------
+
+  /** Normalized plan fingerprint: preorder walk of the physical plan,
+    * keeping only the LOAD-BEARING node kinds (joins with their
+    * strategy, exchanges, aggregates, sorts, windows, generates,
+    * scans, custom execs) and dropping ids, codegen wrappers, and
+    * cosmetic projections/filters. A lost broadcast shows up as
+    * BroadcastHashJoin→SortMergeJoin + a new Exchange; a new shuffle
+    * as an extra Exchange — exactly the regressions that otherwise
+    * surface only as bench noise.
+    */
+  private def fingerprint(name: String): String = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def walk(p: SparkPlan): Seq[String] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.initialPlan)
+      case w: WholeStageCodegenExec => walk(w.child)
+      case i: InputAdapter => walk(i.child)
+      case other =>
+        val n = other.getClass.getSimpleName.stripSuffix("Exec")
+        val keep = n.contains("Join") || n.contains("Exchange") ||
+          n.contains("Aggregate") || n.contains("Scan") ||
+          n == "Sort" || n == "Window" || n == "Generate" || n == "Expand" ||
+          n == "CartesianProduct" || n == "TakeOrderedAndProject" ||
+          n.contains("Limit") || n == "Union" || n.startsWith("Asof")
+        (if (keep) Seq(n) else Nil) ++ other.children.flatMap(walk)
+    }
+    walk(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+      .mkString(">")
+  }
+
+  /** Pinned shapes for the 10 most expensive BATCH queries of the
+    * current bench (BENCH_DETAIL.json; q_stream_* excluded — building
+    * their frame runs the drain, and streaming plans are per-batch).
+    *
+    * UPDATE FLOW when a shape change is INTENTIONAL: run
+    * `sbt "testOnly graft.PlanSpec -- -z golden"` — the failure
+    * message prints the actual fingerprint; review the diff (is the
+    * new exchange/join strategy deliberate?), then paste it here with
+    * a line in the commit message saying why the shape moved.
+    */
+  private val goldenShapes: Map[String, String] = Map(
+    "q_basket_pairs" -> "TakeOrderedAndProject>BroadcastHashJoin>BroadcastHashJoin>BroadcastNestedLoopJoin>HashAggregate>ShuffleExchange>HashAggregate>SortMergeJoin>Sort>ShuffleExchange>RDDScan>Sort>ShuffleExchange>RDDScan>BroadcastExchange>HashAggregate>ShuffleExchange>HashAggregate>HashAggregate>ShuffleExchange>HashAggregate>RDDScan>BroadcastExchange>HashAggregate>ShuffleExchange>HashAggregate>RDDScan>BroadcastExchange>HashAggregate>ShuffleExchange>HashAggregate>RDDScan",
+    "q_bpe_fertility" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>HashAggregate>ShuffleExchange>HashAggregate>Generate>FileSourceScan",
+    "q_bpe_merges" -> "Sort>ShuffleExchange>LocalTableScan",
+    "q_communities" -> "Sort>ShuffleExchange>Window>Sort>ShuffleExchange>RDDScan",
+    "q_dedup_groups_dist" -> "Sort>ShuffleExchange>SortMergeJoin>Sort>ShuffleExchange>FileSourceScan>Sort>ShuffleExchange>RDDScan",
+    "q_interval_join" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>BroadcastHashJoin>FileSourceScan>BroadcastExchange>Generate>FileSourceScan",
+    "q_pagerank" -> "Sort>ShuffleExchange>RDDScan",
+    "q_table_checksum" -> "Sort>Union>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan",
+    "q_table_profile" -> "Sort>Generate>HashAggregate>ShuffleExchange>HashAggregate>HashAggregate>ShuffleExchange>HashAggregate>Expand>FileSourceScan",
+    "q_table_profile_sketch" -> "Sort>ShuffleExchange>SortMergeJoin>Sort>ShuffleExchange>RDDScan>Sort>HashAggregate>ShuffleExchange>HashAggregate>Generate>RDDScan")
+
+  test("golden plan shapes: top-10 most expensive batch queries don't drift") {
+    val drifted = goldenShapes.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+      val got = fingerprint(name)
+      if (got == want) None else Some(s""""$name" -> "$got",""")
+    }
+    assert(drifted.isEmpty,
+      "plan shapes drifted — if intentional, paste the new fingerprints " +
+        "into goldenShapes (see update flow above):\n" + drifted.mkString("\n"))
+  }
 }
