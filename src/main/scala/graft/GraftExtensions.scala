@@ -69,5 +69,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Catalyst carry left-side predicates through the custom node
     e.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
     e.injectOptimizerRule(_ => plans.AsofJoinPushdown)
+    e.injectOptimizerRule(_ => plans.AsofJoinPruning)
+    // re-run Catalyst's own pruning after ours so projections inserted
+    // by AsofJoinPruning keep propagating through aggregate/join
+    // children down to the scans (see JoinOps.asofJoinNativeKeys)
+    e.injectOptimizerRule(_ =>
+      org.apache.spark.sql.catalyst.optimizer.ColumnPruning)
+    e.injectOptimizerRule(_ =>
+      org.apache.spark.sql.catalyst.optimizer.CollapseProject)
   }
 }

@@ -100,6 +100,17 @@ object JoinOps {
     val spark = left.sparkSession
     B.installStrategy(spark, graft.plans.AsofJoinStrategy)
     B.installRule(spark, graft.plans.AsofJoinPushdown)
+    B.installRule(spark, graft.plans.AsofJoinPruning)
+    // AsofJoinPruning runs in the LAST optimizer batch (user rules) —
+    // after Catalyst's own ColumnPruning already ran. The projections
+    // it inserts collapse into scans via PhysicalOperation when the
+    // child is a project/filter chain, but pruning THROUGH an
+    // aggregate/join child needs ColumnPruning to run again after us:
+    // chain Catalyst's own rules into the same fixpoint batch.
+    B.installRule(spark,
+      org.apache.spark.sql.catalyst.optimizer.ColumnPruning)
+    B.installRule(spark,
+      org.apache.spark.sql.catalyst.optimizer.CollapseProject)
     val r = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
     val lPlan = B.analyzed(left)
     val rPlan = B.analyzed(r)

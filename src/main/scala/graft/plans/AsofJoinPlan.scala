@@ -101,6 +101,53 @@ object AsofJoinPushdown
   }
 }
 
+/** Column pruning through the custom node — the other half of what
+  * Catalyst's built-in rules can't do for [[AsofJoinNode]]
+  * ([[AsofJoinPushdown]] handles predicates): a Project above the
+  * join that uses only SOME columns would otherwise leave both
+  * children scanning everything, because the node's output is defined
+  * as `left.output ++ rightVals` and `ColumnPruning` doesn't know the
+  * node. This rule narrows BOTH sides to what the projection actually
+  * consumes (plus the join's own keys/timestamps, which the exec
+  * requires from each child): unused left columns leave the left
+  * child's scan (`ReadSchema` narrows — asserted in JoinOpsSpec), and
+  * unused right values drop out of `rightVals`, shrinking the merge
+  * state and the shuffle row. At 100 TB this is the difference
+  * between shuffling two wide tables and shuffling the three columns
+  * a feature lookup actually reads.
+  */
+object AsofJoinPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case p @ Project(exprs, a: AsofJoinNode) =>
+      val needed = AttributeSet(exprs.flatMap(_.references)) ++
+        AttributeSet(a.leftKeys ++ Seq(a.leftTs))
+      val keepLeft = a.left.output.filter(needed.contains)
+      val keepRight = a.rightVals.filter(rv =>
+        // rightVals are nullable-widened in the node's output; match by id
+        exprs.exists(_.references.exists(_.exprId == rv.exprId)))
+      val neededRight = AttributeSet(a.rightKeys ++ Seq(a.rightTs) ++ keepRight)
+      val keepRightChild = a.right.output.filter(neededRight.contains)
+      val leftPrunable = keepLeft.length < a.left.output.length
+      val rightPrunable = keepRight.length < a.rightVals.length ||
+        keepRightChild.length < a.right.output.length
+      if (!leftPrunable && !rightPrunable) p
+      else {
+        val node = a.copy(
+          left = if (leftPrunable) Project(keepLeft, a.left) else a.left,
+          right =
+            if (keepRightChild.length < a.right.output.length)
+              Project(keepRightChild, a.right)
+            else a.right,
+          rightVals = keepRight)
+        p.copy(child = node)
+      }
+  }
+}
+
 /** Plans [[AsofJoinNode]] to [[AsofJoinExec]]; every other node falls
   * through to the built-in strategies. */
 object AsofJoinStrategy extends SparkStrategy {

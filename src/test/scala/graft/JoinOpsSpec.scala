@@ -318,6 +318,42 @@ class JoinOpsSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("AsofJoinPruning narrows both scans through the custom node") {
+    import org.apache.spark.sql.functions._
+    // left = orders (9 columns... actually 6), right = orders aggregated;
+    // project ONLY (o_orderkey, prev_total) above the join — the left
+    // scan must then read just the key/ts/orderkey columns and the
+    // right values must shrink to the one consumed column
+    val o = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      unix_date(col("o_orderdate").cast("date")).cast("long").as("day"),
+      col("o_totalprice"), col("o_orderpriority"))
+    val r = o.groupBy(col("o_custkey"), col("day"))
+      .agg(max(col("o_totalprice")).as("prev_total"),
+        max(col("o_orderpriority")).as("prev_prio"))
+      .withColumnRenamed("day", "rday")
+    val joined = JoinOps.asofJoinNative(o, r,
+      keyCol = "o_custkey", leftTsCol = "day", rightTsCol = "rday",
+      rightValCols = Seq("prev_total", "prev_prio"))
+    val narrow = joined.select("o_orderkey", "prev_total")
+    val plan = narrow.queryExecution.executedPlan.toString
+    // the LEFT parquet scan must not read the unused wide columns
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(readSchemas.exists(s =>
+      s.contains("o_orderkey") && !s.contains("o_orderpriority") &&
+        !s.contains("o_totalprice")),
+      "left scan still reads pruned columns:\n" + plan.take(1800))
+    // the unused right value column is gone from the exec
+    assert(!plan.contains("prev_prio"),
+      "unused right value survived pruning:\n" + plan.take(1800))
+    // and the result is unchanged vs post-hoc projection of the full join
+    val viaFull = joined.collect()
+      .map(row => (row.getLong(0), Option(row.get(6)))).sortBy(_._1).toSeq
+    val viaNarrow = narrow.collect()
+      .map(row => (row.getLong(0), Option(row.get(1)))).sortBy(_._1).toSeq
+    assert(viaNarrow === viaFull)
+  }
+
   test("AsofJoinPushdown carries left-side predicates through the custom node to the scan") {
     import org.apache.spark.sql.functions._
     // both sides read the events parquet; a left-only predicate written
