@@ -148,7 +148,13 @@ object SimilarityOps {
       bits: Int, dim: Int, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= bits,
       s"maxHamming must be in [0, $bits], got $maxHamming")
+    // the two inputs can belong to DIFFERENT sessions (a foreachBatch
+    // micro-batch frame is analyzed under a cloned session whose
+    // function registry snapshot may predate ours; the static corpus
+    // keeps the main session) — the final plan resolves under the
+    // CORPUS side's session, so register on both
     graft.functions.GraftFunctions.register(queries.sparkSession)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     // one broadcast row per query: id, sketch, vector, norm
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))

@@ -173,6 +173,71 @@ object CurationQueries {
       .orderBy(col("lang"), col("bin"))
   }
 
+  private val GreedyCap = 512
+
+  /** EXACT greedy sequence packing — the no-span guarantee
+    * [[q_sequence_pack]]'s offset-bin approximation cannot give: a
+    * document NEVER crosses a context-window boundary (the SFT/eval
+    * packing contract; bin packing by first-fit in doc order). The
+    * decision for doc i depends on the running fill after doc i−1, so
+    * this is genuinely sequential state — the scale shape is
+    * repartition-by-shard + sortWithinPartitions + one streaming
+    * mapPartitions scan (Spark's sort spills; the scan holds O(1)
+    * state and never materializes a shard in memory), parallel ACROSS
+    * shards, sequential within — exactly how packing shards out on a
+    * real corpus. Docs longer than the cap get a window to themselves.
+    * Oracle: per-shard recursive CTE replaying the same fold.
+    */
+  val q_pack_greedy = QueryDef(
+    "q_pack_greedy", {
+      val ws = TextOps.wordsSql("text")
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
+         |    CAST(len($ws) AS BIGINT) AS n_tokens
+         |  FROM documents WHERE len($ws) > 0),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+         |  FROM toks),
+         |rec AS (
+         |  SELECT doc_id, shard, rn, n_tokens,
+         |    CAST(0 AS BIGINT) AS window_seq, n_tokens AS fill
+         |  FROM ranked WHERE rn = 1
+         |  UNION ALL
+         |  SELECT x.doc_id, x.shard, x.rn, x.n_tokens,
+         |    CASE WHEN r.fill + x.n_tokens > $GreedyCap
+         |         THEN r.window_seq + 1 ELSE r.window_seq END,
+         |    CASE WHEN r.fill + x.n_tokens > $GreedyCap
+         |         THEN x.n_tokens ELSE r.fill + x.n_tokens END
+         |  FROM ranked x JOIN rec r ON x.shard = r.shard AND x.rn = r.rn + 1)
+         |SELECT doc_id, shard, window_seq, n_tokens
+         |FROM rec ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val cap = GreedyCap.toLong
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .as[(Long, Long, Long)]
+      .repartition(8, col("shard"))
+      .sortWithinPartitions(col("shard"), col("doc_id"))
+      .mapPartitions { it =>
+        // several shards may hash to one partition; state resets at
+        // each shard boundary (rows arrive shard-sorted)
+        var shard = Long.MinValue
+        var win = 0L
+        var fill = 0L
+        it.map { case (id, s, n) =>
+          if (s != shard) { shard = s; win = 0L; fill = 0L }
+          else if (fill + n > cap) { win += 1; fill = 0L }
+          fill += n
+          (id, s, win, n)
+        }
+      }
+      .toDF("doc_id", "shard", "window_seq", "n_tokens")
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: per-document share of its shingle set
     * that also appears in a held-out benchmark set (here: doc_id < 5
     * stands in for the eval corpus). The benchmark shingle set is
@@ -868,7 +933,7 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
-    q_text_normalize, q_sequence_pack, q_contamination, q_mix_rates,
+    q_text_normalize, q_sequence_pack, q_pack_greedy, q_contamination, q_mix_rates,
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
     q_hll_overlap, q_pii_scrub, q_soft_dedup_sample, q_bigram_lm,
     q_dataset_split, q_group_split, q_host_caps, q_doc_chunks,

@@ -666,10 +666,49 @@ object StreamQueries {
     spark.read.parquet(s"$work/out").orderBy(col("purchase_id"))
   }
 
+  /** STREAMING retrieval probe over the Hamming-sketch ANN index
+    * ([[graft.ops.SimilarityOps.sketchTopK]] inside foreachBatch):
+    * query embeddings arrive in micro-batches and each batch searches
+    * the STATIC corpus index. Per-query results depend only on the
+    * corpus, never on co-batched queries, so the streamed union is
+    * batch-cut invariant and the SAME DuckDB oracle that certifies
+    * q_ann_sketch (literal hyperplane table → signs → Hamming radius →
+    * exact rerank) certifies the stream. This is the online-serving
+    * shape of the ANN path: the index is materialized once, queries
+    * flow through it continuously.
+    */
+  val q_stream_ann = QueryDef(
+    "q_stream_ann",
+    graft.queries.VectorQueries.q_ann_sketch.oracle.get) { (spark, dir) =>
+    import graft.ops.SimilarityOps
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val work = StreamingOps.tempSinkDir("graft_stream_ann_")
+    val stream = StreamingOps
+      .parquetStream(spark, s"$dir/embeddings.parquet", emb.schema)
+      .filter(col("vec_id") < 50)
+    StreamingOps.withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          SimilarityOps.sketchTopK(batch, corpus, "vec_id", "embedding", 10,
+            bits = 256, dim = 64, maxHamming = 115)
+            .write.mode("append").parquet(s"$work/out")
+          ()
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    spark.read.parquet(s"$work/out").orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
     q_stream_hll, q_stream_cms, q_stream_incremental_dedup, q_stream_hopping,
-    q_stream_topk, q_stream_cdc, q_stream_asof)
+    q_stream_topk, q_stream_cdc, q_stream_asof, q_stream_ann)
 }

@@ -608,9 +608,54 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Duplicated-5-gram fraction — the Gopher/RefinedWeb repetition
+    * filter [[q_repetition]] (runs, type-token ratio) doesn't cover:
+    * boilerplate that repeats PHRASES with benign word variety scores
+    * clean on token stats but lights up here. Per doc:
+    * `1 − distinct_5grams / total_5grams` — 0 for non-repetitive
+    * prose, → 1 for template spam. Sliding n-grams are pure column
+    * algebra (`sequence` + `slice` + `concat_ws`, no explode: the
+    * per-doc array never leaves the row), so the scan stays one
+    * codegen'd projection — at 100 TB this is a map-only pass.
+    */
+  val q_ngram_repeat = QueryDef(
+    "q_ngram_repeat", {
+      val ws = TextOps.wordsSql("text")
+      s"""WITH wsd AS (
+         |  SELECT doc_id, ws FROM (SELECT doc_id, $ws AS ws FROM documents)
+         |  WHERE len(ws) >= 5),
+         |grams AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(ws) - 3),
+         |      i -> array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')) AS gs
+         |  FROM wsd)
+         |SELECT doc_id,
+         |  CAST(len(gs) AS BIGINT) AS n_grams,
+         |  CAST(len(list_distinct(gs)) AS BIGINT) AS n_distinct,
+         |  ROUND(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 6)
+         |    AS dup_gram_ratio
+         |FROM grams ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val ws = TextOps.words(col("text"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("ws")) - 4),
+          i => concat_ws(" ", slice(col("ws"), i, lit(5)))).as("gs"))
+      .select(col("doc_id"),
+        size(col("gs")).cast("long").as("n_grams"),
+        size(array_distinct(col("gs"))).cast("long").as("n_distinct"),
+        round(lit(1.0) -
+          size(array_distinct(col("gs"))).cast("double") / size(col("gs")), 6)
+          .as("dup_gram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_top_words, q_topk_words, q_text_quality, q_token_stats, q_lang_stats,
     q_doc_hashes, q_langid, q_doc_fingerprint, q_bpe_tokens, q_tfidf_keywords,
     q_quality_model, q_repetition, q_cms_topwords, q_collocations,
-    q_bpe_merges, q_bpe_fertility, q_vocab_drift, q_readability)
+    q_bpe_merges, q_bpe_fertility, q_vocab_drift, q_readability,
+    q_ngram_repeat)
 }
