@@ -164,17 +164,31 @@ case class AsofJoinExec(
     leftTs: Attribute, rightTs: Attribute,
     rightVals: Seq[Attribute]) extends BinaryExecNode {
 
+  // production observability: the same metric names the built-in joins
+  // publish, plus the operator's own match rate — a feature-store
+  // as-of with a low matchedRows/numOutputRows ratio is usually a
+  // unit-mismatch bug (ms vs µs timestamps), visible in the SQL UI
+  // without rerunning anything
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "matchedRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "left rows with an as-of match"))
+
   override def output: Seq[Attribute] =
     left.output ++ rightVals.map(_.withNullability(true))
 
   // hash-cluster both sides on the keys (EnsureRequirements co-partitions
   // them, exactly as it does for SortMergeJoin) and sort (keys…, ts) —
   // the operator itself is then a single streaming merge pass.
-  // AQE interaction (ProbeAsofAqe, forced-coalescing audit): AQE does
-  // NOT insert coalesced shuffle reads under an unknown exec, so the
-  // two sides always keep identical reducer partitioning — alignment
-  // of the zipped partitions is guaranteed, at the cost of running at
-  // the configured shuffle partition count (no runtime coalesce).
+  // AQE interaction: Spark 4.1's result-stage optimization DOES insert
+  // coalesced AQEShuffleReads under this exec (observed in JoinOpsSpec;
+  // earlier mid-plan stages don't — ProbeAsofAqe). Alignment of the
+  // zipped partitions still holds: CoalesceShufflePartitions computes
+  // ONE partition-spec list for ALL leaf shuffles of a stage and
+  // applies it uniformly or not at all — the same invariant
+  // SortMergeJoin's zipped children rely on — and zipPartitions fails
+  // loudly on any partition-count mismatch rather than misaligning.
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
@@ -216,6 +230,8 @@ case class AsofJoinExec(
     // zeros instead of nulls
     val rvNullable = rightVals.map(_.withNullability(true))
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val matchedRows = longMetric("matchedRows")
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       // all codegen'd artifacts are created HERE, per partition — a
@@ -260,6 +276,7 @@ case class AsofJoinExec(
 
         override def next(): InternalRow = {
           val l = lIt.next()
+          numOutputRows += 1
           if (anyKeyNull(l, lKeyOrds) || l.isNullAt(lTsOrd)) {
             // NULL never matches; the left row still survives. State is
             // untouched — these rows sort FIRST in their group (nulls
@@ -289,6 +306,7 @@ case class AsofJoinExec(
               continue = rBuf != null
             } else continue = false
           }
+          if (haveLast) matchedRows += 1
           joined(l, if (haveLast) lastVals else nullRight)
           outProj(joined)
         }

@@ -318,6 +318,31 @@ class JoinOpsSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("AsofJoinExec publishes output/matched SQL metrics") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "ts", "pid")
+    val right = Seq((1L, 15L, "r")).toDF("k", "rts", "rid")
+    val joined = JoinOps.asofJoinNative(left, right, "k", "ts", "rts", Seq("rid"))
+    joined.collect()
+    // AQE wraps the final plan in leaf nodes (AdaptiveSparkPlanExec,
+    // then a ResultQueryStage) — unwrap both before searching
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan):
+        org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        unwrap(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        unwrap(s.plan)
+      case other => other
+    }
+    val plan = unwrap(joined.queryExecution.executedPlan)
+    val exec = plan.collectFirst {
+      case e: graft.plans.AsofJoinExec => e
+    }.getOrElse(fail("no AsofJoinExec in the executed plan:\n" + plan))
+    assert(exec.metrics("numOutputRows").value === 3L)
+    assert(exec.metrics("matchedRows").value === 1L) // only (1, 20) matches
+  }
+
   test("AsofJoinPruning narrows both scans through the custom node") {
     import org.apache.spark.sql.functions._
     // left = orders (9 columns... actually 6), right = orders aggregated;
