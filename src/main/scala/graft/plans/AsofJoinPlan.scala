@@ -61,6 +61,25 @@ case class AsofJoinNode(
       s"${rightTs.dataType.simpleString}")
   override def output: Seq[Attribute] =
     left.output ++ rightVals.map(_.withNullability(true))
+
+  /** Exact cardinality model: the as-of join emits EXACTLY one row per
+    * left row (left-join, unique-per-(key,ts) right contract), so the
+    * output stats are the left child's scaled by the width the right
+    * values add. Without this override a custom binary node falls back
+    * to the product-of-children estimate — anything planned ABOVE an
+    * as-of join would see a catastrophically inflated size and, e.g.,
+    * refuse to broadcast a tiny enriched dimension (spec-asserted in
+    * JoinOpsSpec).
+    */
+  override def stats: org.apache.spark.sql.catalyst.plans.logical.Statistics = {
+    val l = left.stats
+    val leftWidth = BigInt(math.max(1, left.output.map(_.dataType.defaultSize).sum))
+    val outWidth = leftWidth + rightVals.map(_.dataType.defaultSize).sum
+    org.apache.spark.sql.catalyst.plans.logical.Statistics(
+      sizeInBytes = (l.sizeInBytes * outWidth / leftWidth).max(BigInt(1)),
+      rowCount = l.rowCount)
+  }
+
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
     copy(left = newLeft, right = newRight)

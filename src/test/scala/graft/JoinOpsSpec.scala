@@ -318,6 +318,31 @@ class JoinOpsSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("AsofJoinNode stats: one-row-per-left-row cardinality lets the result broadcast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a SMALL as-of-enriched dimension joined to a LARGE fact: with the
+    // default product-of-children estimate the enriched side would look
+    // enormous and plan a sort-merge join; the exact one-row-per-left-
+    // row stats keep it broadcastable
+    val dimLeft = (1L to 100L).map(i => (i, i * 10L, s"d$i")).toDF("k", "ts", "name")
+    val dimRight = (1L to 100L).map(i => (i, i * 5L, i * 100L)).toDF("k", "rts", "feat")
+    val enriched = JoinOps.asofJoinNative(dimLeft, dimRight,
+      "k", "ts", "rts", Seq("feat"))
+    val stats = org.apache.spark.sql.GraftPlanBridge
+      .analyzed(enriched).stats
+    // sanity on the model itself: not a product blow-up
+    assert(stats.sizeInBytes < BigInt(1000000),
+      s"as-of stats look like a product estimate: ${stats.sizeInBytes}")
+    val fact = spark.range(200000).select(
+      (col("id") % 100L + 1L).as("k"), col("id").as("payload"))
+    val joined = fact.join(enriched, "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "enriched as-of dimension did not broadcast:\n" + plan.take(1500))
+    assert(joined.count() === 200000L)
+  }
+
   test("AsofJoinExec publishes output/matched SQL metrics") {
     import spark.implicits._
     val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
