@@ -281,6 +281,76 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Split-leakage audit: for every TEST-split document (same
+    * group-consistent assignment as [[q_group_split]]), the share of
+    * its shingles that also occur in ANY train-split document. Exact
+    * duplicates can never leak (same text ⇒ same md5 group ⇒ same
+    * split) — what this measures is the NEAR-duplicate leakage the
+    * hash-group split cannot see, the number a training run actually
+    * cares about before trusting its held-out loss. Scale shape: the
+    * train shingle set is a distinct equi-join side (never broadcast —
+    * at 100 TB it is most of the corpus), one shuffle on the shingle
+    * hash; per-doc totals ride the same materialized shingle pass as
+    * q_contamination.
+    */
+  val q_split_leakage = QueryDef(
+    "q_split_leakage", {
+      val sh = DedupOps.shingleTableSql("documents", "doc_id", "text")
+      s"""WITH sh AS (
+         |  $sh),
+         |g AS (
+         |  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS rep
+         |  FROM documents),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN (((rep % 1000003) * 2654435761) % 1000003) % 10 < 8
+         |         THEN 'train'
+         |         WHEN (((rep % 1000003) * 2654435761) % 1000003) % 10 = 8
+         |         THEN 'val' ELSE 'test' END AS split
+         |  FROM g),
+         |train_sh AS (
+         |  SELECT DISTINCT h FROM sh JOIN sp ON sp.doc_id = sh.id
+         |  WHERE sp.split = 'train'),
+         |test_sh AS (
+         |  SELECT sh.id, sh.h FROM sh JOIN sp ON sp.doc_id = sh.id
+         |  WHERE sp.split = 'test'),
+         |tot AS (SELECT id, COUNT(*) AS n_shingles FROM test_sh GROUP BY id),
+         |hit AS (
+         |  SELECT t.id, COUNT(*) AS n_hits
+         |  FROM test_sh t JOIN train_sh USING (h) GROUP BY t.id)
+         |SELECT tot.id AS doc_id, tot.n_shingles,
+         |  COALESCE(hit.n_hits, 0) AS n_in_train,
+         |  FLOOR(CAST(COALESCE(hit.n_hits, 0) AS DOUBLE) / tot.n_shingles
+         |        * 1000000 + 0.5) / 1000000.0 AS leak_ratio
+         |FROM tot LEFT JOIN hit ON hit.id = tot.id
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val w = Window.partitionBy(md5(col("text")))
+    val bucket = ((col("rep") % 1000003L) * 2654435761L) % 1000003L % 10
+    val split = docs
+      .select(col("doc_id"), min(col("doc_id")).over(w).as("rep"))
+      .select(col("doc_id"),
+        when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+          .as("split"))
+    val sh = graft.ops.Reuse.materialized(
+      DedupOps.shingleTable(docs, "doc_id", "text"))
+      .join(split, col("id") === col("doc_id"))
+      .select(col("id"), col("h"), col("split"))
+    val trainSh = sh.filter(col("split") === "train").select(col("h")).distinct()
+    val testSh = sh.filter(col("split") === "test")
+    val tot = testSh.groupBy(col("id")).agg(count(lit(1)).as("n_shingles"))
+    val hits = testSh.join(trainSh, "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+    val ratio =
+      coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_shingles")
+    tot.join(hits, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_shingles"),
+        coalesce(col("n_hits"), lit(0L)).as("n_in_train"),
+        (floor(ratio * 1000000 + 0.5) / lit(1000000.0)).as("leak_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   private val MixShares: Seq[(String, Double)] = Seq(
     "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
 
@@ -936,6 +1006,6 @@ object CurationQueries {
     q_text_normalize, q_sequence_pack, q_pack_greedy, q_contamination, q_mix_rates,
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
     q_hll_overlap, q_pii_scrub, q_soft_dedup_sample, q_bigram_lm,
-    q_dataset_split, q_group_split, q_host_caps, q_doc_chunks,
+    q_dataset_split, q_group_split, q_split_leakage, q_host_caps, q_doc_chunks,
     q_canonical_docs, q_dataset_card, q_dup_cluster_sizes)
 }

@@ -451,6 +451,42 @@ object VectorQueries {
   private val SketchBits = 256
   private val SketchRadius = 115
 
+  /** ±1 hyperplane table rendered as SQL literal rows from the same
+    * coefficient mix the codegen'd expressions use — the oracle's
+    * replay substrate for every sketch-based query. */
+  private def hpValues(bits: Int): String = (0 until bits).map { i =>
+    val cs = (0 until LshDim).map(d =>
+      graft.functions.HyperplaneSig.coeff(i, d, LshDim)).mkString("[", ", ", "]")
+    s"($i, $cs)"
+  }.mkString(",\n    ")
+
+  /** Shared oracle CTE chain for the sketch-ANN pipeline: signs →
+    * per-pair Hamming → radius → exact-cosine rank. Expects nothing;
+    * defines v/hp/n/sig/ham/scored/sk (sk = the final ranked rows). */
+  private def sketchCtes: String =
+    s"""v AS (SELECT vec_id AS id, $vd AS vd FROM embeddings),
+       |hp(i, hv) AS (VALUES
+       |    ${hpValues(SketchBits)}),
+       |n AS (SELECT id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM v
+       |      WHERE sqrt(list_dot_product(vd, vd)) > 0),
+       |sig AS (SELECT id, i, (list_dot_product(vd, hv) > 0) AS b
+       |        FROM n CROSS JOIN hp),
+       |ham AS (
+       |  SELECT qs.id AS query_id, cs.id AS neighbor_id,
+       |    SUM(CASE WHEN qs.b <> cs.b THEN 1 ELSE 0 END) AS ham
+       |  FROM sig qs JOIN sig cs ON qs.i = cs.i AND qs.id < 50 AND cs.id >= 50
+       |  GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT h.query_id, h.neighbor_id,
+       |    list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm) AS cos
+       |  FROM ham h JOIN n q ON q.id = h.query_id JOIN n c ON c.id = h.neighbor_id
+       |  WHERE h.ham <= $SketchRadius),
+       |sk AS (
+       |  SELECT query_id, rank, neighbor_id, cos FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |    FROM scored) t WHERE rank <= 10)""".stripMargin
+
   /** Hamming-sketch radius-prefiltered ANN
     * ([[SimilarityOps.sketchTopK]]) — the ≥0.9-recall-below-brute-wall
     * config from the ProbeAnn frontier (256-bit sketch, radius 115:
@@ -464,33 +500,9 @@ object VectorQueries {
     */
   val q_ann_sketch = QueryDef(
     "q_ann_sketch", {
-      val hpRows = (0 until SketchBits).map { i =>
-        val cs = (0 until LshDim).map(d =>
-          graft.functions.HyperplaneSig.coeff(i, d, LshDim)).mkString("[", ", ", "]")
-        s"($i, $cs)"
-      }.mkString(",\n    ")
-      s"""WITH v AS (SELECT vec_id AS id, $vd AS vd FROM embeddings),
-         |hp(i, hv) AS (VALUES
-         |    $hpRows),
-         |n AS (SELECT id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM v
-         |      WHERE sqrt(list_dot_product(vd, vd)) > 0),
-         |sig AS (SELECT id, i, (list_dot_product(vd, hv) > 0) AS b
-         |        FROM n CROSS JOIN hp),
-         |ham AS (
-         |  SELECT qs.id AS query_id, cs.id AS neighbor_id,
-         |    SUM(CASE WHEN qs.b <> cs.b THEN 1 ELSE 0 END) AS ham
-         |  FROM sig qs JOIN sig cs ON qs.i = cs.i AND qs.id < 50 AND cs.id >= 50
-         |  GROUP BY 1, 2),
-         |scored AS (
-         |  SELECT h.query_id, h.neighbor_id,
-         |    list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm) AS cos
-         |  FROM ham h JOIN n q ON q.id = h.query_id JOIN n c ON c.id = h.neighbor_id
-         |  WHERE h.ham <= $SketchRadius)
-         |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, neighbor_id) AS rank
-         |  FROM scored) t WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin
+      s"""WITH $sketchCtes
+         |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim
+         |FROM sk ORDER BY query_id, rank""".stripMargin
     }) { (spark, dir) =>
     val emb = Tables.embeddings(spark, dir)
     SimilarityOps.sketchTopK(
@@ -501,7 +513,59 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Retrieval-quality evaluation AS A QUERY: per-query recall@10 of
+    * the sketch-ANN path against exact brute force, computed in-engine
+    * (both pipelines are deterministic, so the recall itself is a
+    * deterministic value DuckDB replays end to end — the eval harness
+    * needs no special tooling, it is one more certified query). The
+    * continuous-deployment use: run this after every index rebuild;
+    * a recall drop is a data-drift signal (the radius is calibrated to
+    * the corpus's neighbor-margin distribution).
+    */
+  val q_ann_recall = QueryDef(
+    "q_ann_recall", {
+      s"""WITH $sketchCtes,
+         |br AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.id AS query_id, c.id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+         |        list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm) DESC, c.id) AS r
+         |    FROM n q JOIN n c ON q.id < 50 AND c.id >= 50) t WHERE r <= 10),
+         |hits AS (
+         |  SELECT b.query_id, COUNT(*) AS n_hits
+         |  FROM br b JOIN sk s ON s.query_id = b.query_id
+         |    AND s.neighbor_id = b.neighbor_id
+         |  GROUP BY 1),
+         |tot AS (SELECT query_id, COUNT(*) AS n_true FROM br GROUP BY 1)
+         |SELECT t.query_id AS query_id, t.n_true, COALESCE(h.n_hits, 0) AS n_hits,
+         |  FLOOR(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true
+         |        * 1000000 + 0.5) / 1000000.0 AS recall
+         |FROM tot t LEFT JOIN hits h ON h.query_id = t.query_id
+         |ORDER BY t.query_id""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 50)
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val brute = SimilarityOps.bruteForceTopK(
+        queries, corpus, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val sk = SimilarityOps.sketchTopK(queries, corpus, "vec_id", "embedding", 10,
+        bits = SketchBits, dim = LshDim, maxHamming = SketchRadius)
+      .select(col("query_id"), col("neighbor_id"))
+    val tot = brute.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+    val hits = brute.join(sk, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val recall =
+      coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true")
+    tot.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (floor(recall * 1000000 + 0.5) / lit(1000000.0)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
-    q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch)
+    q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
+    q_ann_recall)
 }
