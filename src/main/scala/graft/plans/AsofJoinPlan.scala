@@ -138,32 +138,39 @@ object AsofJoinPushdown
 object AsofJoinPruning
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.AttributeSet
-  import org.apache.spark.sql.catalyst.plans.logical.Project
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project}
+
+  private def prune(
+      consumed: AttributeSet, a: AsofJoinNode): Option[AsofJoinNode] = {
+    val needed = consumed ++ AttributeSet(a.leftKeys ++ Seq(a.leftTs))
+    val keepLeft = a.left.output.filter(needed.contains)
+    // rightVals are nullable-widened in the node's output; match by id
+    val keepRight = a.rightVals.filter(rv =>
+      consumed.exists(_.exprId == rv.exprId))
+    val neededRight = AttributeSet(a.rightKeys ++ Seq(a.rightTs) ++ keepRight)
+    val keepRightChild = a.right.output.filter(neededRight.contains)
+    val leftPrunable = keepLeft.length < a.left.output.length
+    val rightPrunable = keepRight.length < a.rightVals.length ||
+      keepRightChild.length < a.right.output.length
+    if (!leftPrunable && !rightPrunable) None
+    else Some(a.copy(
+      left = if (leftPrunable) Project(keepLeft, a.left) else a.left,
+      right =
+        if (keepRightChild.length < a.right.output.length)
+          Project(keepRightChild, a.right)
+        else a.right,
+      rightVals = keepRight))
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case p @ Project(exprs, a: AsofJoinNode) =>
-      val needed = AttributeSet(exprs.flatMap(_.references)) ++
-        AttributeSet(a.leftKeys ++ Seq(a.leftTs))
-      val keepLeft = a.left.output.filter(needed.contains)
-      val keepRight = a.rightVals.filter(rv =>
-        // rightVals are nullable-widened in the node's output; match by id
-        exprs.exists(_.references.exists(_.exprId == rv.exprId)))
-      val neededRight = AttributeSet(a.rightKeys ++ Seq(a.rightTs) ++ keepRight)
-      val keepRightChild = a.right.output.filter(neededRight.contains)
-      val leftPrunable = keepLeft.length < a.left.output.length
-      val rightPrunable = keepRight.length < a.rightVals.length ||
-        keepRightChild.length < a.right.output.length
-      if (!leftPrunable && !rightPrunable) p
-      else {
-        val node = a.copy(
-          left = if (leftPrunable) Project(keepLeft, a.left) else a.left,
-          right =
-            if (keepRightChild.length < a.right.output.length)
-              Project(keepRightChild, a.right)
-            else a.right,
-          rightVals = keepRight)
-        p.copy(child = node)
-      }
+      prune(AttributeSet(exprs.flatMap(_.references)), a)
+        .map(n => p.copy(child = n)).getOrElse(p)
+    // a residual (right-side/mixed) filter between the projection and
+    // the node must keep its own references alive through the pruning
+    case p @ Project(exprs, f @ Filter(cond, a: AsofJoinNode)) =>
+      prune(AttributeSet(exprs.flatMap(_.references)) ++ cond.references, a)
+        .map(n => p.copy(child = f.copy(child = n))).getOrElse(p)
   }
 }
 
