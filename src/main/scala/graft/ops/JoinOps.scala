@@ -125,6 +125,39 @@ object JoinOps {
       rightValCols.map(attr(rPlan, _))))
   }
 
+  /** [[asofJoinNative]] with the RIGHT (history/feature) side
+    * runtime-pruned through a Bloom filter of the LEFT keys — the
+    * custom-operator counterpart of Spark's own runtime bloom-filter
+    * injection, which only rewrites built-in joins. Exact-composable:
+    * the as-of match is keyed on EQUALITY, so a right row whose key is
+    * absent from the left can never be buffered into any output row —
+    * dropping it cannot change results, and Bloom false positives
+    * merely survive to the merge where they match nothing. At 100 TB
+    * this is the difference between shuffling the full feature history
+    * and shuffling only the keys today's event batch actually touches
+    * (a few KB of bitmap shipped in the plan vs ~|history| shuffle
+    * I/O for a selective batch). Result-invariance is certified by
+    * running the SAME DuckDB ASOF oracle as the unpruned path
+    * (q_asof_bloom).
+    */
+  def asofJoinNativeBloom(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, leftTsCol: String, rightTsCol: String,
+      rightValCols: Seq[String],
+      mBits: Int = 1 << 16, numHashes: Int = 3): DataFrame = {
+    require(left.schema(keyCol).dataType == right.schema(keyCol).dataType,
+      "asofJoinNativeBloom: key types must match exactly for hash equality")
+    // the left side feeds both the bitmap build and the join probe —
+    // materialize once (evictable, releaseAllCaches contract)
+    val l = Reuse.materialized(left)
+    val words = BloomOps.buildBitmap(
+      l.select(col(keyCol)), keyCol, mBits, numHashes)
+    asofJoinNativeKeys(
+      l,
+      right.filter(BloomOps.mightContain(words, col(keyCol), mBits, numHashes)),
+      Seq(keyCol), leftTsCol, rightTsCol, rightValCols)
+  }
+
   /** Interval join: every (left, right) pair with
     * `start <= point < end` (half-open), when NEITHER side is small
     * enough to broadcast — the case the J2 broadcast range join can't

@@ -118,6 +118,36 @@ object EventsMore {
       .orderBy(col("purchase_id"))
   }
 
+  /** Native as-of join with the click-history side RUNTIME-pruned by a
+    * Bloom filter of the purchase-side user keys
+    * ([[JoinOps.asofJoinNativeBloom]]) — certified against the SAME
+    * DuckDB ASOF oracle as q_asof_native: pruning is result-invariant
+    * (equality-keyed match; absent-key right rows can never surface,
+    * false positives die in the merge). The plan shape — bitmap
+    * filter reaching the right side below the exec — is asserted in
+    * JoinOpsSpec.
+    */
+  val q_asof_bloom: QueryDef = QueryDef(
+    "q_asof_bloom", q_asof_native.oracle.get) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    JoinOps.asofJoinNativeBloom(purchases, clicks,
+      keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "click_us",
+      rightValCols = Seq("click_us", "click_id", "click_value"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("click_id").as("last_click_id"),
+        round(col("click_value"), 2).as("last_click_value"),
+        floor((col("purchase_us") - col("click_us")) / 1000000L).cast("long")
+          .as("gap_sec"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** STRING-keyed native as-of join — the common feature-store case
     * (entity keys are opaque strings in production, not longs). Same
     * custom exec ([[graft.plans.AsofJoinExec]]); the generalized merge
@@ -1796,7 +1826,7 @@ object EventsMore {
     q_frequent_paths, q_rolling_distinct, q_seasonality, q_repeat_purchase,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
-    q_rollup_counts, q_asof_join, q_asof_native, q_asof_native_str,
+    q_rollup_counts, q_asof_join, q_asof_native, q_asof_bloom, q_asof_native_str,
     q_asof_native_multi, q_asof_native_ts, q_asof_tolerance, q_hll_distinct,
     q_rank_dist, q_robust_stats,
     q_funnel, q_retention, q_markov, q_topk_daily, q_scd2,

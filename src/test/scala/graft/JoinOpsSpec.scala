@@ -318,6 +318,39 @@ class JoinOpsSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("bloom-pruned native asof ≡ unpruned; bitmap filter reaches the right side") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // right keys 0..199, left keys only 0..19 — 90% of the right side
+    // is prunable; several left rows must still match and several not
+    def series(tag: Int, n: Int, keyMod: Long) = (0 until n).map { i =>
+      val h = i * 2654435761L + tag * 97L
+      (math.abs(h) % keyMod, math.abs(h / 11) % 50, tag * 1000L + i)
+    }
+    val left = series(1, 60, 20L).toDF("k", "ts", "lid")
+    // parquet-backed right side: over a LocalRelation Catalyst evaluates
+    // the (deterministic) bitmap filter at plan time and the probe
+    // would be invisible in the plan text
+    val rightDir = java.nio.file.Files.createTempDirectory("asof_bloom").toString
+    series(2, 400, 200L)
+      .groupBy(t => (t._1, t._2)).values.map(_.maxBy(_._3)).toSeq
+      .toDF("k", "ts", "rid").write.mode("overwrite").parquet(rightDir)
+    val right = spark.read.parquet(rightDir)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sortBy(_._1).toSeq
+    val plain = norm(JoinOps.asofJoinNative(left, right, "k", "ts", "ts", Seq("rid")))
+    val bloom = JoinOps.asofJoinNativeBloom(left, right, "k", "ts", "ts", Seq("rid"))
+    assert(norm(bloom) === plain)
+    assert(plain.exists(_._2.nonEmpty) && plain.exists(_._2.isEmpty))
+    // the bitmap probe sits on the right side BELOW the as-of exec
+    val p = bloom.queryExecution.executedPlan.toString
+    assert(p.contains("AsofJoin"), p.take(800))
+    assert(p.contains("xxhash64"), "bloom probe missing from the plan:\n" + p.take(1200))
+    graft.ops.Reuse.releaseAllCaches(spark)
+  }
+
   test("AsofJoinNode stats: one-row-per-left-row cardinality lets the result broadcast") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
