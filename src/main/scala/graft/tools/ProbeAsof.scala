@@ -55,6 +55,32 @@ object ProbeAsof {
     println(f"asof probe: nLeft=$nLeft nRight=$nRight keys=$nKeys " +
       f"window=${tWin}%.2fs native=${tNat}%.2fs speedup=${tWin / tNat}%.2fx " +
       s"checksum=$csWin")
+
+    // bloom-pruned variant under a SELECTIVE left batch (the runtime-
+    // filter regime: today's events touch 1% of the key space, the
+    // history is full-width) — the win is right-side rows that never
+    // reach the shuffle
+    val selLeft = left.filter(col("k") < nKeys / 100)
+    val selRightCs = (df: org.apache.spark.sql.DataFrame) =>
+      checksum(df)
+    def runSel(f: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      f().count()
+      val t0 = System.nanoTime()
+      val cs = selRightCs(f())
+      graft.ops.Reuse.releaseAllCaches(spark)
+      ((System.nanoTime() - t0) / 1e9, cs)
+    }
+    val (tSelPlain, csSelPlain) = runSel(() =>
+      JoinOps.asofJoinNative(selLeft, rightNat, "k", "ts", "rts",
+        Seq("payload_r")))
+    val (tSelBloom, csSelBloom) = runSel(() =>
+      JoinOps.asofJoinNativeBloom(selLeft, rightNat, "k", "ts", "rts",
+        Seq("payload_r")))
+    require(csSelPlain == csSelBloom,
+      s"bloom result mismatch: $csSelPlain vs $csSelBloom")
+    println(f"asof bloom probe (1%% selective left): " +
+      f"plain=${tSelPlain}%.2fs bloom=${tSelBloom}%.2fs " +
+      f"speedup=${tSelPlain / tSelBloom}%.2fx checksum=$csSelPlain")
     spark.stop()
   }
 }
