@@ -264,6 +264,55 @@ object EventsMore {
       .orderBy(col("purchase_id"))
   }
 
+  /** Time-grid resampling with forward fill — the feature-engineering
+    * shape that turns irregular events into a regular hourly series
+    * ("value as of each hour"): per cohort user, an hourly grid spans
+    * first→last event and each grid instant picks the LATEST event
+    * value at-or-before it. Composition, not a new operator: the grid
+    * is a `sequence`+`explode` fan-out (zero extra shuffles — the
+    * per-user span agg is the only exchange) feeding the NATIVE as-of
+    * exec, which is exactly the "left side is synthetic" case where
+    * the one-buffered-row merge shines (grid rows outnumber events
+    * ~10×, and the window path would union+sort all of them). Grid
+    * hours before a user's first event forward-fill to NULL (LEFT
+    * semantics) — visible in the first grid row of every user.
+    */
+  val q_resample_ffill = QueryDef(
+    "q_resample_ffill",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    arg_max(value, event_id) AS v
+      |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      |span AS (
+      |  SELECT user_id,
+      |    (MIN(us) // 3600000000) * 3600000000 AS h0,
+      |    (MAX(us) // 3600000000) * 3600000000 AS h1
+      |  FROM ev GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, CAST(g AS BIGINT) AS hour_us
+      |  FROM span CROSS JOIN UNNEST(range(h0, h1 + 1, 3600000000)) t(g))
+      |SELECT g.user_id AS user_id, g.hour_us, ROUND(e.v, 2) AS last_value
+      |FROM grid g ASOF LEFT JOIN ev e
+      |  ON g.user_id = e.user_id AND g.hour_us >= e.us
+      |ORDER BY g.user_id, g.hour_us""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(col("user_id"), col("us"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(expr("(MIN(us) DIV 3600000000) * 3600000000").as("h0"),
+        expr("(MAX(us) DIV 3600000000) * 3600000000").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(3600000000L))).as("hour_us"))
+    JoinOps.asofJoinNative(grid, ev,
+      keyCol = "user_id", leftTsCol = "hour_us", rightTsCol = "us",
+      rightValCols = Seq("v"))
+      .select(col("user_id"), col("hour_us"),
+        round(col("v"), 2).as("last_value"))
+      .orderBy(col("user_id"), col("hour_us"))
+  }
+
   /** As-of join WITH TOLERANCE — the feature-store freshness contract:
     * a match staler than 1 hour is as good as no match, so its value
     * columns are masked NULL while the left row survives (LEFT-join
@@ -1827,7 +1876,8 @@ object EventsMore {
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_bloom, q_asof_native_str,
-    q_asof_native_multi, q_asof_native_ts, q_asof_tolerance, q_hll_distinct,
+    q_asof_native_multi, q_asof_native_ts, q_asof_tolerance, q_resample_ffill,
+    q_hll_distinct,
     q_rank_dist, q_robust_stats,
     q_funnel, q_retention, q_markov, q_topk_daily, q_scd2,
     q_time_weighted, q_grouping_sets, q_cdc_apply, q_rolling_median,
