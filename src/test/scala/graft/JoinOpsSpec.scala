@@ -290,6 +290,50 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("distinct"))
   }
 
+  test("concurrent native-asof use installs the strategy/rules exactly once") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "p")).toDF("k", "ts", "pid")
+    val right = Seq((1L, 5L, "r")).toDF("k", "rts", "rid")
+    // 8 threads race through installStrategy/installRule on first use —
+    // the synchronized check-and-append must neither drop nor duplicate
+    // a registration (a doubled rule runs twice per optimizer batch)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() =>
+        try JoinOps.asofJoinNative(left, right, "k", "ts", "rts", Seq("rid")).count()
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent asof failed: ${errs.peek()}")
+    val exp = spark.experimental
+    assert(exp.extraStrategies.count(_ eq graft.plans.AsofJoinStrategy) === 1)
+    assert(exp.extraOptimizations.count(_ eq graft.plans.AsofJoinPushdown) === 1)
+    assert(exp.extraOptimizations.count(_ eq graft.plans.AsofJoinPruning) === 1)
+  }
+
+  test("native asof rejects mismatched/unsupported key and ts types loudly") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "p")).toDF("k", "ts", "pid")
+    // key type mismatch long vs string
+    val rightStr = Seq(("1", 5L, "r")).toDF("k", "rts", "rid")
+    val e1 = intercept[IllegalArgumentException] {
+      JoinOps.asofJoinNative(left, rightStr, "k", "ts", "rts", Seq("rid"))
+    }
+    assert(e1.getMessage.contains("key type mismatch"))
+    // unsupported ts type (string)
+    val rightBadTs = Seq((1L, "5", "r")).toDF("k", "rts", "rid")
+    val e2 = intercept[IllegalArgumentException] {
+      JoinOps.asofJoinNative(left, rightBadTs, "k", "ts", "rts", Seq("rid"))
+    }
+    assert(e2.getMessage.contains("ts columns"))
+    // missing column named in the API
+    val e3 = intercept[IllegalArgumentException] {
+      JoinOps.asofJoinNative(left, rightStr, "nope", "ts", "rts", Seq("rid"))
+    }
+    assert(e3.getMessage.contains("nope"))
+  }
+
   test("degenerate inputs: empty right side, empty graph, empty corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
