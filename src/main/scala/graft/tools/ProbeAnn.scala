@@ -83,7 +83,9 @@ object ProbeAnn {
     // exchange; the sketch path pays 5M 4-word POPCNTs and exact-scores
     // + sorts only the radius survivors (~5%).
     graft.functions.GraftFunctions.register(spark)
-    val synth = spark.range(50100).select(col("id").as("vec_id"),
+    // corpus size for the scaled section: second CLI arg (default 50k)
+    val nSynth = args.drop(1).headOption.map(_.toLong).getOrElse(50100L)
+    val synth = spark.range(nSynth).select(col("id").as("vec_id"),
       expr("zip_with(hashed_embed(CAST(id % 2000 AS STRING)), " +
         "hashed_embed(CAST(id AS STRING)), " +
         "(a, b) -> a + CAST(1.5 AS FLOAT) * b)").as("embedding"))
@@ -99,7 +101,7 @@ object ProbeAnn {
     }
     val (tB, truthS) = runS(() =>
       SimilarityOps.bruteForceTopK(sq, sc, "vec_id", "embedding", k))
-    println(s"| ANN path @50k corpus | wall (s) | recall@$k |")
+    println(s"| ANN path @${nSynth / 1000}k corpus | wall (s) | recall@$k |")
     println("|---|---|---|")
     println(f"| exact brute-force (baseline) | $tB%.2f | 1.000 |")
     Seq((256, 110), (256, 115), (256, 120)).foreach { case (bits, r) =>
