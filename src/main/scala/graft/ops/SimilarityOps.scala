@@ -187,6 +187,44 @@ object SimilarityOps {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Data-driven calibration of [[sketchTopK]]'s Hamming radius: the
+    * radius IS the candidate-fraction dial (P(pair passes) ≈ fraction
+    * of the pairwise-distance distribution below it), so pick it as
+    * the `targetFrac` quantile of pairwise sketch distances over a
+    * bounded deterministic sample (lowest-id `sampleN` corpus
+    * vectors — the same bounded-collect contract as the INT8
+    * calibration). Exact k-th smallest via sort-limit-max, no
+    * approximate percentile: the whole calibration replays in the
+    * DuckDB oracle (q_ann_autoradius). Driver state: ONE integer.
+    *
+    * Why quantile-of-pairs works: random pairs dominate any corpus'
+    * pair distribution, so the targetFrac quantile sits targetFrac
+    * into the noise mass — neighbors (far left tail) pass almost
+    * surely, and expected exact-rerank cost ≈ targetFrac × brute.
+    * Corpus drift (embeddings re-trained, norms shifted) moves the
+    * distribution and the radius FOLLOWS — the fixed-radius failure
+    * mode q_ann_recall would otherwise surface.
+    */
+  def calibrateHammingRadius(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dim: Int, sampleN: Int, targetFrac: Double): Int = {
+    require(targetFrac > 0 && targetFrac < 1, s"targetFrac in (0,1): $targetFrac")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val sample = corpus
+      .select(col(idCol).as("sid"), col(vecCol).cast("array<double>").as("sv"))
+      .orderBy(col("sid")).limit(sampleN)
+      .select(col("sid"), expr(s"hyperplane_sketch(sv, $bits, $dim)").as("ssk"))
+    val a = sample.select(col("sid").as("ia"), col("ssk").as("ska"))
+    val b = sample.select(col("sid").as("ib"), col("ssk").as("skb"))
+    val hams = a.join(b, col("ia") < col("ib"))
+      .select(expr("hamming_dist(ska, skb)").as("ham"))
+    val n = hams.count()
+    require(n > 0, "calibrateHammingRadius: need >= 2 sample vectors")
+    val k = math.max(1L, math.ceil(targetFrac * n).toLong)
+    hams.orderBy(col("ham")).limit(k.toInt)
+      .agg(max(col("ham"))).collect().head.getInt(0)
+  }
+
   /** All-pairs cosine >= threshold (embedding near-duplicate surface,
     * `deduplication_consumer.py:198-222` batch semantics). Brute force
     * O(n²/2) — verification-scale tool; the LSH-bucketed variant below

@@ -564,8 +564,58 @@ object VectorQueries {
       .orderBy(col("query_id"))
   }
 
+  /** Self-calibrating sketch ANN: the Hamming radius is not a magic
+    * constant but the 5% quantile of pairwise sketch distances over a
+    * bounded deterministic sample
+    * ([[SimilarityOps.calibrateHammingRadius]] — one integer of driver
+    * state), then the search runs at that radius. Certifies the WHOLE
+    * loop — sample → exact quantile → radius → search — against
+    * DuckDB, radius value included in every output row; corpus drift
+    * moves the radius instead of silently collapsing recall.
+    */
+  val q_ann_autoradius = QueryDef(
+    "q_ann_autoradius", {
+      s"""WITH $sketchCtes,
+         |samp AS (SELECT id FROM n WHERE id >= 50 ORDER BY id LIMIT 100),
+         |ssig AS (SELECT s.* FROM sig s JOIN samp USING (id)),
+         |ph AS (
+         |  SELECT a.id AS ia, b.id AS ib,
+         |    SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS ham
+         |  FROM ssig a JOIN ssig b ON a.i = b.i AND a.id < b.id
+         |  GROUP BY 1, 2),
+         |rad AS (
+         |  SELECT ham AS radius FROM (
+         |    SELECT ham, ROW_NUMBER() OVER (ORDER BY ham) AS rn,
+         |      COUNT(*) OVER () AS np
+         |    FROM ph) t
+         |  WHERE rn = CAST(CEIL(0.05 * np) AS BIGINT)),
+         |auto AS (
+         |  SELECT h.query_id, h.neighbor_id,
+         |    list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm) AS cos
+         |  FROM ham h JOIN n q ON q.id = h.query_id JOIN n c ON c.id = h.neighbor_id
+         |  CROSS JOIN rad WHERE h.ham <= rad.radius)
+         |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim,
+         |  (SELECT radius FROM rad) AS radius
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM auto) t WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 50)
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val radius = SimilarityOps.calibrateHammingRadius(
+      corpus, "vec_id", "embedding",
+      bits = SketchBits, dim = LshDim, sampleN = 100, targetFrac = 0.05)
+    SimilarityOps.sketchTopK(queries, corpus, "vec_id", "embedding", 10,
+      bits = SketchBits, dim = LshDim, maxHamming = radius)
+      .withColumn("radius", lit(radius))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
-    q_ann_recall)
+    q_ann_recall, q_ann_autoradius)
 }

@@ -208,4 +208,20 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     val recall = (got & truth).size.toDouble / truth.size
     assert(recall >= 0.9, f"sketch recall $recall%.3f < 0.9")
   }
+
+  test("calibrateHammingRadius: monotone in targetFrac, lands in the working band") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val corpus = graft.Tables.embeddings(spark, sf).filter(col("vec_id") >= 50)
+    def cal(frac: Double) = graft.ops.SimilarityOps.calibrateHammingRadius(
+      corpus, "vec_id", "embedding", bits = 256, dim = 64,
+      sampleN = 100, targetFrac = frac)
+    val r01 = cal(0.01)
+    val r05 = cal(0.05)
+    val r20 = cal(0.20)
+    assert(r01 <= r05 && r05 <= r20, s"not monotone: $r01 / $r05 / $r20")
+    // near-isotropic corpus: the 5% quantile of pairwise distances sits
+    // left of the 256-bit noise mean (128) but nowhere near 0
+    assert(r05 > 64 && r05 < 128, s"5% radius out of band: $r05")
+  }
 }
