@@ -141,4 +141,25 @@ class SketchOpsSpec extends AnyFunSuite {
         s"count drift on $c")
     }
   }
+
+  test("HyperplaneSketch word 0 is bit-identical to HyperplaneSig(64); partial words pack low bits") {
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val vecs = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"))
+    // the wide sketch uses the SAME global plane indices, so its first
+    // packed word must equal the 64-bit signature exactly — corpus-wide
+    val drift = vecs.select(
+        expr("hyperplane_sig(vd, 64, 64)").as("sig"),
+        element_at(expr("hyperplane_sketch(vd, 256, 64)"), 1).as("w0"))
+      .filter(col("sig") =!= col("w0")).count()
+    assert(drift === 0L)
+    // a non-multiple-of-64 width packs only the low bits of its last
+    // word: a 70-bit sketch's word 2 must fit in 6 bits
+    val overflow = vecs.select(
+        element_at(expr("hyperplane_sketch(vd, 70, 64)"), 2).as("w1"))
+      .filter(col("w1") < 0 || col("w1") >= (1L << 6)).count()
+    assert(overflow === 0L)
+  }
 }
