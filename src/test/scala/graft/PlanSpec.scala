@@ -197,6 +197,18 @@ class PlanSpec extends AnyFunSuite {
       s"chunker must stay in codegen column algebra:\n$p")
   }
 
+  test("sketch ANN plans as brute's shape plus a stateless radius conjunct") {
+    val p = plan("q_ann_sketch")
+    // the prefilter is a FILTER in the nested-loop stage, not an
+    // aggregate shortlist: no ObjectHashAggregate, exactly one rank
+    // window, and the POPCNT distance sits in a condition
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(p.toLowerCase.contains("hammingdist"), p.take(1200))
+    assert(!p.contains("ObjectHashAggregate"),
+      "radius prefilter regressed to a heap shortlist:\n" + p.take(1200))
+    assert("Window".r.findAllIn(p).size >= 1, p.take(1200))
+  }
+
   // ---- golden plan-shape snapshots -----------------------------------
 
   /** Normalized plan fingerprint: preorder walk of the physical plan,
