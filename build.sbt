@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Stream the forked run's stdout VERBATIM (no `[info] ` prefix): the
+// bench/verify drivers parse the headline JSON line from captured
+// stdout, and sbt's default BufferedOutput logger prefix makes every
+// line fail a line-wise json parse.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -54,10 +54,12 @@ object GraftSession {
     * trap of a pre-existing non-UTC session absorbing a graft build.
     */
   def requireContract(spark: SparkSession): Unit = {
-    val tz = spark.conf.get("spark.sql.session.timeZone")
-    require(tz == "UTC",
-      s"graft session contract: spark.sql.session.timeZone must be UTC " +
-        s"(got `$tz`) — pin it at session build (GraftSession.builder or " +
-        "spark-defaults.conf); readers no longer mutate session state")
+    pinned.foreach { case (key, want) =>
+      val got = spark.conf.getOption(key).getOrElse("<unset>")
+      require(got == want,
+        s"graft session contract: $key must be $want (got `$got`) — pin it " +
+          "at session build (GraftSession.builder or spark-defaults.conf); " +
+          "readers no longer mutate session state")
+    }
   }
 }

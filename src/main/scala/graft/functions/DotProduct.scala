@@ -83,22 +83,37 @@ object GraftFunctions {
     require(exprs.length == n,
       s"$fn expects $n argument(s), got ${exprs.length}")
 
-  /** Idempotent per session: re-registering an identical builder is a
-    * no-op (guarded on `functionExists`), so the hot ops that call
-    * `register` defensively on every invocation no longer spam
-    * `SimpleFunctionRegistry ... replaced` WARNs — and the bench/driver
-    * stdout stays machine-parseable. A concurrent first call can at
-    * worst race two threads into `createOrReplaceTempFunction`, which
-    * is itself thread-safe (one benign WARN, same binding).
+  /** The ExpressionInfo className used to tag graft's own registry
+    * entries, so idempotence can distinguish "ours already bound"
+    * (skip — no WARN spam) from "a foreign binding squats the name"
+    * (replace — graft's semantics must win; inheriting an alien
+    * `dot_product` silently would corrupt every certified query).
+    */
+  private val OwnerTag = "graft.functions.GraftFunctions"
+
+  /** Idempotent per session: re-registering over graft's own binding
+    * is a no-op (guarded on the [[OwnerTag]] ExpressionInfo), so the
+    * hot ops that call `register` defensively on every invocation
+    * don't spam `SimpleFunctionRegistry ... replaced` WARNs — and the
+    * bench/driver stdout stays machine-parseable. A binding under the
+    * name that is NOT graft's is replaced, with Spark's one replace
+    * WARN as the audit trail. A concurrent first call can at worst
+    * race two threads into `registerFunction`, which is itself
+    * thread-safe (same binding either way).
     */
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     def reg(name: String,
         builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-          org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      if (!registry.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        registry.createOrReplaceTempFunction(name, builder, "built-in")
+          org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+      val ident = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      val ownedAlready =
+        registry.lookupFunction(ident).exists(_.getClassName == OwnerTag)
+      if (!ownedAlready)
+        registry.registerFunction(ident,
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            OwnerTag, name), builder)
+    }
     reg("dot_product", exprs => { arity(exprs, "dot_product", 2)
         DotProduct(exprs(0), exprs(1)) })
     reg("shingle_hashes", exprs => { arity(exprs, "shingle_hashes", 2)

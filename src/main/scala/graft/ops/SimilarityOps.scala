@@ -104,8 +104,8 @@ object SimilarityOps {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
   /** Hamming-sketch RADIUS prefilter + exact rerank — the recall
@@ -183,8 +183,76 @@ object SimilarityOps {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** [[sketchTopK]]'s corpus tuple as a STORED index: the
+    * (neighbor_id, vector, norm, sketch) projection is computed ONCE
+    * at build time and persisted as a bucketed catalog table — at
+    * deploy scale the index is written per corpus rebuild and searched
+    * many times, so per-query re-sketching of the corpus (a full scan
+    * + `bits` dot products per vector) is pure waste. Bucketed+sorted
+    * by id (the StorageSpec layout contract) so downstream id-keyed
+    * joins (recall eval, metadata enrich) run exchange-free.
+    */
+  def buildSketchIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dim: Int, table: String, nBuckets: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a managed-table DIRECTORY from an earlier JVM outlives the
+    // in-memory catalog; location validation rejects it even after the
+    // (no-op) DROP, so the rebuild must clear the leftover location too
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(expr("dot_product(cv, cv)")))
+      .filter(col("cn") > 0)
+      .withColumn("csk", expr(s"hyperplane_sketch(cv, $bits, $dim)"))
+      .write.bucketBy(nBuckets, "neighbor_id").sortBy("neighbor_id")
+      .mode("overwrite").saveAsTable(table)
+  }
+
+  /** [[sketchTopK]] over a PERSISTED [[buildSketchIndex]] table: same
+    * radius-prefilter + exact-rerank pipeline, but the corpus side is
+    * a plain columnar SCAN of the precomputed tuple — no re-sketch,
+    * and no repartition barrier either: the WSCG deferred-projection
+    * trap sketchTopK defends against cannot occur when the sketch is a
+    * scanned column rather than a computed projection, so this plan is
+    * strictly simpler (one exchange fewer) than the compute-on-read
+    * path. Certified to match the SAME oracle as q_ann_sketch
+    * (q_ann_index), plan-asserted scan-not-sketch in PlanSpec.
+    */
+  def sketchTopKIndexed(
+      queries: DataFrame, index: DataFrame, idCol: String, vecCol: String,
+      k: Int, bits: Int, dim: Int, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= bits,
+      s"maxHamming must be in [0, $bits], got $maxHamming")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", sqrt(expr("dot_product(qv, qv)")))
+      .filter(col("qn") > 0)
+      .withColumn("qsk", expr(s"hyperplane_sketch(qv, $bits, $dim)")))
+    val scored = index.select(col("neighbor_id"), col("cv"), col("cn"), col("csk"))
+      .crossJoin(q)
+      .filter(col("query_id") =!= col("neighbor_id") &&
+        expr("hamming_dist(qsk, csk)") <= maxHamming)
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("dot_product(qv, cv)") / (col("qn") * col("cn"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
   /** Data-driven calibration of [[sketchTopK]]'s Hamming radius: the
@@ -212,6 +280,11 @@ object SimilarityOps {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val sample = corpus
       .select(col(idCol).as("sid"), col(vecCol).cast("array<double>").as("sv"))
+      // Zero-norm vectors (empty-doc embeddings) carry no hyperplane
+      // signal — their sketch is the all-sign-of-zero word — and the
+      // search itself excludes them, so the calibration sample must
+      // too (matches the oracle's norm>0 CTE; round-7 ADVICE).
+      .filter(expr("dot_product(sv, sv)") > 0)
       .orderBy(col("sid")).limit(sampleN)
       .select(col("sid"), expr(s"hyperplane_sketch(sv, $bits, $dim)").as("ssk"))
     val a = sample.select(col("sid").as("ia"), col("ssk").as("ska"))
@@ -221,6 +294,8 @@ object SimilarityOps {
     val n = hams.count()
     require(n > 0, "calibrateHammingRadius: need >= 2 sample vectors")
     val k = math.max(1L, math.ceil(targetFrac * n).toLong)
+    require(k <= Int.MaxValue,
+      s"calibrateHammingRadius: quantile rank $k overflows limit(); cap sampleN")
     hams.orderBy(col("ham")).limit(k.toInt)
       .agg(max(col("ham"))).collect().head.getInt(0)
   }
@@ -351,8 +426,8 @@ object SimilarityOps {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
   /** Product-quantization ANN with asymmetric scoring (ADC) — the
@@ -552,8 +627,8 @@ object SimilarityOps {
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"))
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
   /** LSH-bucketed near-duplicate candidates with OR-amplification:

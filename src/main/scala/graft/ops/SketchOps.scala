@@ -239,7 +239,7 @@ object SketchOps {
       sum(col("cnt")).over(Window.partitionBy(col("event_type"))
         .orderBy(col("bin_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val pcts = { import spark.implicits._; Seq(50, 95, 99).toDF("pct") }
+    val pcts = { import spark.implicits._; Seq(50L, 95L, 99L).toDF("pct") }
     val thr = matBins.groupBy(col("event_type")).agg(sum(col("cnt")).as("n"))
       .crossJoin(broadcast(pcts))
       .select(col("event_type"), col("pct"),
@@ -275,7 +275,8 @@ object SketchOps {
       |  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM bins GROUP BY 1),
       |thr AS (
       |  SELECT t.event_type, p.pct, (t.n * p.pct + 99) // 100 AS thr
-      |  FROM tot t CROSS JOIN (SELECT * FROM (VALUES (50), (95), (99)) q(pct)) p)
+      |  FROM tot t CROSS JOIN (SELECT * FROM (VALUES (CAST(50 AS BIGINT)), (CAST(95 AS BIGINT)),
+      |    (CAST(99 AS BIGINT))) q(pct)) p)
       |SELECT c.event_type, th.pct,
       |  CAST(CASE WHEN c.e >= 4 THEN (16 + c.s) << (c.e - 4) ELSE c.s END
       |    AS BIGINT) AS est_cents

@@ -75,7 +75,7 @@ object ClusterQueries {
   val q_cluster_profile = QueryDef(
     "q_cluster_profile",
     """WITH j AS (
-      |  SELECT e.label AS cluster_id,
+      |  SELECT CAST(e.label AS BIGINT) AS cluster_id,
       |    CAST(e.embedding[1] AS DOUBLE) AS x, CAST(e.embedding[2] AS DOUBLE) AS y,
       |    d.n_chars, d.doc_id, d.lang, d.source
       |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
@@ -106,7 +106,7 @@ object ClusterQueries {
       |FROM base b LEFT JOIN wide w USING (cluster_id)
       |ORDER BY n_points DESC, cluster_id""".stripMargin) { (spark, dir) =>
     val joined = Tables.embeddings(spark, dir)
-      .select(col("label").as("cluster_id"),
+      .select(col("label").cast("long").as("cluster_id"),
         element_at(col("embedding"), 1).cast("double").as("x"),
         element_at(col("embedding"), 2).cast("double").as("y"),
         col("vec_id"))

@@ -127,12 +127,13 @@ object CurationQueries {
       |  md5(trim(regexp_replace(regexp_replace(lower(text),
       |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash,
       |  CAST(len(trim(regexp_replace(regexp_replace(lower(text),
-      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS INT) AS norm_len
+      |    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS BIGINT) AS norm_len
       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
     Tables.documents(spark, dir)
-      .select(col("doc_id"), md5(norm).as("norm_hash"), length(norm).as("norm_len"))
+      .select(col("doc_id"), md5(norm).as("norm_hash"),
+        length(norm).cast("long").as("norm_len"))
       .orderBy(col("doc_id"))
   }
 
@@ -219,7 +220,12 @@ object CurationQueries {
         size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)
       .as[(Long, Long, Long)]
-      .repartition(8, col("shard"))
+      // RANGE partition on shard, not hash: hash can co-locate several
+      // of the 8 shards and idle the rest of the slots, while range
+      // boundaries give each shard its own partition (equal keys can
+      // never straddle a range boundary, so the sequential-within-
+      // shard contract is preserved identically)
+      .repartitionByRange(8, col("shard"))
       .sortWithinPartitions(col("shard"), col("doc_id"))
       .mapPartitions { it =>
         // several shards may hash to one partition; state resets at
@@ -912,7 +918,7 @@ object CurationQueries {
          |  SELECT doc_id, CAST(g AS BIGINT) AS start, text
          |  FROM m CROSS JOIN UNNEST(range(0, n, $Step)) t(g))
          |SELECT doc_id, start // $Step AS chunk_idx, start,
-         |  CAST(len(substr(text, CAST(start + 1 AS INT), $ChunkLen)) AS INT)
+         |  CAST(len(substr(text, CAST(start + 1 AS INT), $ChunkLen)) AS BIGINT)
          |    AS chunk_len,
          |  md5(substr(text, CAST(start + 1 AS INT), $ChunkLen)) AS chunk_md5
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
@@ -927,7 +933,8 @@ object CurationQueries {
           col("start"),
           expr(s"substr(text, start + 1, $ChunkLen)").as("chunk"))
         .select(col("doc_id"), col("chunk_idx"), col("start"),
-          length(col("chunk")).as("chunk_len"), md5(col("chunk")).as("chunk_md5"))
+          length(col("chunk")).cast("long").as("chunk_len"),
+          md5(col("chunk")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
     }
   }

@@ -196,13 +196,14 @@ object Events {
     * surface (`relevance_consumer.py:155`, `psql_db_client.py:146`). */
   val q_json_props = QueryDef(
     "q_json_props",
-    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+    """SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS BIGINT)
+      |    AS k_bucket,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum
       |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin) { (spark, dir) =>
     val k = get_json_object(col("props"), "$.k").cast("int")
     Tables.events(spark, dir)
-      .groupBy((k % 10).as("k_bucket"))
+      .groupBy((k % 10).cast("long").as("k_bucket"))
       .agg(count(lit(1)).as("n"), sum(k).as("k_sum"))
       .orderBy(col("k_bucket"))
   }

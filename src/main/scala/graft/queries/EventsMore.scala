@@ -364,6 +364,39 @@ object EventsMore {
       .orderBy(col("purchase_id"))
   }
 
+  /** [[q_asof_tolerance]] through the NATIVE as-of exec
+    * ([[graft.plans.AsofJoinExec]] via [[JoinOps.asofJoinNative]]):
+    * the tolerance stays a POST-JOIN mask (per-consumer freshness
+    * without re-running the join — the round-6 design decision), so
+    * the exec needs no tolerance parameter; only the join plan under
+    * the mask changes from union+window to the streaming merge.
+    * Certified against the SAME DuckDB ASOF + CASE oracle, and
+    * plan-asserted AsofJoinExec in JoinOpsSpec.
+    */
+  val q_asof_tolerance_native = QueryDef(
+    "q_asof_tolerance_native", q_asof_tolerance.oracle.get) { (spark, dir) =>
+    val tolUs = 3600000000L
+    val ev = Tables.events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    val fresh = col("purchase_us") - col("click_us") <= tolUs
+    JoinOps.asofJoinNative(purchases, clicks,
+      keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "click_us",
+      rightValCols = Seq("click_us", "click_id", "click_value"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        when(fresh, col("click_id")).as("recent_click_id"),
+        when(fresh, round(col("click_value"), 2)).as("recent_click_value"),
+        when(fresh,
+          floor((col("purchase_us") - col("click_us")) / 1000000L).cast("long"))
+          .as("gap_sec"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Explicit GROUPING SETS — the custom subtotal lattice CUBE/ROLLUP
     * can't express: just the two independent marginals
     * (per-type, per-day-of-week) plus the grand total, with
@@ -599,7 +632,7 @@ object EventsMore {
       |  FROM wm GROUP BY event_type)
       |SELECT i.event_type AS informal_type, o.event_type AS official_type,
       |  i.first_spike AS informal_first, o.first_spike AS official_first,
-      |  CAST(date_diff('day', i.first_spike, o.first_spike) AS INT) AS lead_days
+      |  CAST(date_diff('day', i.first_spike, o.first_spike) AS BIGINT) AS lead_days
       |FROM fs i JOIN fs o
       |  ON i.event_type IN ('click', 'view')
       | AND o.event_type IN ('purchase', 'signup', 'error')
@@ -622,7 +655,8 @@ object EventsMore {
       .select(col("event_type").as("official_type"),
         col("first_spike").as("official_first"))
     informal.crossJoin(broadcast(official))
-      .withColumn("lead_days", datediff(col("official_first"), col("informal_first")))
+      .withColumn("lead_days",
+        datediff(col("official_first"), col("informal_first")).cast("long"))
       .select(col("informal_type"), col("official_type"),
         col("informal_first"), col("official_first"), col("lead_days"))
       .orderBy(col("informal_type"), col("official_type"))
@@ -851,7 +885,7 @@ object EventsMore {
       |  SELECT e.user_id, MIN(e.ts) AS t FROM events e
       |  JOIN s3 ON s3.user_id = e.user_id
       |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id)
-      |SELECT 1 AS step, 'signup' AS event_type,
+      |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_users
       |UNION ALL SELECT 2, 'view', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
       |UNION ALL SELECT 3, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
@@ -872,7 +906,8 @@ object EventsMore {
     val s4 = nextStep(s3, "purchase")
     def row(step: Int, typ: String, df: org.apache.spark.sql.DataFrame) =
       df.agg(count(lit(1)).as("n_users"))
-        .select(lit(step).as("step"), lit(typ).as("event_type"), col("n_users"))
+        .select(lit(step.toLong).as("step"), lit(typ).as("event_type"),
+          col("n_users"))
     row(1, "signup", s1).union(row(2, "view", s2))
       .union(row(3, "click", s3)).union(row(4, "purchase", s4))
       .orderBy(col("step"))
@@ -1876,7 +1911,8 @@ object EventsMore {
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_bloom, q_asof_native_str,
-    q_asof_native_multi, q_asof_native_ts, q_asof_tolerance, q_resample_ffill,
+    q_asof_native_multi, q_asof_native_ts, q_asof_tolerance,
+    q_asof_tolerance_native, q_resample_ffill,
     q_hll_distinct,
     q_rank_dist, q_robust_stats,
     q_funnel, q_retention, q_markov, q_topk_daily, q_scd2,

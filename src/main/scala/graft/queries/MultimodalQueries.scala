@@ -79,7 +79,7 @@ object MultimodalQueries {
        |  FROM m CROSS JOIN UNNEST([0, 2, 4, 6]) t(g)
        |  WHERE n > 0)
        |SELECT media_id, frame_idx,
-       |  CAST(LEAST((frame_idx + 1) * sz, n) - LEAST(frame_idx * sz, n) AS INT)
+       |  CAST(LEAST((frame_idx + 1) * sz, n) - LEAST(frame_idx * sz, n) AS BIGINT)
        |    AS frame_len
        |FROM f
        |WHERE LEAST((frame_idx + 1) * sz, n) - LEAST(frame_idx * sz, n) > 0
@@ -88,7 +88,7 @@ object MultimodalQueries {
       MultimodalOps.mediaFromDocuments(Tables.documents(spark, dir)),
       frames = 8, stride = 2)
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-        length(col("frame_bytes")).as("frame_len"))
+        length(col("frame_bytes")).cast("long").as("frame_len"))
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
@@ -112,13 +112,16 @@ object MultimodalQueries {
        |        1 + CAST(FLOOR(CAST(i AS BIGINT) * (m.n / CAST(512 AS DOUBLE))) AS INT),
        |        1), '' ORDER BY i) AS s
        |    FROM UNNEST(range(0, 512)) t(i)) r ON TRUE)
-       |SELECT media_id, kind, CAST(32 AS INT) AS width, CAST(16 AS INT) AS height,
-       |  CAST(len(rtext) AS INT) AS out_len, md5(rtext) AS payload_md5
+       |SELECT media_id, kind, CAST(32 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+       |  CAST(len(rtext) AS BIGINT) AS out_len, md5(rtext) AS payload_md5
        |FROM resized ORDER BY media_id""".stripMargin) { (spark, dir) =>
     MultimodalOps.resizeStub(
       MultimodalOps.mediaFromDocuments(Tables.documents(spark, dir)), 32, 16)
-      .select(col("media_id"), col("kind"), col("width"), col("height"),
-        length(col("payload")).as("out_len"), md5(col("payload")).as("payload_md5"))
+      .select(col("media_id"), col("kind"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        length(col("payload")).cast("long").as("out_len"),
+        md5(col("payload")).as("payload_md5"))
       .orderBy(col("media_id"))
   }
 

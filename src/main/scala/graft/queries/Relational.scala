@@ -256,11 +256,13 @@ object Relational {
     * suppliers (U4 existing-vs-new difference, `chromadb_client.py:93-96`). */
   val q_nations_customers_only = QueryDef(
     "q_nations_customers_only",
-    """SELECT DISTINCT c_nationkey AS nationkey FROM customer
-      |EXCEPT SELECT DISTINCT s_nationkey FROM supplier
+    """SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      |EXCEPT SELECT DISTINCT CAST(s_nationkey AS BIGINT) FROM supplier
       |ORDER BY nationkey""".stripMargin) { (spark, dir) =>
-    Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey")).distinct()
-      .except(Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey")).distinct())
+    Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("long").as("nationkey")).distinct()
+      .except(Tables.supplier(spark, dir)
+        .select(col("s_nationkey").cast("long").as("nationkey")).distinct())
       .orderBy(col("nationkey"))
   }
 

@@ -93,7 +93,7 @@ object RelevanceQueries {
       |    CAST(FLOOR(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)
       |         * 1000000 + 0.5) AS BIGINT) AS ci
       |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-      |SELECT label, COUNT(*) AS n_pairs,
+      |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_pairs,
       |  FLOOR(CAST(SUM(ci) AS DOUBLE) / (COUNT(*) * 1000000.0) * 10000 + 0.5)
       |    / 10000.0 AS avg_cos
       |FROM p GROUP BY label ORDER BY label""".stripMargin) { (spark, dir) =>
@@ -103,7 +103,7 @@ object RelevanceQueries {
       .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
     v.as("a").join(v.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("label"),
+      .select(col("a.label").cast("long").as("label"),
         floor(expr("dot_product(a.vd, b.vd)") / (col("a.nrm") * col("b.nrm"))
           * 1000000 + 0.5).cast("long").as("ci"))
       .groupBy(col("label"))
@@ -140,7 +140,7 @@ object RelevanceQueries {
          |    CAST(FLOOR(list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm)
          |         * 1000000 + 0.5) AS BIGINT) AS ci
          |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
-         |SELECT label, COUNT(*) AS n_pairs,
+         |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_pairs,
          |  FLOOR(CAST(SUM(ci) AS DOUBLE) / (COUNT(*) * 1000000.0) * 10000 + 0.5)
          |    / 10000.0 AS avg_cos
          |FROM p GROUP BY label ORDER BY label""".stripMargin
@@ -155,7 +155,7 @@ object RelevanceQueries {
       .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
     v.as("a").join(v.as("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.label").as("label"),
+      .select(col("a.label").cast("long").as("label"),
         floor(expr("dot_product(a.vd, b.vd)") / (col("a.nrm") * col("b.nrm"))
           * 1000000 + 0.5).cast("long").as("ci"))
       .groupBy(col("label"))
@@ -180,7 +180,7 @@ object RelevanceQueries {
       |cent AS (
       |  SELECT *, AVG(x) OVER (PARTITION BY label) AS cx
       |  FROM pts)
-      |SELECT vec_id, label,
+      |SELECT vec_id, CAST(label AS BIGINT) AS label,
       |  ROUND(COALESCE(x, cx + (((vec_id % 1000) * 2654435761) % 1000) / 1000.0 * 0.04 - 0.02), 6) AS x_imputed,
       |  (x IS NULL) AS was_imputed
       |FROM cent ORDER BY vec_id""".stripMargin) { (spark, dir) =>
@@ -193,7 +193,7 @@ object RelevanceQueries {
     val jitter = (col("vec_id") % 1000L * lit(2654435761L)) % 1000 / lit(1000.0) * 0.04 - 0.02
     pts
       .withColumn("cx", avg(col("x")).over(byLabel))
-      .select(col("vec_id"), col("label"),
+      .select(col("vec_id"), col("label").cast("long").as("label"),
         round(coalesce(col("x"), col("cx") + jitter), 6).as("x_imputed"),
         col("x").isNull.as("was_imputed"))
       .orderBy(col("vec_id"))

@@ -37,7 +37,7 @@ object ScaleQueries {
         col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     BloomOps.bloomPrunedJoin(
         Tables.lineitem(spark, dir), small, "l_orderkey", "o_orderkey")
-      .groupBy(month(col("o_orderdate")).as("mon"))
+      .groupBy(month(col("o_orderdate")).cast("long").as("mon"))
       .agg(
         count(lit(1)).as("n_items"),
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)

@@ -430,6 +430,7 @@ object TextQueries {
     val merges = graft.ops.BpeOps.learnMerges(
       Tables.documents(spark, dir), "text", rounds = 10)
     spark.createDataFrame(merges).toDF("rank", "s1", "s2", "cnt")
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("rank"))
   }
 
@@ -449,7 +450,8 @@ object TextQueries {
     val rendered = graft.ops.BpeOps.wordFreqs(docs, "text")
       .select(regexp_replace(col("word"), "(.)", "$1|").as("s"), col("freq"))
     graft.ops.BpeOps.applyMerges(rendered, merges)
-      .select((size(split(col("s"), "\\|")) - 1).as("n_tokens"), col("freq"))
+      .select((size(split(col("s"), "\\|")) - 1).cast("long").as("n_tokens"),
+        col("freq"))
       .groupBy(col("n_tokens"))
       .agg(count(lit(1)).as("n_words"), sum(col("freq")).as("n_occurrences"))
       .orderBy(col("n_tokens"))

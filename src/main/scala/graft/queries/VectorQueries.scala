@@ -66,13 +66,13 @@ object VectorQueries {
     * vector table. */
   val q_label_profile = QueryDef(
     "q_label_profile",
-    s"""SELECT label, COUNT(*) AS n,
+    s"""SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
        |  ROUND(AVG(sqrt(list_dot_product($vd, $vd))), 6) AS avg_norm
        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin) { (spark, dir) =>
     graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, dir)
       .withColumn("vd", col("embedding").cast("array<double>"))
-      .groupBy(col("label"))
+      .groupBy(col("label").cast("long").as("label"))
       .agg(count(lit(1)).as("n"),
         round(avg(sqrt(expr("dot_product(vd, vd)"))), 6).as("avg_norm"))
       .orderBy(col("label"))
@@ -513,6 +513,30 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Sketch ANN over the PERSISTED index (T126 as a stored index):
+    * [[SimilarityOps.buildSketchIndex]] writes the (id, vector, norm,
+    * sketch) tuple once as a bucketed catalog table, then
+    * [[SimilarityOps.sketchTopKIndexed]] searches it — certified to
+    * match the SAME oracle as q_ann_sketch, proving build→store→search
+    * loses nothing vs compute-on-read. The timed surface includes the
+    * build (worst case for this query's bench number); at deploy scale
+    * the build amortizes over every query until the next corpus
+    * rebuild. Plan shape (corpus side is a columnar SCAN of csk, not a
+    * re-sketch; no repartition barrier) is asserted in PlanSpec.
+    */
+  val q_ann_index = QueryDef(
+    "q_ann_index", q_ann_sketch.oracle.get) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.buildSketchIndex(emb.filter(col("vec_id") >= 50),
+      "vec_id", "embedding", bits = SketchBits, dim = LshDim,
+      table = "graft_ann_index")
+    SimilarityOps.sketchTopKIndexed(
+      emb.filter(col("vec_id") < 50), spark.table("graft_ann_index"),
+      "vec_id", "embedding", 10,
+      bits = SketchBits, dim = LshDim, maxHamming = SketchRadius)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Retrieval-quality evaluation AS A QUERY: per-query recall@10 of
     * the sketch-ANN path against exact brute force, computed in-engine
     * (both pipelines are deterministic, so the recall itself is a
@@ -595,7 +619,7 @@ object VectorQueries {
          |  FROM ham h JOIN n q ON q.id = h.query_id JOIN n c ON c.id = h.neighbor_id
          |  CROSS JOIN rad WHERE h.ham <= rad.radius)
          |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim,
-         |  (SELECT radius FROM rad) AS radius
+         |  CAST((SELECT radius FROM rad) AS BIGINT) AS radius
          |FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS rank
@@ -610,12 +634,12 @@ object VectorQueries {
       bits = SketchBits, dim = LshDim, sampleN = 100, targetFrac = 0.05)
     SimilarityOps.sketchTopK(queries, corpus, "vec_id", "embedding", 10,
       bits = SketchBits, dim = LshDim, maxHamming = radius)
-      .withColumn("radius", lit(radius))
+      .withColumn("radius", lit(radius.toLong))
       .orderBy(col("query_id"), col("rank"))
   }
 
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
-    q_ann_recall, q_ann_autoradius)
+    q_ann_recall, q_ann_autoradius, q_ann_index)
 }

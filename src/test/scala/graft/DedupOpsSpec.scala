@@ -262,7 +262,7 @@ class DedupOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val lsh = SimilarityOps.lshTopK(q, c, "vec_id", "embedding", 5,
       bands = 8, bandBits = 4, dim = 64)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // per-query ranks are dense 1..n (n <= k — LSH may find fewer
     // candidates than k, unlike IVF/PQ which scan whole cells)
     lsh.groupBy(_._1).foreach { case (_, rows) =>
@@ -301,7 +301,7 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(rows.length === 5 * k)
     val byQ = rows.groupBy(_.getLong(0))
     byQ.values.foreach { g =>
-      val sims = g.sortBy(_.getInt(1)).map(_.getDouble(3))
+      val sims = g.sortBy(_.getLong(1)).map(_.getDouble(3))
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }

@@ -87,7 +87,7 @@ class EmbeddingOpsSpec extends AnyFunSuite {
       .collect()
     assert(res.length === 3)
     // kitten-context docs (cat/kitten ones) outrank the dog docs
-    val topIds = res.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id"))
+    val topIds = res.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("neighbor_id"))
     assert(Set(1L, 2L, 3L, 4L).contains(topIds.head),
       s"top neighbor should be a cat/kitten doc, got ${topIds.toSeq}")
   }
@@ -116,11 +116,11 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf).filter(col("lang") === "en")
     val viaDefault = graft.ops.SimilarityOps
       .semanticTopK(docs, "doc_id", "text", "fast join query on big table", 10)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val viaAlt = graft.ops.SimilarityOps
       .semanticTopK(docs, "doc_id", "text", "fast join query on big table", 10,
         CharClassEmbedder)
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(viaDefault.length === 10)
     assert(viaAlt.length === 10)
     // same contract, different geometry: both rank 1..10, orders differ
@@ -173,7 +173,7 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     val viaCos = graft.ops.SimilarityOps
       .bruteForceTopK(qa, ca, "vec_id", "embedding", 5)
       .select("query_id", "rank", "neighbor_id")
-      .collect().map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(direct === viaCos)
   }
 
@@ -185,7 +185,7 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     val corpus = emb.filter(col("vec_id") >= 50)
     def norm(df: org.apache.spark.sql.DataFrame) = df
       .select("query_id", "rank", "neighbor_id", "cos_sim")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(t => (t._1, t._2)).toSeq
     val base = norm(graft.ops.SimilarityOps.sketchTopK(
       queries, corpus, "vec_id", "embedding", 10,

@@ -38,14 +38,52 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  private val seenSchemas =
+    scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf)
       assert(df.columns.nonEmpty)
+      seenSchemas(name) = df.schema
       // count() drives the whole plan; most queries should be non-empty
       // at sf0.001 but emptiness alone is not a failure for filters
       // that legitimately select nothing at tiny SF.
       df.count()
     }
+  }
+
+  /** Cross-engine type-normalization lint (round-7 verdict: the one
+    * red row was an INT32 engine column vs a DuckDB HUGEINT — the only
+    * aggregate-derived output in 209 oracles not CAST to BIGINT).
+    * Every certified query's output columns must stay inside the house
+    * type set that hashes identically across Spark / DuckDB / pandas:
+    * no INT32/FLOAT32 scalars, no un-cast aggregate outputs.
+    */
+  test("oracle typing lint: certified outputs use the house type set") {
+    import org.apache.spark.sql.types._
+    def houseScalar(dt: DataType): Boolean = dt match {
+      case LongType | DoubleType | StringType | BooleanType |
+           DateType | TimestampType | TimestampNTZType | BinaryType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+    def house(dt: DataType): Boolean = dt match {
+      case ArrayType(e, _) => house(e)
+      case MapType(k, v, _) => house(k) && house(v)
+      case StructType(fs) => fs.forall(f => house(f.dataType))
+      case other => houseScalar(other)
+    }
+    val certified = SparkEntry.oracleSql.keySet
+    val missing = certified -- seenSchemas.keySet
+    assert(missing.isEmpty,
+      s"lint did not observe schemas for: ${missing.toSeq.sorted.mkString(",")}")
+    val violations = for {
+      name <- certified.toSeq.sorted
+      f <- seenSchemas(name).fields if !house(f.dataType)
+    } yield s"$name.${f.name}: ${f.dataType.simpleString}"
+    assert(violations.isEmpty,
+      "non-house output types (cross-engine hash hazard):\n  " +
+        violations.mkString("\n  "))
   }
 }

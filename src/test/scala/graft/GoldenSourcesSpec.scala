@@ -171,6 +171,15 @@ class GoldenSourcesSpec extends AnyFunSuite {
       Tables.events(rogue, TestSpark.sf)
     }
     assert(err.getMessage.contains("timeZone"))
+    // BOTH halves of the contract fail fast with guidance: a session
+    // missing nanosAsLong would otherwise die later in the vectorized
+    // reader with a raw parquet error on nanos-era files
+    val rogue2 = spark.newSession()
+    rogue2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val err2 = intercept[IllegalArgumentException] {
+      Tables.events(rogue2, TestSpark.sf)
+    }
+    assert(err2.getMessage.contains("nanosAsLong"))
     // and the probe itself didn't touch the main session
     assert(spark.conf.get("spark.sql.session.timeZone") === "UTC")
   }

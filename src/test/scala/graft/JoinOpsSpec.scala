@@ -134,6 +134,26 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(800))
   }
 
+  test("tolerance as-of through the native exec ≡ union+window path; plans AsofJoinExec") {
+    // the tolerance is a POST-JOIN mask, so the two registry queries
+    // share the exact oracle; here the engine sides are cross-checked
+    // against each other and the native one is plan-asserted
+    val sf = TestSpark.sf
+    val viaWindow = graft.queries.EventsMore.q_asof_tolerance.fn(spark, sf)
+    val native = graft.queries.EventsMore.q_asof_tolerance_native.fn(spark, sf)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    assert(norm(native) === norm(viaWindow))
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+    // masked (stale) and unmasked (fresh) matches both occur, or the
+    // tolerance mask went untested
+    val rows = native.collect()
+    val iClick = native.columns.indexOf("recent_click_id")
+    assert(rows.exists(_.isNullAt(iClick)) && rows.exists(!_.isNullAt(iClick)))
+  }
+
   test("native asof with STRING keys ≡ union+window asof; plans AsofJoinExec") {
     import spark.implicits._
     def series(tag: Int, n: Int) = (0 until n).map { i =>

@@ -209,6 +209,24 @@ class PlanSpec extends AnyFunSuite {
     assert("Window".r.findAllIn(p).size >= 1, p.take(1200))
   }
 
+  test("indexed sketch ANN scans the persisted sketch — no corpus re-sketch, no barrier") {
+    val p = plan("q_ann_index") // building the frame also (re)builds the index table
+    // corpus side: a bucketed-table columnar scan carrying the stored
+    // sketch column, NOT a projection recomputing it
+    assert(p.contains("FileScan parquet spark_catalog.default.graft_ann_index") &&
+      p.contains("Bucketed: true") && p.contains("csk:array<bigint>"), p.take(1500))
+    val resketches = "hyperplanesketch".r.findAllIn(p.toLowerCase).size
+    assert(resketches <= 1, // exactly the broadcast QUERY side's sketch
+      s"corpus side re-sketched ($resketches hyperplane_sketch nodes):\n${p.take(1500)}")
+    // and the compute-path's materialization barrier is gone: the only
+    // shuffles are the rank window's hash partition + the output sort
+    val exchanges = "(?<!Broadcast)Exchange".r.findAllIn(p).size
+    assert(exchanges <= 2,
+      s"indexed search should need no repartition barrier:\n${p.take(1500)}")
+    assert(p.contains("BroadcastNestedLoopJoin") &&
+      p.toLowerCase.contains("hammingdist"), p.take(1200))
+  }
+
   // ---- golden plan-shape snapshots -----------------------------------
 
   /** Normalized plan fingerprint: preorder walk of the physical plan,

@@ -15,7 +15,7 @@ class ScaleOpsSpec extends AnyFunSuite {
 
   test("quantile sketch bin contains the exact order statistic (tight bound)") {
     val est = ScaleQueries.q_quantile_sketch.fn(spark, sf).collect()
-      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     // exact order statistic under the SAME rule (value at rank
     // ceil(q·n) of the integer-cents domain) — the sketch's guarantee
     // is that this value falls inside the reported bin [v_lo, v_hi)
@@ -56,5 +56,26 @@ class ScaleOpsSpec extends AnyFunSuite {
     // id order is spatially random → each partition spans ~the whole
     // unit square; z order must cut the average bbox area hard
     assert(zArea < idArea * 0.5, s"z=$zArea vs id=$idArea")
+  }
+
+  test("greedy packing RANGE-partitions shards: even spread, shard-contiguous") {
+    // the fold is sequential WITHIN a shard and parallel ACROSS
+    // shards; hash 8-into-8 could co-locate shards and idle slots
+    // (round-7 verdict), so the plan must range-partition on shard
+    val q = graft.queries.CurationQueries.q_pack_greedy.fn(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning(shard"), plan.take(1000))
+    // contract checks on the same layout step: each shard lands wholly
+    // in ONE partition (fold correctness) and the shards spread over
+    // most of the 8 slots (even utilization — the point of the change)
+    val spread = Tables.documents(spark, sf)
+      .select((col("doc_id") % 8).as("shard"))
+      .repartitionByRange(8, col("shard"))
+      .select(spark_partition_id().as("p"), col("shard"))
+      .distinct().collect().map(r => (r.getInt(0), r.getLong(1)))
+    val partsPerShard = spread.groupBy(_._2).values.map(_.size)
+    assert(partsPerShard.forall(_ == 1), "a shard straddled partitions")
+    assert(spread.map(_._1).distinct.length >= 6,
+      s"shards collapsed onto few partitions: ${spread.mkString(",")}")
   }
 }
