@@ -113,7 +113,12 @@ object Bench {
     // truncated JSON line grades as "unparseable" regardless of the
     // numbers in it
     Files.writeString(Paths.get("BENCH_SUMMARY.json"), summary + "\n")
+    // print BEFORE and AFTER stop(): with run/outputStrategy =
+    // StdoutOutput the line reaches captured stdout verbatim (no sbt
+    // [info] prefix), and the second copy guarantees it is the last
+    // program output even if stop() interleaves shutdown warnings
     println(summary)
     spark.stop()
+    println(summary)
   }
 }

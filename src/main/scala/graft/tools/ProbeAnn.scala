@@ -110,6 +110,49 @@ object ProbeAnn {
           bits = bits, dim = 64, maxHamming = r))
       println(f"| Hamming sketch $bits bits, radius $r | $t%.2f | ${(got & truthS).size.toDouble / (nSq * k)}%.3f |")
     }
+
+    // ---- self-calibration validation (round 8): the q_ann_autoradius
+    // loop certifies the calibration ALGORITHM against DuckDB at bench
+    // scale; this section load-tests it at the scaled regime — the
+    // calibrated radius must land in the hand-tuned band (115 ± a few)
+    // and hold the ≥0.9 recall of the fixed-radius rows, or the
+    // "data-calibrated dial" claim is only certified, not validated.
+    //
+    // A separate DENSE 64-d synthetic is required here: the hashed
+    // n-gram corpus above is 384-d truncated to the sketch's 64 dims,
+    // so ~5/6 of its one-hot-ish vectors restrict to the ZERO vector —
+    // a lowest-100-id sample then has hundreds of identical (all-zero)
+    // sketches and the 5% pair-distance quantile collapses to radius 0
+    // (measured; the bias case documented in PERF.md). Dense vectors
+    // with the same planted 25-sibling structure (shared group
+    // component + 1.5x per-id noise, sibling cos ~= 0.31) make the
+    // lowest-100 sample representative, which is the calibration
+    // contract.
+    def densePart(seed: String, key: String) =
+      s"(CAST(pmod(hash($key, j, $seed), 1000) AS DOUBLE) / 500.0 - 1.0)"
+    val dense = spark.range(nSynth).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), j -> " +
+        s"${densePart("1", "CAST(id % 2000 AS INT)")} + " +
+        s"1.5 * ${densePart("7", "CAST(id AS INT)")})").as("embedding"))
+    val qd = dense.filter(col("vec_id") < 100)
+    val cd = dense.filter(col("vec_id") >= 100)
+    val nQd = qd.count()
+    val (tBd, truthD) = runS(() =>
+      SimilarityOps.bruteForceTopK(qd, cd, "vec_id", "embedding", k))
+    val calibrated = SimilarityOps.calibrateHammingRadius(
+      cd, "vec_id", "embedding",
+      bits = 256, dim = 64, sampleN = 100, targetFrac = 0.05)
+    val (tCal, gotCal) = runS(() =>
+      SimilarityOps.sketchTopK(qd, cd, "vec_id", "embedding", k,
+        bits = 256, dim = 64, maxHamming = calibrated))
+    val (tFix, gotFix) = runS(() =>
+      SimilarityOps.sketchTopK(qd, cd, "vec_id", "embedding", k,
+        bits = 256, dim = 64, maxHamming = 115))
+    println(s"| calibration validation @${nSynth / 1000}k dense corpus | wall (s) | recall@$k |")
+    println("|---|---|---|")
+    println(f"| exact brute-force (baseline) | $tBd%.2f | 1.000 |")
+    println(f"| hand-tuned radius 115 | $tFix%.2f | ${(gotFix & truthD).size.toDouble / (nQd * k)}%.3f |")
+    println(f"| auto-calibrated radius (targetFrac=0.05) -> $calibrated | $tCal%.2f | ${(gotCal & truthD).size.toDouble / (nQd * k)}%.3f |")
     spark.stop()
   }
 }

@@ -227,6 +227,18 @@ class PlanSpec extends AnyFunSuite {
       p.toLowerCase.contains("hammingdist"), p.take(1200))
   }
 
+  test("bloom-pruned as-of: bitmap filter sits BELOW the exec on the history side") {
+    // Spark's own runtime bloom injection can't see custom nodes, so
+    // the prune must be graft's BitsetContains conjunct under the
+    // AsofJoinExec — if it drifts above the exec (or vanishes) the
+    // history side shuffles unpruned
+    val p = plan("q_asof_bloom")
+    val iExec = p.indexOf("AsofJoin")
+    assert(iExec >= 0, p.take(800))
+    assert(p.substring(iExec).toLowerCase.contains("bitsetcontains"),
+      s"bitmap filter not below the as-of exec:\n${p.take(1500)}")
+  }
+
   // ---- golden plan-shape snapshots -----------------------------------
 
   /** Normalized plan fingerprint: preorder walk of the physical plan,
@@ -269,6 +281,13 @@ class PlanSpec extends AnyFunSuite {
     * a line in the commit message saying why the shape moved.
     */
   private val goldenShapes: Map[String, String] = Map(
+    // round-7 flagships: the custom-exec and sketch plans, drift-pinned
+    // like the expensive ones (q_ann_sketch's static plan IS the shape
+    // q_stream_ann executes per micro-batch — same sketchTopK call)
+    "q_asof_bloom" -> "Sort>ShuffleExchange>AsofJoin>Sort>ShuffleExchange>RDDScan>Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan",
+    "q_ann_sketch" -> "Sort>ShuffleExchange>Window>WindowGroupLimit>Sort>ShuffleExchange>WindowGroupLimit>Sort>BroadcastNestedLoopJoin>ShuffleExchange>FileSourceScan>BroadcastExchange>FileSourceScan",
+    "q_ann_index" -> "Sort>ShuffleExchange>Window>WindowGroupLimit>Sort>ShuffleExchange>WindowGroupLimit>Sort>BroadcastNestedLoopJoin>FileSourceScan>BroadcastExchange>FileSourceScan",
+    "q_asof_tolerance_native" -> "Sort>ShuffleExchange>AsofJoin>Sort>ShuffleExchange>FileSourceScan>Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan",
     "q_basket_pairs" -> "TakeOrderedAndProject>BroadcastHashJoin>BroadcastHashJoin>BroadcastNestedLoopJoin>HashAggregate>ShuffleExchange>HashAggregate>SortMergeJoin>Sort>ShuffleExchange>RDDScan>Sort>ShuffleExchange>RDDScan>BroadcastExchange>HashAggregate>ShuffleExchange>HashAggregate>HashAggregate>ShuffleExchange>HashAggregate>RDDScan>BroadcastExchange>HashAggregate>ShuffleExchange>HashAggregate>RDDScan>BroadcastExchange>HashAggregate>ShuffleExchange>HashAggregate>RDDScan",
     "q_bpe_fertility" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>HashAggregate>ShuffleExchange>HashAggregate>Generate>FileSourceScan",
     "q_bpe_merges" -> "Sort>ShuffleExchange>LocalTableScan",
