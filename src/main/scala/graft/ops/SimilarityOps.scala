@@ -196,6 +196,21 @@ object SimilarityOps {
     * by id (the StorageSpec layout contract) so downstream id-keyed
     * joins (recall eval, metadata enrich) run exchange-free.
     */
+  /** The stored-index tuple: (neighbor_id, vector, norm, sketch) with
+    * zero-norm rows dropped (they can never match — same filter as the
+    * search path and the oracle's norm>0 CTE).
+    */
+  private def sketchTuple(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cn", sqrt(expr("dot_product(cv, cv)")))
+      .filter(col("cn") > 0)
+      .withColumn("csk", expr(s"hyperplane_sketch(cv, $bits, $dim)"))
+  }
+
   def buildSketchIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       bits: Int, dim: Int, table: String, nBuckets: Int = 8): Unit = {
@@ -209,14 +224,26 @@ object SimilarityOps {
       spark.sessionState.conf.warehousePath, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
-      .withColumn("cn", sqrt(expr("dot_product(cv, cv)")))
-      .filter(col("cn") > 0)
-      .withColumn("csk", expr(s"hyperplane_sketch(cv, $bits, $dim)"))
+    sketchTuple(corpus, idCol, vecCol, bits, dim)
       .write.bucketBy(nBuckets, "neighbor_id").sortBy("neighbor_id")
       .mode("overwrite").saveAsTable(table)
   }
+
+  /** Incremental index maintenance: sketch ONLY the delta batch and
+    * append it into the existing bucketed table (same bucket spec, so
+    * the layout contract survives — each append adds one sorted file
+    * per touched bucket). At deploy scale this is the difference
+    * between re-sketching the full corpus per ingest batch and paying
+    * O(|delta|); a periodic [[buildSketchIndex]] compacts the
+    * accumulated append files. Certified: search over base+delta
+    * equals the full-build oracle (q_ann_index_delta).
+    */
+  def appendSketchIndex(
+      delta: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dim: Int, table: String, nBuckets: Int = 8): Unit =
+    sketchTuple(delta, idCol, vecCol, bits, dim)
+      .write.bucketBy(nBuckets, "neighbor_id").sortBy("neighbor_id")
+      .mode("append").saveAsTable(table)
 
   /** [[sketchTopK]] over a PERSISTED [[buildSketchIndex]] table: same
     * radius-prefilter + exact-rerank pipeline, but the corpus side is

@@ -537,6 +537,114 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental maintenance of the persisted sketch index: the base
+    * build covers 90% of the corpus, the remaining 10% arrives as a
+    * delta batch that is sketched ALONE and appended into the bucketed
+    * table ([[SimilarityOps.appendSketchIndex]] — O(|delta|) work, no
+    * corpus re-sketch). Certified against the SAME full-corpus oracle
+    * as q_ann_sketch: search over base+delta must be indistinguishable
+    * from a full rebuild, which is exactly the invariant an ingest
+    * pipeline needs before it can skip rebuilds between compactions.
+    */
+  val q_ann_index_delta = QueryDef(
+    "q_ann_index_delta", q_ann_sketch.oracle.get) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val tbl = "graft_ann_index_delta"
+    SimilarityOps.buildSketchIndex(corpus.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+      "vec_id", "embedding", bits = SketchBits, dim = LshDim, table = tbl)
+    SimilarityOps.appendSketchIndex(corpus.filter(pmod(col("vec_id"), lit(10)) === 0),
+      "vec_id", "embedding", bits = SketchBits, dim = LshDim, table = tbl)
+    SimilarityOps.sketchTopKIndexed(
+      emb.filter(col("vec_id") < 50), spark.table(tbl),
+      "vec_id", "embedding", 10,
+      bits = SketchBits, dim = LshDim, maxHamming = SketchRadius)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Binary-relevance DCG discounts in integer micro-units:
+    * floor(1e6/log2(r+1) + 0.5) for rank r in 1..10, rendered from ONE
+    * Scala math.log run into BOTH the engine literals and the oracle
+    * VALUES table — libm log is not bit-portable across engines
+    * (verify-skill gotcha), identical integer constants are.
+    */
+  private val DiscU: Seq[Long] =
+    (1 to 10).map(r => math.floor(1e6 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** Ranking-quality evaluation AS A QUERY (the T133 eval surface
+    * widened from set recall to ORDER-aware metrics): per-query MRR@10
+    * and binary-relevance nDCG@10 of the sketch-ANN ranking against
+    * exact brute force, computed in-engine and replayed end to end by
+    * DuckDB. DCG terms are quantized to integer micro-units BEFORE the
+    * sum (order-free), the final ratios floor-quantized to 6dp; the
+    * discount table ships as identical integer literals to both
+    * engines, so even the log2-based metric is hash-certifiable.
+    */
+  val q_rank_metrics = QueryDef(
+    "q_rank_metrics", {
+      val discRows = DiscU.zipWithIndex
+        .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
+      val idcg = DiscU.sum
+      s"""WITH $sketchCtes,
+         |br AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.id AS query_id, c.id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+         |        list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm) DESC, c.id) AS r
+         |    FROM n q JOIN n c ON q.id < 50 AND c.id >= 50) t WHERE r <= 10),
+         |disc(r, du) AS (VALUES $discRows),
+         |relt AS (
+         |  SELECT s.query_id, s.rank,
+         |    CASE WHEN b.neighbor_id IS NULL THEN 0 ELSE 1 END AS rel
+         |  FROM sk s LEFT JOIN br b ON b.query_id = s.query_id
+         |    AND b.neighbor_id = s.neighbor_id),
+         |m AS (
+         |  SELECT query_id, CAST(SUM(rel) AS BIGINT) AS n_hits,
+         |    CAST(SUM(rel * d.du) AS BIGINT) AS dcg_u,
+         |    MIN(CASE WHEN rel = 1 THEN rank END) AS fr
+         |  FROM relt JOIN disc d ON d.r = relt.rank GROUP BY 1),
+         |qs AS (SELECT DISTINCT query_id FROM br)
+         |SELECT q.query_id, COALESCE(m.n_hits, 0) AS n_hits,
+         |  CASE WHEN m.fr IS NULL THEN 0.0
+         |       ELSE FLOOR(1000000.0 / m.fr + 0.5) / 1000000.0 END AS mrr,
+         |  FLOOR(CAST(COALESCE(m.dcg_u, 0) AS DOUBLE) / $idcg
+         |        * 1000000 + 0.5) / 1000000.0 AS ndcg
+         |FROM qs q LEFT JOIN m ON m.query_id = q.query_id
+         |ORDER BY q.query_id""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 50)
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val brute = SimilarityOps.bruteForceTopK(
+        queries, corpus, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val sk = SimilarityOps.sketchTopK(queries, corpus, "vec_id", "embedding", 10,
+        bits = SketchBits, dim = LshDim, maxHamming = SketchRadius)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val discArr = array(DiscU.map(lit): _*)
+    val rel = sk.join(brute.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("rank"),
+        coalesce(col("hit"), lit(0L)).as("rel"))
+    val m = rel
+      .withColumn("du", element_at(discArr, col("rank").cast("int")))
+      .groupBy(col("query_id"))
+      .agg(sum(col("rel")).as("n_hits"),
+        sum(col("rel") * col("du")).as("dcg_u"),
+        min(when(col("rel") === 1, col("rank"))).as("fr"))
+    val idcg = lit(DiscU.sum.toDouble)
+    brute.select(col("query_id")).distinct()
+      .join(m, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        when(col("fr").isNull, lit(0.0))
+          .otherwise(floor(lit(1000000.0) / col("fr") + 0.5) / lit(1000000.0))
+          .as("mrr"),
+        (floor(coalesce(col("dcg_u"), lit(0L)).cast("double") / idcg
+          * 1000000 + 0.5) / lit(1000000.0)).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
   /** Retrieval-quality evaluation AS A QUERY: per-query recall@10 of
     * the sketch-ANN path against exact brute force, computed in-engine
     * (both pipelines are deterministic, so the recall itself is a
@@ -641,5 +749,6 @@ object VectorQueries {
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
-    q_ann_recall, q_ann_autoradius, q_ann_index)
+    q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
+    q_rank_metrics)
 }

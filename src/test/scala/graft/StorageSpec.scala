@@ -77,4 +77,22 @@ class StorageSpec extends AnyFunSuite {
     assert(q.count() ===
       docs.filter(col("n_chars") > 500).count())
   }
+
+  test("sketch-index delta append keeps the bucket layout and full-build equivalence") {
+    // q_ann_index_delta builds 90% + appends 10%; its result must be
+    // indistinguishable from the full-corpus sketch search, and the
+    // catalog must still report the bucket spec after the append (an
+    // append that silently drops bucketing would rot the layout
+    // contract one ingest batch at a time)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    val viaDelta = norm(graft.queries.VectorQueries.q_ann_index_delta.fn(spark, sf))
+    val viaFull = norm(graft.queries.VectorQueries.q_ann_sketch.fn(spark, sf))
+    assert(viaDelta === viaFull)
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("graft_ann_index_delta"))
+    assert(meta.bucketSpec.exists(b =>
+      b.numBuckets === 8 && b.bucketColumnNames === Seq("neighbor_id")),
+      s"bucket spec lost on append: ${meta.bucketSpec}")
+  }
 }
