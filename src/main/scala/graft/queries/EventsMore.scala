@@ -118,6 +118,48 @@ object EventsMore {
       .orderBy(col("purchase_id"))
   }
 
+  /** [[q_asof_native]] over the FEATURE-STORE layout: both sides
+    * persisted as key-bucketed tables first, then joined through the
+    * native exec — AsofJoinExec's ClusteredDistribution is satisfied
+    * by the co-bucketed scans, so the plan has NO shuffle exchange
+    * (only per-partition sorts, which spill). At 100 TB the history
+    * side is written bucketed once and every probe batch joins against
+    * it exchange-free; this query certifies that path end to end
+    * against the SAME DuckDB ASOF oracle. Exchange-freedom itself is
+    * plan-asserted in StorageSpec.
+    */
+  val q_asof_bucketed = QueryDef(
+    "q_asof_bucketed", q_asof_native.oracle.get) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    def persistBucketed(df: org.apache.spark.sql.DataFrame, t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.conf.warehousePath, t.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      df.write.bucketBy(8, "user_id").sortBy("user_id").saveAsTable(t)
+    }
+    persistBucketed(purchases, "graft_asof_probe_b")
+    persistBucketed(clicks, "graft_asof_hist_b")
+    JoinOps.asofJoinNative(
+      spark.table("graft_asof_probe_b"), spark.table("graft_asof_hist_b"),
+      keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "click_us",
+      rightValCols = Seq("click_us", "click_id", "click_value"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("click_id").as("last_click_id"),
+        round(col("click_value"), 2).as("last_click_value"),
+        floor((col("purchase_us") - col("click_us")) / 1000000L).cast("long")
+          .as("gap_sec"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Native as-of join with the click-history side RUNTIME-pruned by a
     * Bloom filter of the purchase-side user keys
     * ([[JoinOps.asofJoinNativeBloom]]) — certified against the SAME
@@ -1912,7 +1954,7 @@ object EventsMore {
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_bloom, q_asof_native_str,
     q_asof_native_multi, q_asof_native_ts, q_asof_tolerance,
-    q_asof_tolerance_native, q_resample_ffill,
+    q_asof_tolerance_native, q_asof_bucketed, q_resample_ffill,
     q_hll_distinct,
     q_rank_dist, q_robust_stats,
     q_funnel, q_retention, q_markov, q_topk_daily, q_scd2,

@@ -95,4 +95,53 @@ class StorageSpec extends AnyFunSuite {
       b.numBuckets === 8 && b.bucketColumnNames === Seq("neighbor_id")),
       s"bucket spec lost on append: ${meta.bucketSpec}")
   }
+
+  test("native as-of join runs EXCHANGE-FREE over key-bucketed tables") {
+    // the feature-store layout: history and probe batches both
+    // bucketed by the join key. AsofJoinExec declares
+    // ClusteredDistribution on the keys, so two co-bucketed scans
+    // satisfy it directly — at 100 TB this removes the history-side
+    // shuffle entirely (only per-partition sorts remain, which spill)
+    val ev = Tables.events(spark, sf)
+      .withColumn("us", unix_micros(col("ts")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"))
+    for (t <- Seq("g_asof_left_b", "g_asof_right_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(loc)
+      }
+    }
+    purchases.write.bucketBy(8, "user_id").sortBy("user_id")
+      .saveAsTable("g_asof_left_b")
+    clicks.write.bucketBy(8, "user_id").sortBy("user_id")
+      .saveAsTable("g_asof_right_b")
+    val joined = graft.ops.JoinOps.asofJoinNative(
+      spark.table("g_asof_left_b"), spark.table("g_asof_right_b"),
+      keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "click_us",
+      rightValCols = Seq("click_us", "click_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(1000))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed as-of should not shuffle:\n${plan.take(1500)}")
+    // and the exchange-free plan returns the same rows as the
+    // shuffled one over the raw frames
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    val viaRaw = norm(graft.ops.JoinOps.asofJoinNative(
+      purchases, clicks,
+      keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "click_us",
+      rightValCols = Seq("click_us", "click_id"))
+      .select("purchase_id", "user_id", "purchase_us", "click_us", "click_id"))
+    assert(norm(joined.select("purchase_id", "user_id", "purchase_us",
+      "click_us", "click_id")) === viaRaw)
+  }
 }
