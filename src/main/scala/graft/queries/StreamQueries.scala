@@ -705,10 +705,55 @@ object StreamQueries {
     spark.read.parquet(s"$work/out").orderBy(col("query_id"), col("rank"))
   }
 
+  /** STREAMING index maintenance — the ingest side of the persisted
+    * sketch index ([[graft.ops.SimilarityOps.appendSketchIndex]] inside
+    * foreachBatch): corpus vectors arrive in micro-batches, each batch
+    * is sketched ALONE (O(batch) work) and appended into the bucketed
+    * index table; after the bounded drain, searching the accumulated
+    * index must equal the full-rebuild search — the SAME DuckDB oracle
+    * as q_ann_sketch. Together with q_ann_index_delta this certifies
+    * both halves of index upkeep: batch deltas and continuous ingest.
+    */
+  val q_stream_index_append = QueryDef(
+    "q_stream_index_append",
+    graft.queries.VectorQueries.q_ann_sketch.oracle.get) { (spark, dir) =>
+    import graft.ops.SimilarityOps
+    val emb = Tables.embeddings(spark, dir)
+    val tbl = "graft_ann_index_stream"
+    // seed the table with an EMPTY build so the streamed appends land
+    // in a fresh bucketed layout (and stale state from a prior JVM is
+    // cleared — same contract as the batch index)
+    SimilarityOps.buildSketchIndex(emb.filter(col("vec_id") < 0),
+      "vec_id", "embedding", bits = 256, dim = 64, table = tbl)
+    val work = StreamingOps.tempSinkDir("graft_stream_idx_")
+    val stream = StreamingOps
+      .parquetStream(spark, s"$dir/embeddings.parquet", emb.schema)
+      .filter(col("vec_id") >= 50)
+    StreamingOps.withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          SimilarityOps.appendSketchIndex(batch, "vec_id", "embedding",
+            bits = 256, dim = 64, table = tbl)
+          ()
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    SimilarityOps.sketchTopKIndexed(
+      emb.filter(col("vec_id") < 50), spark.table(tbl),
+      "vec_id", "embedding", 10, bits = 256, dim = 64, maxHamming = 115)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
     q_stream_hll, q_stream_cms, q_stream_incremental_dedup, q_stream_hopping,
-    q_stream_topk, q_stream_cdc, q_stream_asof, q_stream_ann)
+    q_stream_topk, q_stream_cdc, q_stream_asof, q_stream_ann,
+    q_stream_index_append)
 }
