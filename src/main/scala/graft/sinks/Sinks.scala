@@ -97,6 +97,34 @@ object Sinks {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** Small-file compaction — the table-maintenance operator every
+    * streaming/append layout eventually needs (each micro-batch or
+    * delta append lands ≥1 file per partition; a year of 1-minute
+    * batches is ~500k files whose open/footer costs dominate scans
+    * long before data volume does). Rewrites `srcPath` into
+    * `destPath` with ~`targetBytes` per output file, sized from the
+    * MEASURED input bytes rather than a guessed file count, preserving
+    * every row (spec-certified count + checksum). Two-phase
+    * (write-new-then-swap stays with the caller/metastore) because an
+    * in-place rewrite that fails mid-job loses data.
+    */
+  def compactParquet(
+      spark: org.apache.spark.sql.SparkSession,
+      srcPath: String, destPath: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val src = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcPath)
+      // repartition (round-robin), not coalesce: coalesce glues input
+      // splits task-locally and inherits their skew — compaction's
+      // whole point is evenly-sized output files
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(destPath)
+  }
+
   /** Materialized-aggregate-view parity (`psql_db_client.py:194-222`,
     * refresh `:451-459`): a precomputed daily summary table a batch
     * job overwrites on refresh; dashboards read the parquet instead of

@@ -96,6 +96,31 @@ class StorageSpec extends AnyFunSuite {
       s"bucket spec lost on append: ${meta.bucketSpec}")
   }
 
+  test("small-file compaction preserves every row and hits the size-derived file count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = Tables.documents(spark, sf)
+    // simulate an append-heavy layout: 64 files for a tiny table
+    docs.repartition(64).write.mode("overwrite").parquet(s"$dir/frag")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.count(f => f.getName.endsWith(".parquet"))
+    val fragFiles = parquetFiles(s"$dir/frag")
+    assert(fragFiles >= 32, s"fragmentation setup produced $fragFiles files")
+    val fragBytes = new java.io.File(s"$dir/frag").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = fragBytes / 3 // aim for ~3-4 compacted files
+    graft.sinks.Sinks.compactParquet(spark, s"$dir/frag", s"$dir/compact", target)
+    val compFiles = parquetFiles(s"$dir/compact")
+    val wantFiles = math.ceil(fragBytes.toDouble / target).toInt
+    assert(compFiles === wantFiles, s"expected $wantFiles files, got $compFiles")
+    assert(compFiles < fragFiles / 4)
+    // no row lost, no row mutated (order-free checksum over doc ids +
+    // text lengths)
+    def sig(p: String) = spark.read.parquet(p)
+      .agg(sum(col("doc_id") * 31 + length(col("text"))), count(lit(1)))
+      .collect().head
+    assert(sig(s"$dir/compact") === sig(s"$dir/frag"))
+  }
+
   test("native as-of join runs EXCHANGE-FREE over key-bucketed tables") {
     // the feature-store layout: history and probe batches both
     // bucketed by the join key. AsofJoinExec declares
