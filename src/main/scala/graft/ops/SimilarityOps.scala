@@ -202,10 +202,11 @@ object SimilarityOps {
     */
   private def sketchTuple(
       corpus: DataFrame, idCol: String, vecCol: String,
-      bits: Int, dim: Int): DataFrame = {
+      bits: Int, dim: Int, metaCols: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv"))
+    corpus.select(col(idCol).as("neighbor_id") +:
+        col(vecCol).cast("array<double>").as("cv") +:
+        metaCols.map(col): _*)
       .withColumn("cn", sqrt(expr("dot_product(cv, cv)")))
       .filter(col("cn") > 0)
       .withColumn("csk", expr(s"hyperplane_sketch(cv, $bits, $dim)"))
@@ -213,7 +214,8 @@ object SimilarityOps {
 
   def buildSketchIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
-      bits: Int, dim: Int, table: String, nBuckets: Int = 8): Unit = {
+      bits: Int, dim: Int, table: String, nBuckets: Int = 8,
+      metaCols: Seq[String] = Nil): Unit = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
     spark.sql(s"DROP TABLE IF EXISTS $table")
@@ -224,7 +226,7 @@ object SimilarityOps {
       spark.sessionState.conf.warehousePath, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    sketchTuple(corpus, idCol, vecCol, bits, dim)
+    sketchTuple(corpus, idCol, vecCol, bits, dim, metaCols)
       .write.bucketBy(nBuckets, "neighbor_id").sortBy("neighbor_id")
       .mode("overwrite").saveAsTable(table)
   }

@@ -463,7 +463,7 @@ object VectorQueries {
   /** Shared oracle CTE chain for the sketch-ANN pipeline: signs →
     * per-pair Hamming → radius → exact-cosine rank. Expects nothing;
     * defines v/hp/n/sig/ham/scored/sk (sk = the final ranked rows). */
-  private def sketchCtes: String =
+  private def sketchCtes(corpusPred: String = "cs.id >= 50"): String =
     s"""v AS (SELECT vec_id AS id, $vd AS vd FROM embeddings),
        |hp(i, hv) AS (VALUES
        |    ${hpValues(SketchBits)}),
@@ -474,7 +474,7 @@ object VectorQueries {
        |ham AS (
        |  SELECT qs.id AS query_id, cs.id AS neighbor_id,
        |    SUM(CASE WHEN qs.b <> cs.b THEN 1 ELSE 0 END) AS ham
-       |  FROM sig qs JOIN sig cs ON qs.i = cs.i AND qs.id < 50 AND cs.id >= 50
+       |  FROM sig qs JOIN sig cs ON qs.i = cs.i AND qs.id < 50 AND ($corpusPred)
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT h.query_id, h.neighbor_id,
@@ -500,7 +500,7 @@ object VectorQueries {
     */
   val q_ann_sketch = QueryDef(
     "q_ann_sketch", {
-      s"""WITH $sketchCtes
+      s"""WITH ${sketchCtes()}
          |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim
          |FROM sk ORDER BY query_id, rank""".stripMargin
     }) { (spark, dir) =>
@@ -532,6 +532,34 @@ object VectorQueries {
       table = "graft_ann_index")
     SimilarityOps.sketchTopKIndexed(
       emb.filter(col("vec_id") < 50), spark.table("graft_ann_index"),
+      "vec_id", "embedding", 10,
+      bits = SketchBits, dim = LshDim, maxHamming = SketchRadius)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** METADATA-FILTERED search over the persisted index (M8's filtered
+    * semantic search re-expressed on the stored-index path): the index
+    * carries the label column alongside the sketch tuple, the filter
+    * is an ordinary predicate on the index DataFrame, and Catalyst
+    * pushes it into the parquet scan (`PushedFilters: EqualTo(label,…)`
+    * — asserted in PlanSpec), so non-matching corpus rows never reach
+    * the Hamming prefilter at all. The DuckDB oracle applies the same
+    * label predicate inside the pair generation.
+    */
+  val q_ann_index_filtered = QueryDef(
+    "q_ann_index_filtered", {
+      s"""WITH ${sketchCtes("cs.id >= 50 AND cs.id IN " +
+          "(SELECT vec_id FROM embeddings WHERE label = 2)")}
+         |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim
+         |FROM sk ORDER BY query_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.buildSketchIndex(emb.filter(col("vec_id") >= 50),
+      "vec_id", "embedding", bits = SketchBits, dim = LshDim,
+      table = "graft_ann_index_meta", metaCols = Seq("label"))
+    SimilarityOps.sketchTopKIndexed(
+      emb.filter(col("vec_id") < 50),
+      spark.table("graft_ann_index_meta").filter(col("label") === 2),
       "vec_id", "embedding", 10,
       bits = SketchBits, dim = LshDim, maxHamming = SketchRadius)
       .orderBy(col("query_id"), col("rank"))
@@ -585,7 +613,7 @@ object VectorQueries {
       val discRows = DiscU.zipWithIndex
         .map { case (d, i) => s"(${i + 1}, $d)" }.mkString(", ")
       val idcg = DiscU.sum
-      s"""WITH $sketchCtes,
+      s"""WITH ${sketchCtes()},
          |br AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.id AS query_id, c.id AS neighbor_id,
@@ -656,7 +684,7 @@ object VectorQueries {
     */
   val q_ann_recall = QueryDef(
     "q_ann_recall", {
-      s"""WITH $sketchCtes,
+      s"""WITH ${sketchCtes()},
          |br AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT q.id AS query_id, c.id AS neighbor_id,
@@ -707,7 +735,7 @@ object VectorQueries {
     */
   val q_ann_autoradius = QueryDef(
     "q_ann_autoradius", {
-      s"""WITH $sketchCtes,
+      s"""WITH ${sketchCtes()},
          |samp AS (SELECT id FROM n WHERE id >= 50 ORDER BY id LIMIT 100),
          |ssig AS (SELECT s.* FROM sig s JOIN samp USING (id)),
          |ph AS (
@@ -750,5 +778,5 @@ object VectorQueries {
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
-    q_rank_metrics)
+    q_ann_index_filtered, q_rank_metrics)
 }

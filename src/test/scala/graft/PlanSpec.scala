@@ -227,6 +227,15 @@ class PlanSpec extends AnyFunSuite {
       p.toLowerCase.contains("hammingdist"), p.take(1200))
   }
 
+  test("filtered index search pushes the metadata predicate into the index scan") {
+    val p = plan("q_ann_index_filtered")
+    assert(p.contains("IsNotNull(label)") && p.contains("EqualTo(label,2)") &&
+      p.contains("PushedFilters"),
+      s"label filter not pushed into the index scan:\n${p.take(1500)}")
+    // still the index path: bucketed scan carries the stored sketch
+    assert(p.contains("graft_ann_index_meta") && p.contains("csk"), p.take(1200))
+  }
+
   test("bloom-pruned as-of: bitmap filter sits BELOW the exec on the history side") {
     // Spark's own runtime bloom injection can't see custom nodes, so
     // the prune must be graft's BitsetContains conjunct under the
