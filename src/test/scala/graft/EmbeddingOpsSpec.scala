@@ -224,4 +224,27 @@ class EmbeddingOpsSpec extends AnyFunSuite {
     // left of the 256-bit noise mean (128) but nowhere near 0
     assert(r05 > 64 && r05 < 128, s"5% radius out of band: $r05")
   }
+
+  test("calibrateHammingRadius ignores zero-norm vectors in the sample window") {
+    // the round-7 ADVICE case: an empty doc embeds to the zero vector;
+    // if one lands inside the lowest-sampleN ids the engine and the
+    // oracle (whose sample CTE is norm>0-filtered) would calibrate
+    // DIFFERENT radii. The calibration must sample as if the zero
+    // vector were not there.
+    import TestSpark._
+    import org.apache.spark.sql.functions._
+    val corpus = graft.Tables.embeddings(spark, sf).filter(col("vec_id") >= 50)
+    val zeroRow = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") === 50)
+      // id 49 sorts FIRST in the corpus window; 64-dim zero vector
+      .select(lit(49L).as("vec_id"),
+        expr("transform(sequence(1, 64), x -> CAST(0.0 AS FLOAT))").as("embedding"))
+    val withZero = corpus.select(col("vec_id"), col("embedding"))
+      .unionByName(zeroRow)
+    def cal(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.SimilarityOps.calibrateHammingRadius(
+        df, "vec_id", "embedding", bits = 256, dim = 64,
+        sampleN = 100, targetFrac = 0.05)
+    assert(cal(withZero) === cal(corpus.select(col("vec_id"), col("embedding"))))
+  }
 }
