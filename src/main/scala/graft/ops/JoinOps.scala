@@ -84,18 +84,23 @@ object JoinOps {
   def asofJoinNative(
       left: DataFrame, right: DataFrame,
       keyCol: String, leftTsCol: String, rightTsCol: String,
-      rightValCols: Seq[String]): DataFrame =
+      rightValCols: Seq[String], direction: String = "backward"): DataFrame =
     asofJoinNativeKeys(left, right, Seq(keyCol), leftTsCol, rightTsCol,
-      rightValCols)
+      rightValCols, direction)
 
   /** [[asofJoinNative]] with a COMPOSITE key — the feature-store shape
     * (entity × feature-group, user × event-type, …). Both sides must
     * carry every key column under the same name.
+    *
+    * `direction` ∈ backward/forward/nearest selects the probe side of
+    * the merge (pandas `merge_asof` surface; see
+    * [[graft.plans.AsofJoinNode]] for the exact inclusive semantics
+    * and the nearest tie rule).
     */
   def asofJoinNativeKeys(
       left: DataFrame, right: DataFrame,
       keyCols: Seq[String], leftTsCol: String, rightTsCol: String,
-      rightValCols: Seq[String]): DataFrame = {
+      rightValCols: Seq[String], direction: String = "backward"): DataFrame = {
     import org.apache.spark.sql.{GraftPlanBridge => B}
     val spark = left.sparkSession
     B.installStrategy(spark, graft.plans.AsofJoinStrategy)
@@ -122,7 +127,7 @@ object JoinOps {
       lPlan, rPlan,
       keyCols.map(attr(lPlan, _)), keyCols.map(attr(rPlan, _)),
       attr(lPlan, leftTsCol), attr(rPlan, rightTsCol),
-      rightValCols.map(attr(rPlan, _))))
+      rightValCols.map(attr(rPlan, _)), direction))
   }
 
   /** [[asofJoinNative]] with the RIGHT (history/feature) side

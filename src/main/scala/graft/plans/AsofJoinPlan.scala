@@ -22,6 +22,19 @@ import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, Timesta
   * with null right values, and such right rows are skipped — exactly
   * what an equi-join predicate plus `ts >= ts` would do.
   *
+  * `direction` generalizes the probe (the pandas `merge_asof`
+  * direction surface; DuckDB certifies forward with its
+  * `ASOF ... ON l.ts <= r.ts` form):
+  *  - `backward` (default): latest right with `rts <= lts`;
+  *  - `forward`: EARLIEST right with `rts >= lts` (inclusive) — the
+  *    "next reading at-or-after" probe; needs NO buffered row at all,
+  *    the match is the merge's current right lookahead;
+  *  - `nearest`: whichever of the two candidates minimizes
+  *    `|rts - lts|`, ties broken toward the BACKWARD (earlier) row —
+  *    deterministic because right rows are unique per (key, ts) by the
+  *    operator contract.
+  * All three are the same single streaming merge with O(1) state.
+  *
   * Keys: one or MORE columns of any orderable atomic type (long,
   * string, date, decimal, …) — both sides' key lists must line up
   * pairwise in type. Timestamps: LongType (epoch-micros by
@@ -43,7 +56,11 @@ case class AsofJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
-    rightVals: Seq[Attribute]) extends BinaryNode {
+    rightVals: Seq[Attribute],
+    direction: String = "backward") extends BinaryNode {
+  require(AsofJoinNode.Directions(direction),
+    s"asof-join: direction must be one of ${AsofJoinNode.Directions.mkString("/")}" +
+      s" (got `$direction`)")
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "asof-join: need at least one key column and equally many on both sides")
   leftKeys.zip(rightKeys).foreach { case (lk, rk) =>
@@ -83,6 +100,10 @@ case class AsofJoinNode(
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinNode =
     copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinNode {
+  val Directions: Set[String] = Set("backward", "forward", "nearest")
 }
 
 /** Custom optimizer rule completing the extension surface: a custom
@@ -178,8 +199,8 @@ object AsofJoinPruning
   * through to the built-in strategies. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lks, rks, lts, rts, rv) =>
-      AsofJoinExec(planLater(l), planLater(r), lks, rks, lts, rts, rv) :: Nil
+    case AsofJoinNode(l, r, lks, rks, lts, rts, rv, dir) =>
+      AsofJoinExec(planLater(l), planLater(r), lks, rks, lts, rts, rv, dir) :: Nil
     case _ => Nil
   }
 }
@@ -188,7 +209,8 @@ case class AsofJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftTs: Attribute, rightTs: Attribute,
-    rightVals: Seq[Attribute]) extends BinaryExecNode {
+    rightVals: Seq[Attribute],
+    direction: String = "backward") extends BinaryExecNode {
 
   // production observability: the same metric names the built-in joins
   // publish, plus the operator's own match rate — a feature-store
@@ -258,6 +280,9 @@ case class AsofJoinExec(
     val outAttrs = output
     val numOutputRows = longMetric("numOutputRows")
     val matchedRows = longMetric("matchedRows")
+    // branch on a primitive inside the per-row loop, not a string
+    val dirBackward = direction == "backward"
+    val dirForward = direction == "forward"
 
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       // all codegen'd artifacts are created HERE, per partition — a
@@ -284,11 +309,13 @@ case class AsofJoinExec(
         // right rows are unmatchable under SQL semantics and skipped at
         // the source); `lastVals` is the latest right row at-or-before
         // the current left timestamp for the CURRENT key — the
-        // operator's entire join state
+        // operator's entire buffered state (backward/nearest; forward
+        // buffers nothing: its candidate IS the lookahead row)
         private var rBuf: InternalRow = advanceRight()
         private var lastKey: InternalRow = null
         private var haveLast = false
         private var lastVals: InternalRow = null
+        private var lastTs = 0L
 
         private def advanceRight(): InternalRow = {
           while (rIt.hasNext) {
@@ -315,16 +342,26 @@ case class AsofJoinExec(
           if (haveLast && keyOrd.compare(lastKey, lk) != 0) {
             haveLast = false; lastVals = null
           }
+          // consume right rows at-or-before the probe position. Forward
+          // stops BEFORE rts == lt (inclusive forward bound) and buffers
+          // nothing; backward/nearest consume through rts <= lt and keep
+          // the latest same-key row. Rows of earlier keys are dead for
+          // every later left row (both sides ascend by key) under all
+          // directions.
           var continue = rBuf != null
           while (continue) {
             val rk = rKeyProj(rBuf) // reused buffer, valid until advance
             val c = keyOrd.compare(rk, lk)
-            if (c < 0 || (c == 0 && rBuf.getLong(rTsOrd) <= lt)) {
-              if (c == 0) {
+            val consume = c < 0 || (c == 0 &&
+              (if (dirForward) rBuf.getLong(rTsOrd) < lt
+               else rBuf.getLong(rTsOrd) <= lt))
+            if (consume) {
+              if (c == 0 && !dirForward) {
                 // UnsafeProjection reuses its buffer — copy the one row
                 // (and its key) we retain: the only per-match-advance
                 // allocations
                 lastVals = rValProj(rBuf).copy()
+                lastTs = rBuf.getLong(rTsOrd)
                 lastKey = rk.copy()
                 haveLast = true
               }
@@ -332,8 +369,28 @@ case class AsofJoinExec(
               continue = rBuf != null
             } else continue = false
           }
-          if (haveLast) matchedRows += 1
-          joined(l, if (haveLast) lastVals else nullRight)
+          if (dirBackward) {
+            if (haveLast) matchedRows += 1
+            joined(l, if (haveLast) lastVals else nullRight)
+            return outProj(joined)
+          }
+          // forward candidate: the lookahead row, iff it is same-key
+          // (its ts is then >= lt by the stop condition). Used in place
+          // without copying — consumed by outProj before the next
+          // advance can overwrite it.
+          val fwdOk = rBuf != null && keyOrd.compare(rKeyProj(rBuf), lk) == 0
+          val pick: InternalRow =
+            if (dirForward) { if (fwdOk) rValProj(rBuf) else null }
+            else if (haveLast && fwdOk) {
+              // nearest: tie goes to the BACKWARD (earlier) row —
+              // deterministic under the unique-(key, ts) right contract
+              if (lt - lastTs <= rBuf.getLong(rTsOrd) - lt) lastVals
+              else rValProj(rBuf)
+            } else if (haveLast) lastVals
+            else if (fwdOk) rValProj(rBuf)
+            else null
+          if (pick != null) matchedRows += 1
+          joined(l, if (pick != null) pick else nullRight)
           outProj(joined)
         }
       }

@@ -439,6 +439,118 @@ object EventsMore {
       .orderBy(col("purchase_id"))
   }
 
+  /** FORWARD native as-of join (pandas `merge_asof`
+    * direction='forward'; DuckDB certifies with its
+    * `ASOF ... ON l.ts <= r.ts` form): each purchase picks the user's
+    * EARLIEST click at-or-after the purchase instant — the
+    * "next reading after the probe" shape (next sensor sample after a
+    * fault, next session after a campaign touch). In the exec this
+    * direction is strictly cheaper than backward: the candidate IS the
+    * merge's right-side lookahead row, so nothing is ever buffered or
+    * copied (`AsofJoinPlan.scala` forward branch).
+    */
+  val q_asof_forward = QueryDef(
+    "q_asof_forward",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |    MAX(event_id) AS click_id,
+      |    arg_max(value, event_id) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.purchase_id, p.user_id, p.purchase_us,
+      |  c.click_id AS next_click_id,
+      |  ROUND(c.click_value, 2) AS next_click_value,
+      |  CAST((c.click_us - p.purchase_us) // 1000000 AS BIGINT) AS lead_sec
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.purchase_us <= c.click_us
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    JoinOps.asofJoinNative(purchases, clicks,
+      keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "click_us",
+      rightValCols = Seq("click_us", "click_id", "click_value"),
+      direction = "forward")
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("click_id").as("next_click_id"),
+        round(col("click_value"), 2).as("next_click_value"),
+        // lead is non-negative by the forward bound, so floor ==
+        // DuckDB's truncating `//`
+        floor((col("click_us") - col("purchase_us")) / 1000000L).cast("long")
+          .as("lead_sec"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** NEAREST native as-of join (pandas direction='nearest'): each
+    * purchase picks whichever click minimizes `|click_us −
+    * purchase_us|`, ties to the EARLIER (backward) click — matching
+    * the exec's deterministic tie rule under the unique-(key, ts)
+    * right contract. The oracle has no native nearest form, so it
+    * composes DuckDB's own backward and forward ASOF joins and picks
+    * per row with the same tie rule — an independent engine agreeing
+    * on BOTH candidates and the selection. The exec does it in one
+    * merge pass: the backward candidate is the one buffered row, the
+    * forward candidate is the current lookahead — O(1) state either
+    * way.
+    */
+  val q_asof_nearest = QueryDef(
+    "q_asof_nearest",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |    MAX(event_id) AS click_id,
+      |    arg_max(value, event_id) AS click_value
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |bwd AS (
+      |  SELECT p.purchase_id, c.click_us, c.click_id, c.click_value
+      |  FROM purchases p ASOF LEFT JOIN clicks c
+      |    ON p.user_id = c.user_id AND p.purchase_us >= c.click_us),
+      |fw AS (
+      |  SELECT p.purchase_id, c.click_us, c.click_id, c.click_value
+      |  FROM purchases p ASOF LEFT JOIN clicks c
+      |    ON p.user_id = c.user_id AND p.purchase_us <= c.click_us)
+      |SELECT p.purchase_id, p.user_id, p.purchase_us,
+      |  CASE WHEN use_b THEN b.click_id ELSE f.click_id END AS near_click_id,
+      |  ROUND(CASE WHEN use_b THEN b.click_value ELSE f.click_value END, 2)
+      |    AS near_click_value,
+      |  CASE WHEN use_b THEN p.purchase_us - b.click_us
+      |       ELSE f.click_us - p.purchase_us END AS dist_us
+      |FROM purchases p
+      |LEFT JOIN bwd b USING (purchase_id)
+      |LEFT JOIN fw f USING (purchase_id)
+      |CROSS JOIN LATERAL (SELECT b.click_us IS NOT NULL AND (f.click_us IS NULL
+      |  OR p.purchase_us - b.click_us <= f.click_us - p.purchase_us) AS use_b)
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("us").as("click_us"))
+      .agg(max(col("event_id")).as("click_id"),
+        max_by(col("value"), col("event_id")).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    JoinOps.asofJoinNative(purchases, clicks,
+      keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "click_us",
+      rightValCols = Seq("click_us", "click_id", "click_value"),
+      direction = "nearest")
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("click_id").as("near_click_id"),
+        round(col("click_value"), 2).as("near_click_value"),
+        abs(col("purchase_us") - col("click_us")).cast("long").as("dist_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Explicit GROUPING SETS — the custom subtotal lattice CUBE/ROLLUP
     * can't express: just the two independent marginals
     * (per-type, per-day-of-week) plus the grand total, with
@@ -1954,7 +2066,8 @@ object EventsMore {
     q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_bloom, q_asof_native_str,
     q_asof_native_multi, q_asof_native_ts, q_asof_tolerance,
-    q_asof_tolerance_native, q_asof_bucketed, q_resample_ffill,
+    q_asof_tolerance_native, q_asof_forward, q_asof_nearest,
+    q_asof_bucketed, q_resample_ffill,
     q_hll_distinct,
     q_rank_dist, q_robust_stats,
     q_funnel, q_retention, q_markov, q_topk_daily, q_scd2,

@@ -134,6 +134,80 @@ class JoinOpsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan.take(800))
   }
 
+  test("directional native asof (forward/nearest) ≡ brute force; ties go backward") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max}
+    def series(tag: Int, n: Int) = (0 until n).map { i =>
+      val h = i * 2654435761L + tag * 97L
+      (math.abs(h) % 7, math.abs(h / 11) % 50, s"v$tag-$i")
+    }
+    // the orphan key has no right rows at all — the only way a NEAREST
+    // probe can come up empty (forward also misses when a left ts sits
+    // after its key's last right row)
+    val left = (series(1, 80) :+ ((99L, 1L, "orphan")))
+      .toDF("k", "ts", "pid")
+    val right = series(2, 60).toDF("k", "ts", "rid")
+      .groupBy("k", "ts").agg(max("rid").as("rid"))
+    val rRows = right.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def brute(dir: String) = left.collect().map { r =>
+      val (k, ts, pid) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val cands = rRows.filter(_._1 == k)
+      val bwd = cands.filter(_._2 <= ts).sortBy(_._2).lastOption
+      val fwd = cands.filter(_._2 >= ts).sortBy(_._2).headOption
+      val pick = dir match {
+        case "forward" => fwd
+        case "nearest" => (bwd, fwd) match {
+          case (Some(b), Some(f)) =>
+            if (ts - b._2 <= f._2 - ts) Some(b) else Some(f)
+          case (b, f) => b.orElse(f)
+        }
+      }
+      (k, ts, pid, pick.map(_._3))
+    }.sortBy(t => (t._1, t._2, t._3)).toSeq
+    for (d <- Seq("forward", "nearest")) {
+      val native = JoinOps.asofJoinNative(left, right,
+        keyCol = "k", leftTsCol = "ts", rightTsCol = "ts",
+        rightValCols = Seq("rid"), direction = d)
+      val got = native.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          Option(r.getString(3))))
+        .sortBy(t => (t._1, t._2, t._3)).toSeq
+      assert(got === brute(d), s"direction=$d")
+      // genuine matches AND genuine no-matches both occur
+      assert(got.exists(_._4.isEmpty) && got.exists(_._4.nonEmpty), s"direction=$d")
+      val plan = native.queryExecution.executedPlan.toString
+      assert(plan.contains("AsofJoin") && !plan.contains("Window"), plan.take(800))
+    }
+    // exact-tie: equidistant candidates resolve to the BACKWARD row,
+    // and an equal timestamp matches inclusively in BOTH directions
+    val l2 = Seq((1L, 10L, "p"), (1L, 15L, "q")).toDF("k", "ts", "pid")
+    val r2 = Seq((1L, 5L, "early"), (1L, 15L, "late")).toDF("k", "ts", "rid")
+    def one(dir: String) = JoinOps.asofJoinNative(l2, r2,
+        "k", "ts", "ts", Seq("rid"), direction = dir)
+      .collect().map(r => r.getString(2) -> r.getString(3)).toMap
+    assert(one("nearest") === Map("p" -> "early", "q" -> "late"))
+    assert(one("forward") === Map("p" -> "late", "q" -> "late"))
+    // SQL null semantics carry over: a null-ts left row survives
+    // unmatched under the new directions too; an empty right side
+    // yields all-null matches
+    val lNull = Seq((Some(1L), Option.empty[Long], "n")).toDF("k", "ts", "pid")
+    for (d <- Seq("forward", "nearest")) {
+      val r = JoinOps.asofJoinNative(lNull, r2, "k", "ts", "ts", Seq("rid"),
+        direction = d).collect()
+      assert(r.length == 1 && r(0).isNullAt(3), s"direction=$d")
+      val e = JoinOps.asofJoinNative(l2, r2.filter(col("ts") < 0), "k", "ts",
+        "ts", Seq("rid"), direction = d).collect()
+      assert(e.length == 2 && e.forall(_.isNullAt(3)), s"direction=$d")
+    }
+    // unknown directions fail loudly at construction
+    val ex = intercept[IllegalArgumentException] {
+      JoinOps.asofJoinNative(l2, r2, "k", "ts", "ts", Seq("rid"),
+        direction = "sideways")
+    }
+    assert(ex.getMessage.contains("direction"))
+  }
+
   test("tolerance as-of through the native exec ≡ union+window path; plans AsofJoinExec") {
     // the tolerance is a POST-JOIN mask, so the two registry queries
     // share the exact oracle; here the engine sides are cross-checked
