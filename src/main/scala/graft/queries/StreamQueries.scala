@@ -749,11 +749,65 @@ object StreamQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** STREAMING materialized-view maintenance — the continuous-ingest
+    * half of T145 (q_mv_incremental, [[graft.ops.MvOps]]): events are
+    * drained in four genuine micro-batches (`maxFilesPerTrigger=1`
+    * over a 4-file split), each batch aggregated ALONE to mergeable
+    * moments state and APPENDED to a state log — O(batch) work per
+    * trigger, no read-modify-write in the hot path (the delta-log
+    * layout whose periodic fold-down is T143's compaction job). The
+    * view read merges the log key-wise and derives mean/variance from
+    * the merged moments. After the drain the view must be
+    * value-identical to the batch full recompute — the SAME DuckDB
+    * oracle as q_mv_incremental, now certifying that NO batch boundary
+    * leaks into the maintained state.
+    */
+  val q_stream_mv = QueryDef(
+    "q_stream_mv",
+    graft.queries.ScaleQueries.q_mv_incremental.oracle.get) { (spark, dir) =>
+    import graft.ops.MvOps
+    val keys = Seq("day", "event_type")
+    val work = StreamingOps.tempSinkDir("graft_stream_mv_")
+    val src = s"$work/src"
+    // 4-file split so AvailableNow + maxFilesPerTrigger=1 yields four
+    // real micro-batches (a single parquet file is one batch — which
+    // would certify the plumbing but not the cross-batch merge)
+    Tables.events(spark, dir).repartition(4).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+    StreamingOps.withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          MvOps.aggState(prep(batch), keys, col("cents"))
+            .write.mode("append").parquet(s"$work/state")
+          ()
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    MvOps.finalizeState(
+      MvOps.mergeStates(keys, spark.read.parquet(s"$work/state")))
+      .select(col("day"), col("event_type"),
+        col("mv_n").as("n_events"), col("mv_s").as("sum_cents"),
+        col("mv_s2").as("sumsq_cents"), col("mv_mn").as("min_cents"),
+        col("mv_mx").as("max_cents"), col("mv_avg").as("avg_cents"),
+        col("mv_var").as("var_cents"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
     q_stream_hll, q_stream_cms, q_stream_incremental_dedup, q_stream_hopping,
     q_stream_topk, q_stream_cdc, q_stream_asof, q_stream_ann,
-    q_stream_index_append)
+    q_stream_index_append, q_stream_mv)
 }
