@@ -355,6 +355,52 @@ object EventsMore {
       .orderBy(col("user_id"), col("hour_us"))
   }
 
+  /** Backward-fill resampling — [[q_resample_ffill]]'s mirror through
+    * the FORWARD as-of direction (T144): each grid instant picks the
+    * EARLIEST event value at-or-after it ("next reading", the
+    * interpolation anchor / lead-label shape in feature pipelines).
+    * Same sequence+explode grid, same native exec — only the merge
+    * direction flips, and forward is the cheaper branch (the candidate
+    * is the lookahead row; nothing is buffered). Grid hours after a
+    * user's last event back-fill to NULL, visible in the final grid
+    * row of each user whose last event is not exactly on the hour.
+    */
+  val q_resample_bfill = QueryDef(
+    "q_resample_bfill",
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    arg_max(value, event_id) AS v
+      |  FROM events WHERE user_id < 50 GROUP BY 1, 2),
+      |span AS (
+      |  SELECT user_id,
+      |    (MIN(us) // 3600000000) * 3600000000 AS h0,
+      |    (MAX(us) // 3600000000) * 3600000000 AS h1
+      |  FROM ev GROUP BY 1),
+      |grid AS (
+      |  SELECT user_id, CAST(g AS BIGINT) AS hour_us
+      |  FROM span CROSS JOIN UNNEST(range(h0, h1 + 1, 3600000000)) t(g))
+      |SELECT g.user_id AS user_id, g.hour_us, ROUND(e.v, 2) AS next_value
+      |FROM grid g ASOF LEFT JOIN ev e
+      |  ON g.user_id = e.user_id AND g.hour_us <= e.us
+      |ORDER BY g.user_id, g.hour_us""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(col("user_id"), col("us"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val grid = ev.groupBy(col("user_id"))
+      .agg(expr("(MIN(us) DIV 3600000000) * 3600000000").as("h0"),
+        expr("(MAX(us) DIV 3600000000) * 3600000000").as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), lit(3600000000L))).as("hour_us"))
+    JoinOps.asofJoinNative(grid, ev,
+      keyCol = "user_id", leftTsCol = "hour_us", rightTsCol = "us",
+      rightValCols = Seq("v"), direction = "forward")
+      .select(col("user_id"), col("hour_us"),
+        round(col("v"), 2).as("next_value"))
+      .orderBy(col("user_id"), col("hour_us"))
+  }
+
   /** As-of join WITH TOLERANCE — the feature-store freshness contract:
     * a match staler than 1 hour is as good as no match, so its value
     * columns are masked NULL while the left row survives (LEFT-join
@@ -2067,7 +2113,7 @@ object EventsMore {
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_bloom, q_asof_native_str,
     q_asof_native_multi, q_asof_native_ts, q_asof_tolerance,
     q_asof_tolerance_native, q_asof_forward, q_asof_nearest,
-    q_asof_bucketed, q_resample_ffill,
+    q_asof_bucketed, q_resample_ffill, q_resample_bfill,
     q_hll_distinct,
     q_rank_dist, q_robust_stats,
     q_funnel, q_retention, q_markov, q_topk_daily, q_scd2,
