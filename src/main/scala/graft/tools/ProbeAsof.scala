@@ -56,6 +56,22 @@ object ProbeAsof {
       f"window=${tWin}%.2fs native=${tNat}%.2fs speedup=${tWin / tNat}%.2fx " +
       s"checksum=$csWin")
 
+    // ---- directional merge (round 8): same inputs, direction flipped.
+    // forward buffers nothing (its candidate is the lookahead row) so
+    // it bounds the merge cost from below; nearest does backward's
+    // buffering plus the lookahead compare. Checksums differ by
+    // direction (different matches) but are deterministic — printed so
+    // cross-run equality is checkable.
+    val (tFwd, csFwd) = run("forward", () =>
+      JoinOps.asofJoinNative(left, rightNat, "k", "ts", "rts",
+        Seq("payload_r"), direction = "forward"))
+    val (tNear, csNear) = run("nearest", () =>
+      JoinOps.asofJoinNative(left, rightNat, "k", "ts", "rts",
+        Seq("payload_r"), direction = "nearest"))
+    println(f"asof direction probe: backward=${tNat}%.2fs " +
+      f"forward=${tFwd}%.2fs nearest=${tNear}%.2fs " +
+      s"checksums fwd=$csFwd near=$csNear")
+
     // bloom-pruned variant under a SELECTIVE left batch (the runtime-
     // filter regime: today's events touch 1% of the key space, the
     // history is full-width) — the win is right-side rows that never
