@@ -463,7 +463,8 @@ object VectorQueries {
   /** Shared oracle CTE chain for the sketch-ANN pipeline: signs →
     * per-pair Hamming → radius → exact-cosine rank. Expects nothing;
     * defines v/hp/n/sig/ham/scored/sk (sk = the final ranked rows). */
-  private def sketchCtes(corpusPred: String = "cs.id >= 50"): String =
+  private def sketchCtes(corpusPred: String = "cs.id >= 50",
+      queryPred: String = "qs.id < 50", k: Int = 10): String =
     s"""v AS (SELECT vec_id AS id, $vd AS vd FROM embeddings),
        |hp(i, hv) AS (VALUES
        |    ${hpValues(SketchBits)}),
@@ -474,7 +475,7 @@ object VectorQueries {
        |ham AS (
        |  SELECT qs.id AS query_id, cs.id AS neighbor_id,
        |    SUM(CASE WHEN qs.b <> cs.b THEN 1 ELSE 0 END) AS ham
-       |  FROM sig qs JOIN sig cs ON qs.i = cs.i AND qs.id < 50 AND ($corpusPred)
+       |  FROM sig qs JOIN sig cs ON qs.i = cs.i AND ($queryPred) AND ($corpusPred)
        |  GROUP BY 1, 2),
        |scored AS (
        |  SELECT h.query_id, h.neighbor_id,
@@ -485,7 +486,7 @@ object VectorQueries {
        |  SELECT query_id, rank, neighbor_id, cos FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY cos DESC, neighbor_id) AS rank
-       |    FROM scored) t WHERE rank <= 10)""".stripMargin
+       |    FROM scored) t WHERE rank <= $k)""".stripMargin
 
   /** Hamming-sketch radius-prefiltered ANN
     * ([[SimilarityOps.sketchTopK]]) — the ≥0.9-recall-below-brute-wall
@@ -588,6 +589,35 @@ object VectorQueries {
       "vec_id", "embedding", 10,
       bits = SketchBits, dim = LshDim, maxHamming = SketchRadius)
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** kNN-GRAPH construction — per-node top-k nearest neighbors over a
+    * node set joined to ITSELF (self-pairs excluded), the input shape
+    * for graph clustering, label propagation over similarity edges,
+    * and HNSW-style index builds. Engine: the same Hamming-radius
+    * prefilter + exact cosine rerank as q_ann_sketch with the node set
+    * on both sides ([[SimilarityOps.sketchTopK]] excludes
+    * `query_id = neighbor_id` pairs structurally), k=5 degree. Here
+    * the 300-node slice rides the query-broadcast plan; at full-corpus
+    * scale the same edge list is produced by LSH-band blocking (the
+    * q_embed_neardup_lsh pattern: bucket equi-join, never all-pairs)
+    * feeding the identical rerank + per-node top-k — the blocking
+    * half is certified there, the ranked-graph half here.
+    */
+  val q_knn_graph = QueryDef(
+    "q_knn_graph", {
+      s"""WITH ${sketchCtes(
+          corpusPred = "cs.id >= 50 AND cs.id < 350 AND cs.id <> qs.id",
+          queryPred = "qs.id >= 50 AND qs.id < 350", k = 5)}
+         |SELECT query_id AS node_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim
+         |FROM sk ORDER BY node_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val nodes = emb.filter(col("vec_id") >= 50 && col("vec_id") < 350)
+    SimilarityOps.sketchTopK(nodes, nodes, "vec_id", "embedding", 5,
+      bits = SketchBits, dim = LshDim, maxHamming = SketchRadius)
+      .withColumnRenamed("query_id", "node_id")
+      .orderBy(col("node_id"), col("rank"))
   }
 
   /** Binary-relevance DCG discounts in integer micro-units:
@@ -778,5 +808,5 @@ object VectorQueries {
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
-    q_ann_index_filtered, q_rank_metrics)
+    q_ann_index_filtered, q_rank_metrics, q_knn_graph)
 }
