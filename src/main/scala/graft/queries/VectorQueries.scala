@@ -620,6 +620,46 @@ object VectorQueries {
       .orderBy(col("node_id"), col("rank"))
   }
 
+  /** MUTUAL-kNN edge filter over [[q_knn_graph]] — keep an edge only
+    * when BOTH endpoints rank each other in their top-5 (the standard
+    * robustness step before density/graph clustering: one-directional
+    * edges are usually hub artifacts). Pure composition: the ranked
+    * edge list self-joined on the reversed pair, canonicalized
+    * `node_a < node_b`; cosine is symmetric so either direction's
+    * score is THE pair score (both engines compute the identical
+    * dot/(n·n) expression). Scale shape: an equi-join of the edge
+    * list with itself on (node, neighbor) — |edges| = k·|nodes| rows,
+    * never pairs².
+    */
+  val q_knn_mutual = QueryDef(
+    "q_knn_mutual", {
+      s"""WITH ${sketchCtes(
+          corpusPred = "cs.id >= 50 AND cs.id < 350 AND cs.id <> qs.id",
+          queryPred = "qs.id >= 50 AND qs.id < 350", k = 5)}
+         |SELECT a.query_id AS node_a, a.neighbor_id AS node_b,
+         |  ROUND(a.cos, 6) AS cos_sim,
+         |  a.rank AS rank_ab, b.rank AS rank_ba
+         |FROM sk a JOIN sk b
+         |  ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+         |WHERE a.query_id < a.neighbor_id
+         |ORDER BY node_a, node_b""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val nodes = emb.filter(col("vec_id") >= 50 && col("vec_id") < 350)
+    val e = SimilarityOps.sketchTopK(nodes, nodes, "vec_id", "embedding", 5,
+      bits = SketchBits, dim = LshDim, maxHamming = SketchRadius)
+    val a = e.select(col("query_id").as("node_a"),
+      col("neighbor_id").as("node_b"), col("cos_sim"),
+      col("rank").as("rank_ab"))
+    val b = e.select(col("query_id").as("b_q"),
+      col("neighbor_id").as("b_n"), col("rank").as("rank_ba"))
+    a.join(b, a("node_a") === b("b_n") && a("node_b") === b("b_q"))
+      .filter(col("node_a") < col("node_b"))
+      .select(col("node_a"), col("node_b"), col("cos_sim"),
+        col("rank_ab"), col("rank_ba"))
+      .orderBy(col("node_a"), col("node_b"))
+  }
+
   /** Binary-relevance DCG discounts in integer micro-units:
     * floor(1e6/log2(r+1) + 0.5) for rank r in 1..10, rendered from ONE
     * Scala math.log run into BOTH the engine literals and the oracle
@@ -808,5 +848,5 @@ object VectorQueries {
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
-    q_ann_index_filtered, q_rank_metrics, q_knn_graph)
+    q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_mutual)
 }
