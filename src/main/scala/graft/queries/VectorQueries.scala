@@ -660,6 +660,62 @@ object VectorQueries {
       .orderBy(col("node_a"), col("node_b"))
   }
 
+  /** Semantic clusters from the mutual-kNN graph — connected
+    * components over [[q_knn_mutual]]'s edges, labeled by min node id
+    * (the deterministic convention every CC surface here shares),
+    * profiled as (cluster_id, n_nodes). This is the classic
+    * embedding-clustering recipe that needs NO centroid count chosen
+    * up front: kNN edges → mutual filter → components. The engine
+    * rides [[graft.ops.GraphOps.minLabelComponents]] (union-find under
+    * the gate, pointer-jumping min-label propagation at scale); the
+    * oracle resolves the same components with a recursive-CTE
+    * transitive closure over the same mutual-edge CTE — chained
+    * clusters (a~b~c with no a~c edge) certified identical, which
+    * pairwise checks cannot do.
+    */
+  val q_knn_clusters = QueryDef(
+    "q_knn_clusters", {
+      s"""WITH RECURSIVE ${sketchCtes(
+          corpusPred = "cs.id >= 50 AND cs.id < 350 AND cs.id <> qs.id",
+          queryPred = "qs.id >= 50 AND qs.id < 350", k = 5)},
+         |mut AS (
+         |  SELECT a.query_id AS src, a.neighbor_id AS dst
+         |  FROM sk a JOIN sk b
+         |    ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+         |  WHERE ROUND(a.cos, 6) >= 0.4),
+         |cnodes AS (SELECT DISTINCT src AS id FROM mut),
+         |reach AS (
+         |  SELECT id, id AS rid FROM cnodes
+         |  UNION
+         |  SELECT r.id, e.dst AS rid FROM reach r JOIN mut e ON e.src = r.rid),
+         |lbl AS (SELECT id, MIN(rid) AS grp FROM reach GROUP BY id)
+         |SELECT CAST(grp AS BIGINT) AS cluster_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val nodes = emb.filter(col("vec_id") >= 50 && col("vec_id") < 350)
+    // the similarity mask keeps only confident edges (cos is
+    // symmetric, so masking either direction is the same pair set) —
+    // without it the mutual graph at this corpus is one giant
+    // component and the query certifies nothing interesting
+    val e = SimilarityOps.sketchTopK(nodes, nodes, "vec_id", "embedding", 5,
+      bits = SketchBits, dim = LshDim, maxHamming = SketchRadius)
+      .filter(col("cos_sim") >= 0.4)
+    val a = e.select(col("query_id").cast("long").as("src"),
+      col("neighbor_id").cast("long").as("dst"))
+    val b = e.select(col("query_id").cast("long").as("b_q"),
+      col("neighbor_id").cast("long").as("b_n"))
+    // both ordered directions survive the mutual join, so the edge
+    // list is symmetric — exactly minLabelComponents' input contract
+    val mutual = a.join(b, a("src") === b("b_n") && a("dst") === b("b_q"))
+      .select(col("src"), col("dst"))
+    graft.ops.GraphOps.minLabelComponents(mutual)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Binary-relevance DCG discounts in integer micro-units:
     * floor(1e6/log2(r+1) + 0.5) for rank r in 1..10, rendered from ONE
     * Scala math.log run into BOTH the engine literals and the oracle
@@ -848,5 +904,5 @@ object VectorQueries {
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
-    q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_mutual)
+    q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_mutual, q_knn_clusters)
 }
