@@ -59,6 +59,29 @@ object MvOps {
         max(col("mv_mx")).as("mv_mx"))
   }
 
+  /** Idempotent per-batch state write for STREAMING maintenance:
+    * batch N's state lands in its own `batch_<id>` subdirectory with
+    * overwrite semantics. foreachBatch is at-least-once — after a
+    * crash between the sink write and the checkpoint commit, the SAME
+    * micro-batch re-runs — so a blind `mode("append")` state log
+    * double-counts exactly the batch that straddled the failure. The
+    * per-batch directory makes the replay REPLACE its own output
+    * instead: the log is correct under any number of retries of any
+    * batch (spec-certified by writing the same batch twice and by a
+    * checkpoint-resume drain).
+    */
+  def writeBatchState(batch: DataFrame, keys: Seq[String], measure: Column,
+      stateDir: String, batchId: Long): Unit =
+    aggState(batch, keys, measure)
+      .write.mode("overwrite").parquet(s"$stateDir/batch_$batchId")
+
+  /** Read the whole per-batch state log back as one state frame
+    * (merge with [[mergeStates]] / derive with [[finalizeState]]).
+    */
+  def readStateLog(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/batch_*")
+
   /** Derived statistics from state — exact mean and population
     * variance via the moments identity `var = s2/n − (s/n)²`, computed
     * in double from EXACT integer moments (so the result is a fixed

@@ -784,9 +784,12 @@ object StreamQueries {
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          MvOps.aggState(prep(batch), keys, col("cents"))
-            .write.mode("append").parquet(s"$work/state")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          // per-batch overwrite directory, NOT a blind append: a
+          // replayed micro-batch (at-least-once foreachBatch after a
+          // crash) replaces its own state instead of double-counting
+          MvOps.writeBatchState(prep(batch), keys, col("cents"),
+            s"$work/state", batchId)
           ()
         }
         .start()
@@ -794,7 +797,7 @@ object StreamQueries {
       finally q.stop()
     }
     MvOps.finalizeState(
-      MvOps.mergeStates(keys, spark.read.parquet(s"$work/state")))
+      MvOps.mergeStates(keys, MvOps.readStateLog(spark, s"$work/state")))
       .select(col("day"), col("event_type"),
         col("mv_n").as("n_events"), col("mv_s").as("sum_cents"),
         col("mv_s2").as("sumsq_cents"), col("mv_mn").as("min_cents"),

@@ -65,6 +65,60 @@ class MvOpsSpec extends AnyFunSuite {
       ("c", 1L, 7L, 49L, 7L, 7L)))
   }
 
+  test("per-batch state writes are replay-idempotent and survive a checkpoint restart") {
+    import java.nio.file.Files
+    val stateDir = Files.createTempDirectory("mv_state_").toString
+    val d1 = mk(Seq(("a", 10L), ("b", 5L)))
+    val d2 = mk(Seq(("a", 20L), ("c", 7L)))
+    MvOps.writeBatchState(d1, Seq("g"), col("x"), stateDir, 0L)
+    MvOps.writeBatchState(d2, Seq("g"), col("x"), stateDir, 1L)
+    val once = norm(MvOps.mergeStates(Seq("g"),
+      MvOps.readStateLog(spark, stateDir)))
+    // at-least-once replay: the SAME batch id re-runs after a crash
+    // between sink write and checkpoint commit — must replace, not
+    // double-count
+    MvOps.writeBatchState(d2, Seq("g"), col("x"), stateDir, 1L)
+    assert(norm(MvOps.mergeStates(Seq("g"),
+      MvOps.readStateLog(spark, stateDir))) === once)
+    assert(once === norm(
+      MvOps.aggState(d1.unionByName(d2), Seq("g"), col("x"))))
+
+    // checkpoint restart: drain two files, kill the query, add two
+    // more, resume from the SAME checkpoint — the accumulated view
+    // must equal the one-shot full aggregation (offset resume means
+    // batch ids continue, never collide)
+    val src = Files.createTempDirectory("mv_src_").toString
+    val ck = Files.createTempDirectory("mv_ck_").toString
+    val log = Files.createTempDirectory("mv_log_").toString
+    def file(rows: Seq[(String, Long)]): Unit =
+      mk(rows).coalesce(1).write.mode("append").parquet(src)
+    def drain(): Unit = {
+      val schema = spark.read.parquet(src).schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+      val q = stream.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          MvOps.writeBatchState(b, Seq("g"), col("x"), log, id)
+          ()
+        }
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val p1 = Seq(("a", 1L), ("b", 2L))
+    val p2 = Seq(("a", 3L))
+    val p3 = Seq(("c", 4L), ("a", 5L))
+    val p4 = Seq(("b", 6L))
+    file(p1); file(p2); drain()
+    file(p3); file(p4); drain() // new query object, same checkpoint
+    val restarted = norm(MvOps.mergeStates(Seq("g"),
+      MvOps.readStateLog(spark, log)))
+    assert(restarted === norm(MvOps.aggState(
+      mk(p1 ++ p2 ++ p3 ++ p4), Seq("g"), col("x"))))
+  }
+
   test("finalizeState derives exact mean and population variance from moments") {
     val df = mk(Seq(("a", 2L), ("a", 4L), ("a", 9L)))
     val out = MvOps.finalizeState(MvOps.aggState(df, Seq("g"), col("x")))
