@@ -466,16 +466,18 @@ object StreamQueries {
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          // per-batch overwrite dir: an at-least-once replay of this
+          // batch replaces its own output instead of duplicating it
           DedupOps.probeIncremental(index, batch, "doc_id", "text", 0.8)
-            .write.mode("append").parquet(s"$work/out")
+            .write.mode("overwrite").parquet(s"$work/out/batch_$id")
           ()
         }
         .start()
       try q.awaitTermination()
       finally q.stop()
     }
-    spark.read.schema(outSchema).parquet(s"$work/out")
+    spark.read.schema(outSchema).parquet(s"$work/out/batch_*")
       .orderBy(col("new_id"))
   }
 
@@ -552,7 +554,14 @@ object StreamQueries {
     * log, tombstones filtered at readout) certifies. State versions
     * by batch id (read vN-1, write vN) — never read-and-overwrite the
     * same files; at 100 TB this is the compacted-upsert table shape
-    * (Hudi/Delta MERGE) with the state bucketed by key.
+    * (Hudi/Delta MERGE) with the state bucketed by key. The previous
+    * version is discovered from the FILESYSTEM, not a driver variable:
+    * after a checkpoint restart (fresh driver, batch ids continue) the
+    * listing still finds the pre-restart state, and a replayed batch
+    * reads `max(version) < id` — never its own possibly-half-written
+    * attempt — then overwrites it (idempotent because the per-key
+    * argmax over state ∪ batch is associative and absorbs re-applied
+    * rows).
     */
   val q_stream_cdc = QueryDef(
     "q_stream_cdc",
@@ -574,18 +583,29 @@ object StreamQueries {
       col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
       when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
       floor(col("value") * 100 + 0.5).cast("long").as("cents"))
-    // versioned state: read v(n-1), write v(n); tracked on the driver
-    var stateVersion = -1L
+    // versioned state: read v(n-1), write v(n); versions discovered
+    // from the filesystem (restart- and replay-safe, see scaladoc)
+    val StateName = "state_(\\d+)".r
+    def versions(): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(work)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName).collect {
+        case StateName(n) => n.toLong
+      }
+    }
     StreamingOps.withShufflePartitions(spark, 8) {
       val q = stream.writeStream
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-          val incoming =
-            if (stateVersion < 0) batch
-            else batch.unionByName(
-              spark.read.parquet(s"$work/state_$stateVersion"))
+          val prev = versions().filter(_ < id).sorted.lastOption
+          val incoming = prev match {
+            case None => batch
+            case Some(v) =>
+              batch.unionByName(spark.read.parquet(s"$work/state_$v"))
+          }
           // (us, event_id)-argmax per key: associative, so state ∪
           // batch compaction equals whole-log compaction
           incoming
@@ -594,14 +614,13 @@ object StreamQueries {
               struct(col("us"), col("event_id"))).as("w"))
             .select(col("w.*"))
             .write.mode("overwrite").parquet(s"$work/state_$id")
-          stateVersion = id
           ()
         }
         .start()
       try q.awaitTermination()
       finally q.stop()
     }
-    spark.read.parquet(s"$work/state_$stateVersion")
+    spark.read.parquet(s"$work/state_${versions().max}")
       .filter(col("op") === "U")
       .select(col("user_id"), col("cents").as("value_cents"),
         col("us").as("last_us"))
@@ -650,20 +669,21 @@ object StreamQueries {
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          // per-batch overwrite dir (replay-idempotent, see q_stream_mv)
           JoinOps.asofJoinNative(batch, clicks,
             keyCol = "user_id", leftTsCol = "purchase_us",
             rightTsCol = "click_us", rightValCols = Seq("click_id"))
             .select(col("purchase_id"), col("user_id"), col("purchase_us"),
               col("click_id").as("last_click_id"))
-            .write.mode("append").parquet(s"$work/out")
+            .write.mode("overwrite").parquet(s"$work/out/batch_$id")
           ()
         }
         .start()
       try q.awaitTermination()
       finally q.stop()
     }
-    spark.read.parquet(s"$work/out").orderBy(col("purchase_id"))
+    spark.read.parquet(s"$work/out/batch_*").orderBy(col("purchase_id"))
   }
 
   /** STREAMING retrieval probe over the Hamming-sketch ANN index
@@ -692,17 +712,19 @@ object StreamQueries {
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          // per-batch overwrite dir (replay-idempotent, see q_stream_mv)
           SimilarityOps.sketchTopK(batch, corpus, "vec_id", "embedding", 10,
             bits = 256, dim = 64, maxHamming = 115)
-            .write.mode("append").parquet(s"$work/out")
+            .write.mode("overwrite").parquet(s"$work/out/batch_$id")
           ()
         }
         .start()
       try q.awaitTermination()
       finally q.stop()
     }
-    spark.read.parquet(s"$work/out").orderBy(col("query_id"), col("rank"))
+    spark.read.parquet(s"$work/out/batch_*")
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** STREAMING index maintenance — the ingest side of the persisted
@@ -713,6 +735,15 @@ object StreamQueries {
     * index must equal the full-rebuild search — the SAME DuckDB oracle
     * as q_ann_sketch. Together with q_ann_index_delta this certifies
     * both halves of index upkeep: batch deltas and continuous ingest.
+    *
+    * Replay semantics: a bucketed-table append cannot overwrite
+    * per-batch, so an at-least-once foreachBatch replay would
+    * double-insert its vectors (certified here only under the bounded
+    * single-run drain). Production ingest makes the append idempotent
+    * by id-anti-joining the batch against the table first (the
+    * `Sinks.appendNewIds` skip-existing contract, S10 — one index
+    * probe per batch) or stages per-batch files (the q_stream_mv
+    * pattern) and folds them at compaction (T143).
     */
   val q_stream_index_append = QueryDef(
     "q_stream_index_append",
