@@ -208,6 +208,25 @@ object Events {
       .orderBy(col("k_bucket"))
   }
 
+  /** [[q_json_props]] through Spark 4's VARIANT type — `parse_json`
+    * decodes the JSON string ONCE into the binary variant encoding and
+    * `variant_get` does typed path extraction from it, the modern
+    * lakehouse semi-structured path (at 100 TB the variant column is
+    * stored shredded and re-parsing strings per access — what the
+    * string-path `get_json_object` twin does — is the scan cost).
+    * Certified against the SAME DuckDB JSON oracle, proving the
+    * binary-variant route is value-identical to string-path
+    * extraction end to end.
+    */
+  val q_variant_props = QueryDef(
+    "q_variant_props", q_json_props.oracle.get) { (spark, dir) =>
+    val k = variant_get(parse_json(col("props")), "$.k", "int")
+    Tables.events(spark, dir)
+      .groupBy((k % 10).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum(k).as("k_sum"))
+      .orderBy(col("k_bucket"))
+  }
+
   /** Full-outer join of two per-day series with null→0 fill — the
     * official-vs-informal merge J1 (`app_upgraded.py:599-604`). */
   val q_clicks_vs_purchases = QueryDef(
@@ -286,5 +305,6 @@ object Events {
   val all: Seq[QueryDef] = Seq(
     q_hourly_events, q_daily_by_type, q_event_type_stats, q_ts_range,
     q_user_latest_event, q_event_deltas, q_rolling_daily, q_anomaly_zscore,
-    q_json_props, q_clicks_vs_purchases, q_first_week, q_user_risk)
+    q_json_props, q_variant_props, q_clicks_vs_purchases, q_first_week,
+    q_user_risk)
 }
