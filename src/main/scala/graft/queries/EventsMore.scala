@@ -933,6 +933,41 @@ object EventsMore {
       .orderBy(col("day"))
   }
 
+  /** UNPIVOT (melt) — the inverse reshaping of [[q_pivot_daily]]:
+    * the wide per-type count matrix back to long (day, event_type, n)
+    * form via `DataFrame.unpivot`, which Catalyst plans as a single
+    * Expand (one pass, rows×types output, no join). The round-trip
+    * matters operationally: wide is the dashboard/report layout, long
+    * is the layout every aggregation and ML pipeline wants back.
+    * Zero-filled combinations survive the round trip (the pivot
+    * materializes absent (day, type) cells as 0), so the oracle is
+    * the days × types frame left-joined to the actual counts — NOT a
+    * plain GROUP BY, which would lack the explicit zeros.
+    */
+  val q_unpivot_daily = QueryDef(
+    "q_unpivot_daily",
+    """WITH daily AS (
+      |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |    COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |days AS (SELECT DISTINCT day FROM daily),
+      |types(event_type) AS (VALUES ('click'), ('error'), ('purchase'),
+      |  ('signup'), ('view'))
+      |SELECT d.day, t.event_type, CAST(COALESCE(x.n, 0) AS BIGINT) AS n
+      |FROM days d CROSS JOIN types t
+      |LEFT JOIN daily x ON x.day = d.day AND x.event_type = t.event_type
+      |ORDER BY d.day, t.event_type""".stripMargin) { (spark, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .withColumn("day", date_trunc("day", col("ts")).cast("date"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L)
+      .unpivot(Array(col("day")), types.map(col).toArray, "event_type", "n")
+      .orderBy(col("day"), col("event_type"))
+  }
+
   /** Histogram binning of the value distribution (width_bucket — the
     * SQL-standard equi-width histogram both engines implement
     * identically).
@@ -2109,7 +2144,8 @@ object EventsMore {
     q_drawdown, q_rfm, q_type_gini, q_event_paths, q_mode_value,
     q_frequent_paths, q_rolling_distinct, q_seasonality, q_repeat_purchase,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
-    q_percentiles, q_value_ranks, q_pivot_daily, q_value_histogram, q_salted_agg,
+    q_percentiles, q_value_ranks, q_pivot_daily, q_unpivot_daily,
+    q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_bloom, q_asof_native_str,
     q_asof_native_multi, q_asof_native_ts, q_asof_tolerance,
     q_asof_tolerance_native, q_asof_forward, q_asof_nearest,
