@@ -933,6 +933,39 @@ object EventsMore {
       .orderBy(col("day"))
   }
 
+  /** VALUE-RANGE window frame — "activity in the trailing 24 h of
+    * event time", the frame family every ROWS-based rolling window
+    * (W2) gets WRONG on a gappy axis: ROWS n PRECEDING counts
+    * neighbors, RANGE counts an interval, and per-user event streams
+    * are nothing but gaps. The frame is anchored on epoch-micros
+    * (`RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW`), and —
+    * unlike ROWS — tied timestamps are ALL peers of the frame, so the
+    * result is deterministic without a tie-breaking sort column.
+    */
+  val q_range_window = QueryDef(
+    "q_range_window",
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST(COUNT(*) OVER w AS BIGINT) AS n_24h,
+      |  CAST(SUM(cents) OVER w AS BIGINT) AS cents_24h
+      |FROM ev
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-86400000000L, 0)
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_24h"),
+        sum(col("cents")).over(w).as("cents_24h"))
+      .orderBy(col("event_id"))
+  }
+
   /** UNPIVOT (melt) — the inverse reshaping of [[q_pivot_daily]]:
     * the wide per-type count matrix back to long (day, event_type, n)
     * form via `DataFrame.unpivot`, which Catalyst plans as a single
@@ -2144,7 +2177,7 @@ object EventsMore {
     q_drawdown, q_rfm, q_type_gini, q_event_paths, q_mode_value,
     q_frequent_paths, q_rolling_distinct, q_seasonality, q_repeat_purchase,
     q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
-    q_percentiles, q_value_ranks, q_pivot_daily, q_unpivot_daily,
+    q_percentiles, q_value_ranks, q_pivot_daily, q_unpivot_daily, q_range_window,
     q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_bloom, q_asof_native_str,
     q_asof_native_multi, q_asof_native_ts, q_asof_tolerance,
