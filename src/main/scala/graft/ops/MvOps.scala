@@ -33,10 +33,17 @@ object MvOps {
 
   /** Aggregate raw rows to per-group mergeable state. One map-side
     * combinable hash aggregate — the only scan the batch ever needs.
+    * `mv_n` counts PRESENT measures (`count(measure)`, SQL-aggregate
+    * null semantics), matching the null-skipping sum/min/max — so the
+    * derived mean/variance are statistics of the measure's present
+    * values even when the column is nullable. Rows whose measure is
+    * NULL contribute nothing to the state (a group of only-null
+    * measures has mv_n = 0 and null moments); track row counts as a
+    * separate non-null measure if they matter.
     */
   def aggState(df: DataFrame, keys: Seq[String], measure: Column): DataFrame =
     df.groupBy(keys.map(col): _*).agg(
-      count(lit(1)).as("mv_n"),
+      count(measure).as("mv_n"),
       sum(measure).as("mv_s"),
       sum(measure * measure).as("mv_s2"),
       min(measure).as("mv_mn"),

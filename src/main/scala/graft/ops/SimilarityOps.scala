@@ -216,19 +216,10 @@ object SimilarityOps {
       corpus: DataFrame, idCol: String, vecCol: String,
       bits: Int, dim: Int, table: String, nBuckets: Int = 8,
       metaCols: Seq[String] = Nil): Unit = {
-    val spark = corpus.sparkSession
-    graft.functions.GraftFunctions.register(spark)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    // a managed-table DIRECTORY from an earlier JVM outlives the
-    // in-memory catalog; location validation rejects it even after the
-    // (no-op) DROP, so the rebuild must clear the leftover location too
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, table.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    sketchTuple(corpus, idCol, vecCol, bits, dim, metaCols)
-      .write.bucketBy(nBuckets, "neighbor_id").sortBy("neighbor_id")
-      .mode("overwrite").saveAsTable(table)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    graft.sinks.Sinks.replaceBucketedTable(
+      sketchTuple(corpus, idCol, vecCol, bits, dim, metaCols),
+      table, Seq("neighbor_id"), nBuckets)
   }
 
   /** Incremental index maintenance: sketch ONLY the delta batch and

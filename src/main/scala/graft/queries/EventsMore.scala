@@ -138,16 +138,10 @@ object EventsMore {
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"), col("user_id"),
         col("us").as("purchase_us"))
-    def persistBucketed(df: org.apache.spark.sql.DataFrame, t: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.conf.warehousePath, t.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      df.write.bucketBy(8, "user_id").sortBy("user_id").saveAsTable(t)
-    }
-    persistBucketed(purchases, "graft_asof_probe_b")
-    persistBucketed(clicks, "graft_asof_hist_b")
+    graft.sinks.Sinks.replaceBucketedTable(
+      purchases, "graft_asof_probe_b", Seq("user_id"), 8)
+    graft.sinks.Sinks.replaceBucketedTable(
+      clicks, "graft_asof_hist_b", Seq("user_id"), 8)
     JoinOps.asofJoinNative(
       spark.table("graft_asof_probe_b"), spark.table("graft_asof_hist_b"),
       keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "click_us",
@@ -359,11 +353,14 @@ object EventsMore {
     * the FORWARD as-of direction (T144): each grid instant picks the
     * EARLIEST event value at-or-after it ("next reading", the
     * interpolation anchor / lead-label shape in feature pipelines).
-    * Same sequence+explode grid, same native exec — only the merge
-    * direction flips, and forward is the cheaper branch (the candidate
-    * is the lookahead row; nothing is buffered). Grid hours after a
-    * user's last event back-fill to NULL, visible in the final grid
-    * row of each user whose last event is not exactly on the hour.
+    * Same sequence+explode grid extended ONE hour past the span (so
+    * the trailing grid instant sits after the user's last event unless
+    * that event lands exactly on the hour), same native exec — only
+    * the merge direction flips, and forward is the cheaper branch (the
+    * candidate is the lookahead row; nothing is buffered). The
+    * extension makes the forward NO-MATCH path a certified part of the
+    * result: those trailing instants back-fill to NULL in both
+    * engines, not just in the spec's synthetic orphan-key case.
     */
   val q_resample_bfill = QueryDef(
     "q_resample_bfill",
@@ -378,7 +375,8 @@ object EventsMore {
       |  FROM ev GROUP BY 1),
       |grid AS (
       |  SELECT user_id, CAST(g AS BIGINT) AS hour_us
-      |  FROM span CROSS JOIN UNNEST(range(h0, h1 + 1, 3600000000)) t(g))
+      |  FROM span CROSS JOIN UNNEST(
+      |    range(h0, h1 + 3600000000 + 1, 3600000000)) t(g))
       |SELECT g.user_id AS user_id, g.hour_us, ROUND(e.v, 2) AS next_value
       |FROM grid g ASOF LEFT JOIN ev e
       |  ON g.user_id = e.user_id AND g.hour_us <= e.us
@@ -392,7 +390,8 @@ object EventsMore {
       .agg(expr("(MIN(us) DIV 3600000000) * 3600000000").as("h0"),
         expr("(MAX(us) DIV 3600000000) * 3600000000").as("h1"))
       .select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), lit(3600000000L))).as("hour_us"))
+        explode(sequence(col("h0"), col("h1") + 3600000000L,
+          lit(3600000000L))).as("hour_us"))
     JoinOps.asofJoinNative(grid, ev,
       keyCol = "user_id", leftTsCol = "hour_us", rightTsCol = "us",
       rightValCols = Seq("v"), direction = "forward")

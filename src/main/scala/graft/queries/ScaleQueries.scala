@@ -479,15 +479,15 @@ object ScaleQueries {
       |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
       |  FROM events)
       |SELECT day, event_type,
-      |  COUNT(*) AS n_events,
+      |  COUNT(cents) AS n_events,
       |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
       |  CAST(SUM(cents * cents) AS BIGINT) AS sumsq_cents,
       |  CAST(MIN(cents) AS BIGINT) AS min_cents,
       |  CAST(MAX(cents) AS BIGINT) AS max_cents,
-      |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_cents,
-      |  CAST(SUM(cents * cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-      |    - (CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-      |      * (CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+      |  CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(cents) AS DOUBLE) AS avg_cents,
+      |  CAST(SUM(cents * cents) AS DOUBLE) / CAST(COUNT(cents) AS DOUBLE)
+      |    - (CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(cents) AS DOUBLE))
+      |      * (CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(cents) AS DOUBLE))
       |    AS var_cents
       |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
     import graft.ops.MvOps
@@ -500,13 +500,9 @@ object ScaleQueries {
     // catalog table (rebuilt here so the certified surface includes
     // the build; in production it is written once and only appended)
     val tbl = "graft_mv_base"
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.conf.warehousePath, tbl.toLowerCase)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    MvOps.aggState(ev.filter(col("day") < cutoff), keys, col("cents"))
-      .write.bucketBy(8, "day").sortBy("day").saveAsTable(tbl)
+    graft.sinks.Sinks.replaceBucketedTable(
+      MvOps.aggState(ev.filter(col("day") < cutoff), keys, col("cents")),
+      tbl, Seq("day"), 8)
     // delta half: only the tail week is scanned
     val delta = MvOps.aggState(ev.filter(col("day") >= cutoff), keys, col("cents"))
     MvOps.finalizeState(MvOps.mergeStates(keys, spark.table(tbl), delta))

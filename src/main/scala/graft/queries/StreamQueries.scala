@@ -467,17 +467,16 @@ object StreamQueries {
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-          // per-batch overwrite dir: an at-least-once replay of this
-          // batch replaces its own output instead of duplicating it
-          DedupOps.probeIncremental(index, batch, "doc_id", "text", 0.8)
-            .write.mode("overwrite").parquet(s"$work/out/batch_$id")
+          StreamingOps.writeBatchDir(
+            DedupOps.probeIncremental(index, batch, "doc_id", "text", 0.8),
+            s"$work/out", id)
           ()
         }
         .start()
       try q.awaitTermination()
       finally q.stop()
     }
-    spark.read.schema(outSchema).parquet(s"$work/out/batch_*")
+    StreamingOps.readBatchDirs(spark, s"$work/out", Some(outSchema))
       .orderBy(col("new_id"))
   }
 
@@ -670,20 +669,20 @@ object StreamQueries {
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-          // per-batch overwrite dir (replay-idempotent, see q_stream_mv)
-          JoinOps.asofJoinNative(batch, clicks,
-            keyCol = "user_id", leftTsCol = "purchase_us",
-            rightTsCol = "click_us", rightValCols = Seq("click_id"))
-            .select(col("purchase_id"), col("user_id"), col("purchase_us"),
-              col("click_id").as("last_click_id"))
-            .write.mode("overwrite").parquet(s"$work/out/batch_$id")
+          StreamingOps.writeBatchDir(
+            JoinOps.asofJoinNative(batch, clicks,
+              keyCol = "user_id", leftTsCol = "purchase_us",
+              rightTsCol = "click_us", rightValCols = Seq("click_id"))
+              .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+                col("click_id").as("last_click_id")),
+            s"$work/out", id)
           ()
         }
         .start()
       try q.awaitTermination()
       finally q.stop()
     }
-    spark.read.parquet(s"$work/out/batch_*").orderBy(col("purchase_id"))
+    StreamingOps.readBatchDirs(spark, s"$work/out").orderBy(col("purchase_id"))
   }
 
   /** STREAMING retrieval probe over the Hamming-sketch ANN index
@@ -713,17 +712,17 @@ object StreamQueries {
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-          // per-batch overwrite dir (replay-idempotent, see q_stream_mv)
-          SimilarityOps.sketchTopK(batch, corpus, "vec_id", "embedding", 10,
-            bits = 256, dim = 64, maxHamming = 115)
-            .write.mode("overwrite").parquet(s"$work/out/batch_$id")
+          StreamingOps.writeBatchDir(
+            SimilarityOps.sketchTopK(batch, corpus, "vec_id", "embedding", 10,
+              bits = 256, dim = 64, maxHamming = 115),
+            s"$work/out", id)
           ()
         }
         .start()
       try q.awaitTermination()
       finally q.stop()
     }
-    spark.read.parquet(s"$work/out/batch_*")
+    StreamingOps.readBatchDirs(spark, s"$work/out")
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -737,13 +736,12 @@ object StreamQueries {
     * both halves of index upkeep: batch deltas and continuous ingest.
     *
     * Replay semantics: a bucketed-table append cannot overwrite
-    * per-batch, so an at-least-once foreachBatch replay would
-    * double-insert its vectors (certified here only under the bounded
-    * single-run drain). Production ingest makes the append idempotent
-    * by id-anti-joining the batch against the table first (the
-    * `Sinks.appendNewIds` skip-existing contract, S10 — one index
-    * probe per batch) or stages per-batch files (the q_stream_mv
-    * pattern) and folds them at compaction (T143).
+    * per-batch, so the batch is first id-anti-joined against the
+    * table (the `Sinks.appendNewIds` skip-existing contract, S10) —
+    * an at-least-once replay finds all its ids already present and
+    * appends nothing, making the ingest idempotent at the cost of one
+    * index probe per batch (the alternative is staging per-batch
+    * files, the q_stream_mv pattern, folded at compaction — T143).
     */
   val q_stream_index_append = QueryDef(
     "q_stream_index_append",
@@ -766,7 +764,17 @@ object StreamQueries {
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          SimilarityOps.appendSketchIndex(batch, "vec_id", "embedding",
+          // skip-existing anti-join makes the append replay-idempotent.
+          // refreshTable first: the appends run under foreachBatch's
+          // CLONED session, whose insert-refresh invalidates only its
+          // own catalog's relation cache — this session's cached file
+          // listing of the table would otherwise go stale after the
+          // first read and hide every subsequent append
+          spark.catalog.refreshTable(tbl)
+          val fresh = graft.sinks.Sinks.appendNewIds(
+            spark.table(tbl).select(col("neighbor_id").as("vec_id")),
+            batch, "vec_id")
+          SimilarityOps.appendSketchIndex(fresh, "vec_id", "embedding",
             bits = 256, dim = 64, table = tbl)
           ()
         }
@@ -774,6 +782,7 @@ object StreamQueries {
       try q.awaitTermination()
       finally q.stop()
     }
+    spark.catalog.refreshTable(tbl)
     SimilarityOps.sketchTopKIndexed(
       emb.filter(col("vec_id") < 50), spark.table(tbl),
       "vec_id", "embedding", 10, bits = 256, dim = 64, maxHamming = 115)

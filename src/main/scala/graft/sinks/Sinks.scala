@@ -97,6 +97,26 @@ object Sinks {
       .mode("overwrite")
       .saveAsTable(table)
 
+  /** [[writeBucketed]] preceded by a FULL drop of the managed table
+    * AND its warehouse directory — the rebuild entry point every
+    * bucketed-table builder shares. The directory clear is load-
+    * bearing: a managed table's LOCATION from an earlier JVM outlives
+    * the in-memory catalog, so after a restart `DROP TABLE IF EXISTS`
+    * is a no-op while `spark-warehouse/<table>` still exists and
+    * `saveAsTable` fails location validation (LOCATION_ALREADY_EXISTS)
+    * even in overwrite mode.
+    */
+  def replaceBucketedTable(
+      df: DataFrame, table: String, keys: Seq[String], nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    writeBucketed(df, table, keys, nBuckets)
+  }
+
   /** Small-file compaction — the table-maintenance operator every
     * streaming/append layout eventually needs (each micro-batch or
     * delta append lands ≥1 file per partition; a year of 1-minute

@@ -150,6 +150,28 @@ object StreamingOps {
       .createTempDirectory(prefix)
       .toAbsolutePath.toString
 
+  /** Replay-idempotent foreachBatch parquet sink: batch N's output
+    * lands in its own `batch_<id>` subdirectory with OVERWRITE
+    * semantics. foreachBatch is at-least-once — after a crash between
+    * the sink write and the checkpoint commit the same micro-batch
+    * re-runs — so a blind `mode("append")` duplicates exactly the
+    * batch that straddled the failure; the per-batch directory makes
+    * the replay replace its own output instead. Read the accumulated
+    * result back with [[readBatchDirs]]. (The state-log sibling for
+    * aggregate STATE rather than result rows is
+    * `graft.ops.MvOps.writeBatchState`.)
+    */
+  def writeBatchDir(df: DataFrame, outDir: String, batchId: Long): Unit =
+    df.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+
+  /** All batches written by [[writeBatchDir]] as one frame. Pass the
+    * schema when the first batches can be empty (schema inference
+    * fails on a directory of empty files).
+    */
+  def readBatchDirs(spark: SparkSession, outDir: String,
+      schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).parquet(s"$outDir/batch_*")
+
   /** Cross-batch streaming exact-dedup state: key = content hash,
     * state = smallest id seen. Emits each hash once, on first sight,
     * with the minimal id within that first batch (deterministic for a

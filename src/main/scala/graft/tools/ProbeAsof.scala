@@ -105,14 +105,8 @@ object ProbeAsof {
     // number that matters operationally is the per-probe wall, which
     // drops by exactly the two shuffles. Result equality asserted
     // against the raw-frame native path's checksum.
-    def persistBucketed(df: org.apache.spark.sql.DataFrame, t: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.sessionState.conf.warehousePath, t.toLowerCase)
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-      df.write.bucketBy(32, "k").sortBy("k").saveAsTable(t)
-    }
+    def persistBucketed(df: org.apache.spark.sql.DataFrame, t: String): Unit =
+      graft.sinks.Sinks.replaceBucketedTable(df, t, Seq("k"), 32)
     val tW0 = System.nanoTime()
     persistBucketed(left, "probe_asof_left_b")
     persistBucketed(rightNat, "probe_asof_right_b")

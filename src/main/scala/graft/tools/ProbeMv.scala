@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions._
   * than noise. The stored base state is built OUTSIDE the timed
   * region (that is the point of a materialized view — it already
   * exists when the batch lands); the timed incremental path is
-  * delta-scan → state → merge → finalize. Result equality is asserted
-  * on checksums before any timing is reported.
+  * delta-scan → state → merge (derive-stats is a fixed O(|groups|)
+  * projection identical on both paths and excluded from both
+  * timings). Result equality is asserted on checksums before any
+  * timing is reported.
   * Re-runnable: `runMain graft.tools.ProbeMv [nRows] [deltaPct]`.
   */
 object ProbeMv {

@@ -127,4 +127,20 @@ class MvOpsSpec extends AnyFunSuite {
     // var = E[x²] − E[x]² = (4+16+81)/3 − 25
     assert(math.abs(out.getDouble(1) - (101.0 / 3 - 25.0)) < 1e-12)
   }
+
+  test("nullable measures: mv_n counts present values, so derived stats stay exact") {
+    import spark.implicits._
+    // regression: count(lit(1)) would report n=3 for group a and make
+    // mean/variance wrong for any nullable measure; the state must
+    // describe the PRESENT values only
+    val df = Seq(("a", Some(10L)), ("a", None), ("a", Some(20L)),
+      ("b", Option.empty[Long])).toDF("g", "x")
+    val out = MvOps.finalizeState(MvOps.aggState(df, Seq("g"), col("x")))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(6)) None else Some(r.getDouble(6)))).toMap
+    assert(out("a")._1 === 2L)
+    assert(out("a")._2 === Some(15.0))
+    // an all-null group carries empty state (n = 0, null stats)
+    assert(out("b")._1 === 0L && out("b")._2.isEmpty)
+  }
 }
