@@ -141,5 +141,154 @@ object DqQueries {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_dq_checks, q_k_anonymity)
+  /** Benford first-significant-digit audit over `o_totalprice` — the
+    * classic fabricated-numbers screen on a money column spanning
+    * orders of magnitude. The digit is read from the exact cents
+    * integer rendered as a string (leading digit is scale-invariant,
+    * and BIGINT→string is exact in both engines — no log10 on doubles
+    * near power-of-ten boundaries). Expected Benford shares are
+    * hard-coded ppm literals (computing `log10(1+1/d)` on both engines
+    * risks last-ulp drift through `FLOOR`); the chi-square contribution
+    * is pure BIGINT lattice arithmetic, so the audit replays exactly.
+    * One groupBy on a 9-value key + a 9-row window — any table size.
+    */
+  val q_benford = QueryDef(
+    "q_benford",
+    """WITH d AS (
+      |  SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+      |  FROM orders),
+      |g AS (
+      |  SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+      |  FROM d GROUP BY 1),
+      |e AS (
+      |  SELECT first_digit, n, (n * 1000000) // total AS obs_ppm,
+      |    CASE first_digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+      |      WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+      |      WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+      |      ELSE 45757 END AS exp_ppm
+      |  FROM g)
+      |SELECT first_digit, n, obs_ppm, CAST(exp_ppm AS BIGINT) AS exp_ppm,
+      |  ((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) // exp_ppm
+      |    AS chi2_contrib
+      |FROM e ORDER BY first_digit""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val digits = Tables.orders(spark, dir)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("long").as("first_digit"))
+      .groupBy(col("first_digit")).agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy().rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    // hard-coded ppm shares of log10(1+1/d) — mirrored in the oracle CASE
+    val expPpm = Seq(1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L,
+      5 -> 79181L, 6 -> 66947L, 7 -> 57992L, 8 -> 51153L)
+      .foldLeft(lit(45757L)) { case (els, (d, ppm)) =>
+        when(col("first_digit") === d, ppm).otherwise(els)
+      }
+    digits
+      .withColumn("obs_ppm", expr("(n * 1000000) DIV total"))
+      .withColumn("exp_ppm", expPpm)
+      .select(col("first_digit"), col("n"), col("obs_ppm"), col("exp_ppm"),
+        expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm)) DIV exp_ppm")
+          .as("chi2_contrib"))
+      .orderBy(col("first_digit"))
+  }
+
+  /** Association strength between two categorical features (event_type
+    * × hour-of-day) as an integer-lattice chi-square: the
+    * feature-selection / drift-detection read ("is activity shape
+    * type-dependent?") that a textbook mutual-information pass would
+    * answer with cross-engine-fragile logarithms. Probabilities are
+    * quantized FIRST (joint → ppm, marginals → per-mille, expected =
+    * their product) and the squared-deviation ratio is BIGINT floor
+    * division, so the statistic is a deterministic contract, not a
+    * float race. Marginals come from windows over the cell table —
+    * bounded by |types| × 24 rows regardless of event volume.
+    */
+  val q_assoc_chi2 = QueryDef(
+    "q_assoc_chi2",
+    """WITH cells AS (
+      |  SELECT event_type,
+      |    CAST(EXTRACT(HOUR FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, hour, n,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+      |    CAST(SUM(n) OVER (PARTITION BY hour) AS BIGINT) AS c,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS tot
+      |  FROM cells),
+      |q AS (
+      |  SELECT event_type, hour, n,
+      |    (n * 1000000) // tot AS obs_ppm,
+      |    ((r * 1000) // tot) * ((c * 1000) // tot) AS exp_ppm
+      |  FROM m)
+      |SELECT event_type, hour, n, exp_ppm,
+      |  ((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm))
+      |    // GREATEST(exp_ppm, 1) AS chi2_contrib
+      |FROM q ORDER BY event_type, hour""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("r", sum(col("n")).over(Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("c", sum(col("n")).over(Window.partitionBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("tot", sum(col("n")).over(all))
+      .withColumn("obs_ppm", expr("(n * 1000000) DIV tot"))
+      .withColumn("exp_ppm", expr("((r * 1000) DIV tot) * ((c * 1000) DIV tot)"))
+      .select(col("event_type"), col("hour"), col("n"), col("exp_ppm"),
+        expr("((obs_ppm - exp_ppm) * (obs_ppm - exp_ppm))" +
+          " DIV GREATEST(exp_ppm, 1L)").as("chi2_contrib"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  /** l-diversity audit — the companion gate to [[q_k_anonymity]]: a
+    * k-anonymous class is still linkable when every row in it shares
+    * one sensitive value, so per quasi-identifier class (event_type,
+    * day, value tier) we count DISTINCT sensitive values (user_id) and
+    * roll up, per type, the classes below l=3 and the rows they expose.
+    * Same single-grouping-pass shape as the k-audit; the distinct count
+    * is per-class (bounded groups), never global.
+    */
+  val q_l_diversity = QueryDef(
+    "q_l_diversity",
+    """WITH q AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(FLOOR(value / 50) AS BIGINT) AS value_tier,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS l
+      |  FROM events GROUP BY 1, 2, 3)
+      |SELECT event_type, CAST(3 AS BIGINT) AS l_target,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS weak_classes,
+      |  CAST(SUM(CASE WHEN l < 3 THEN n ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk,
+      |  CAST(MIN(l) AS BIGINT) AS min_diversity
+      |FROM q GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        floor(col("value") / 50).cast("long").as("value_tier"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("l"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_classes"),
+        sum(when(col("l") < 3, 1L).otherwise(0L)).as("weak_classes"),
+        sum(when(col("l") < 3, col("n")).otherwise(0L)).as("rows_at_risk"),
+        min(col("l")).as("min_diversity"))
+      .select(col("event_type"), lit(3L).as("l_target"), col("n_classes"),
+        col("weak_classes"), col("rows_at_risk"), col("min_diversity"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_dq_checks, q_k_anonymity, q_benford, q_assoc_chi2, q_l_diversity)
 }
