@@ -514,8 +514,112 @@ object ScaleQueries {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Skyline (Pareto frontier) over parts — cheapest-for-the-size
+    * frontier: minimize price, maximize size, keep every point no
+    * other point beats on both axes (ties on one axis allowed). The
+    * engine is the partition-prune skyline: distinct (price, size)
+    * points are hashed into buckets, each bucket's LOCAL skyline falls
+    * out of one windowed prefix-max scan (sorted price asc / size
+    * desc, a point survives iff its size strictly exceeds every
+    * preceding point's), and only the bucket survivors — already
+    * frontier-sized — meet in the final global scan. Dominance is
+    * transitive, so local pruning never removes a global-frontier
+    * point; at 100 TB the all-pairs NOT EXISTS the oracle states is
+    * exactly what this shape avoids.
+    */
+  val q_skyline = QueryDef(
+    "q_skyline",
+    """WITH pts AS (
+      |  SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents,
+      |    CAST(p_size AS BIGINT) AS p_size,
+      |    CAST(COUNT(*) AS BIGINT) AS n_parts
+      |  FROM part GROUP BY 1, 2)
+      |SELECT price_cents, p_size, n_parts FROM pts p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM pts q
+      |  WHERE q.price_cents <= p.price_cents AND q.p_size >= p.p_size
+      |    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size))
+      |ORDER BY price_cents""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    def frontier(df: org.apache.spark.sql.DataFrame,
+        parts: Seq[org.apache.spark.sql.Column]) = {
+      // sorted (price asc, size desc), every possible dominator of a
+      // point precedes it, and any dominator has size >= the point's
+      // with either a strictly smaller price or a strictly larger
+      // size — so on DISTINCT points, "size strictly above the prefix
+      // max" is exactly non-dominance within the partition
+      val w = Window.partitionBy(parts: _*)
+        .orderBy(col("price_cents").asc, col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn("prefmax", max(col("p_size")).over(w))
+        .filter(col("prefmax").isNull || col("p_size") > col("prefmax"))
+        .drop("prefmax")
+    }
+    val pts = Tables.part(spark, dir)
+      .groupBy(round(col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("p_size"))
+      .agg(count(lit(1)).as("n_parts"))
+    val local = frontier(
+      pts.withColumn("bucket", pmod(hash(col("price_cents")), lit(32))),
+      Seq(col("bucket"))).drop("bucket")
+    // survivors are frontier-sized (≤ |distinct sizes|) — the single
+    // partition of the global pass holds a bounded row count
+    frontier(local, Seq.empty)
+      .select(col("price_cents"), col("p_size"), col("n_parts"))
+      .orderBy(col("price_cents"))
+  }
+
+  /** Band join (|x − y| ≤ ε) rewritten as a banded EQUI-join: customers
+    * matched to suppliers within ±10.00 of account balance. Each
+    * supplier cent-balance is exploded to its bucket and both
+    * neighbors (bucket width = ε, so any in-band partner sits in a
+    * neighboring bucket — integer DIV truncation keeps the property:
+    * a ≤ε gap can never span two bucket boundaries), the join runs on
+    * the bucket key, and the exact |Δ| ≤ ε mask removes the false
+    * candidates. The oracle states the plain theta join DuckDB can
+    * afford at this SF; at 100 TB the rewrite is the difference
+    * between a shuffle join on `bucket` and a nested-loop cross
+    * product. 3× expansion of the SMALL side only.
+    */
+  val q_band_join = QueryDef(
+    "q_band_join",
+    """WITH c AS (
+      |  SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cc
+      |  FROM customer),
+      |s AS (SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS sc
+      |  FROM supplier),
+      |m AS (
+      |  SELECT c.c_custkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(MIN(ABS(c.cc - s.sc)) AS BIGINT) AS d
+      |  FROM c JOIN s ON ABS(c.cc - s.sc) <= 1000
+      |  GROUP BY 1)
+      |SELECT c.c_custkey, COALESCE(m.n, 0) AS n_matches,
+      |  m.d AS closest_diff_cents
+      |FROM c LEFT JOIN m ON m.c_custkey = c.c_custkey
+      |ORDER BY c.c_custkey""".stripMargin) { (spark, dir) =>
+    val band = 1000L
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cc"))
+    val supp = Tables.supplier(spark, dir)
+      .select(round(col("s_acctbal") * 100).cast("long").as("sc"))
+      .withColumn("sb", expr(s"sc DIV $band"))
+      .select(col("sc"), explode(array(col("sb") - 1, col("sb"),
+        col("sb") + 1)).as("bucket"))
+    val matches = cust
+      .withColumn("bucket", expr(s"cc DIV $band"))
+      .join(supp, "bucket")
+      .filter(abs(col("cc") - col("sc")) <= band)
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n"), min(abs(col("cc") - col("sc"))).as("d"))
+    cust.join(matches, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("n"), lit(0L)).as("n_matches"),
+        col("d").as("closest_diff_cents"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_bloom_join, q_quantile_sketch, q_zorder_tiles, q_table_profile,
     q_table_profile_sketch, q_interval_join, q_table_checksum, q_global_bins,
-    q_interval_overlap, q_mv_incremental)
+    q_interval_overlap, q_mv_incremental, q_skyline, q_band_join)
 }
