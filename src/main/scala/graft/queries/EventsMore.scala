@@ -2171,7 +2171,65 @@ object EventsMore {
       .orderBy(col("event_type"))
   }
 
+  /** One-sided CUSUM change-point detection on the per-type daily
+    * count series — the classic surveillance drift alarm (did this
+    * event type's volume shift above its baseline, and when?): the
+    * reference's outbreak-detection analyses threshold per-day counts
+    * directly; CUSUM accumulates small sustained excesses a per-day
+    * threshold misses. The textbook recursion S_t = max(0, S_{t-1} +
+    * (x_t − k)) is not a window function, but its closed form IS:
+    * S_t = C_t − min(0, min_{j≤t} C_j) for prefix sums C of the
+    * deviations — two cumulative windows partitioned by type, no
+    * recursion, no UDAF, exact BIGINT lattice. Baseline k is the
+    * per-type integer mean daily count; alarm fires above 2k. The
+    * grid is observed days (a dense-grid resample is q_resample_ffill
+    * composed upstream).
+    */
+  val q_cusum = QueryDef(
+    "q_cusum",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |base AS (
+      |  SELECT event_type, day, n,
+      |    CAST(SUM(n) OVER (PARTITION BY event_type)
+      |      // COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS k
+      |  FROM daily),
+      |pre AS (
+      |  SELECT event_type, day, n, k,
+      |    CAST(SUM(n - k) OVER (PARTITION BY event_type ORDER BY day
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct
+      |  FROM base)
+      |SELECT event_type, day, n, k,
+      |  CAST(ct - LEAST(CAST(0 AS BIGINT), MIN(ct) OVER (
+      |    PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING))
+      |    AS BIGINT) AS cusum,
+      |  (ct - LEAST(CAST(0 AS BIGINT), MIN(ct) OVER (
+      |    PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)))
+      |    > 2 * k AS alarm
+      |FROM pre ORDER BY event_type, day""".stripMargin) { (spark, dir) =>
+    val wType = Window.partitionBy(col("event_type"))
+    val wSeq = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("tot", sum(col("n")).over(wType))
+      .withColumn("days", count(lit(1)).over(wType))
+      .withColumn("k", expr("tot DIV days"))
+      .withColumn("ct", sum(col("n") - col("k")).over(wSeq))
+      .withColumn("mn", least(lit(0L), min(col("ct")).over(wSeq)))
+      .select(col("event_type"), col("day"), col("n"), col("k"),
+        (col("ct") - col("mn")).as("cusum"),
+        ((col("ct") - col("mn")) > lit(2) * col("k")).as("alarm"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q_cusum,
     q_user_growth, q_snapshot_diff, q_wow_change, q_bursts, q_trend_slope,
     q_drawdown, q_rfm, q_type_gini, q_event_paths, q_mode_value,
     q_frequent_paths, q_rolling_distinct, q_seasonality, q_repeat_purchase,
