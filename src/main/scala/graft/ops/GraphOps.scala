@@ -311,4 +311,40 @@ object GraphOps {
     }
     labels
   }
+
+  /** Bounded-depth multi-source BFS: exact shortest hop count from the
+    * nearest seed, for every node reached within `rounds` hops.
+    * Level-synchronous frontier relaxation — each round is ONE
+    * edge equi-join plus a min-merge aggregate, the standard
+    * Pregel-without-Pregel shape: at 100 TB both sides shuffle on the
+    * node key and the reached set only grows, so round cost is bounded
+    * by |reached ⋈ edges|, never |V|². The merged table is
+    * re-materialized per round with a two-generation release window
+    * (same policy as [[pageRank]]); lineage stays intact for
+    * executor-loss recompute.
+    *
+    * Monotone convergence makes the result independent of join order
+    * or partitioning: hop(id) = min over all ≤rounds-length seed paths
+    * — an unrolled-CTE oracle replays it exactly.
+    *
+    * @param seeds one `id` column (hop-0 sources)
+    * @param edges directed (`src`, `dst`); pass both directions for an
+    *              undirected graph
+    */
+  def bfsHops(seeds: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var (dist, release) = Reuse.materializedHandle(
+      seeds.select(col("id"), lit(0L).as("hop")))
+    for (_ <- 0 until rounds) {
+      val next = dist.join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("hop") + 1L).as("hop"))
+      val (merged, nextRelease) = Reuse.materializedHandle(
+        dist.select(col("id"), col("hop")).union(next)
+          .groupBy(col("id")).agg(min(col("hop")).as("hop")))
+      release.close()
+      dist = merged
+      release = nextRelease
+    }
+    dist
+  }
 }

@@ -214,5 +214,58 @@ object GraphQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(q_pagerank, q_triangles, q_communities, q_kcore)
+  private val BfsRounds = 6
+
+  /** Bounded-depth multi-source BFS over the near-dup graph
+    * ([[GraphOps.bfsHops]]): hop distance from the nearest seed
+    * document (every 97th doc id — a deterministic spread standing in
+    * for "known-bad boilerplate" seeds) for every document, NULL when
+    * unreached within 6 hops. The contamination-blast-radius read on a
+    * dedup graph: how many hops of near-duplication separate the
+    * corpus from a flagged seed set. Level-synchronous frontier
+    * relaxation, one edge join + min-merge per round; the oracle
+    * unrolls all 6 rounds as MATERIALIZED CTEs over the same certified
+    * MinHash pair pipeline — exact integer hops, engine-identical.
+    */
+  val q_bfs_hops = QueryDef(
+    "q_bfs_hops", {
+      val iters = (0 until BfsRounds).map { t =>
+        s"""d${t + 1} AS MATERIALIZED (
+           |  SELECT id, CAST(MIN(hop) AS BIGINT) AS hop FROM (
+           |    SELECT id, hop FROM d$t
+           |    UNION ALL
+           |    SELECT e.dst AS id, x.hop + 1 AS hop
+           |    FROM d$t x JOIN edges e ON e.src = x.id)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupOps.minhashPairsSqlCtes(0.8)},
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |d0 AS MATERIALIZED (
+         |  SELECT doc_id AS id, CAST(0 AS BIGINT) AS hop
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |$iters
+         |SELECT d.doc_id, x.hop AS hops
+         |FROM documents d LEFT JOIN d$BfsRounds x ON x.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.ops.Reuse.materialized(
+      DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.8)
+        .select(col("doc_a"), col("doc_b")))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val seeds = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("id"))
+    docs.join(
+      GraphOps.bfsHops(seeds, edges, BfsRounds)
+        .withColumnRenamed("id", "doc_id").withColumnRenamed("hop", "hops"),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"), col("hops"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_pagerank, q_triangles, q_communities, q_kcore, q_bfs_hops)
 }
