@@ -900,9 +900,47 @@ object VectorQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Higher-order array-function surface certified end-to-end:
+    * per-vector statistics computed ENTIRELY with codegen'd lambda
+    * column algebra — `transform` (map), `filter` (predicate keep),
+    * `aggregate` (left fold) — never an explode, never a UDF. The
+    * explode-free shape matters at 100 TB: a 384-dim explode is a
+    * 384× row amplification through a shuffle; the lambda pipeline
+    * stays inside one WholeStageCodegen over the original rows.
+    * Components are floor-quantized to integer micro-units BEFORE the
+    * fold (the repo's summation-determinism grid), so DuckDB's
+    * list_transform/list_filter/list_sum replay is exact.
+    */
+  val q_array_hof = QueryDef(
+    "q_array_hof",
+    """SELECT vec_id,
+      |  CAST(len(embedding) AS BIGINT) AS n_dims,
+      |  CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(FLOOR(ABS(CAST(x AS DOUBLE)) * 1000000 + 0.5)
+      |      AS BIGINT))) AS BIGINT) AS l1_micro,
+      |  CAST(list_sum(list_transform(embedding,
+      |    x -> CAST(FLOOR(ABS(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |      * CAST(FLOOR(ABS(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)))
+      |    AS BIGINT) AS l2sq_micro
+      |FROM embeddings ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    val micro = (x: org.apache.spark.sql.Column) =>
+      floor(abs(x.cast("double")) * 1000000 + 0.5).cast("long")
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"),
+        aggregate(transform(col("embedding"), micro), lit(0L),
+          (acc, m) => acc + m).as("l1_micro"),
+        aggregate(transform(col("embedding"), micro), lit(0L),
+          (acc, m) => acc + m * m).as("l2sq_micro"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
-    q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_mutual, q_knn_clusters)
+    q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_mutual,
+    q_knn_clusters, q_array_hof)
 }
