@@ -41,7 +41,7 @@ package queries_ {
         graft.queries.StreamQueries.all ++ graft.queries.MultimodalQueries.all ++
         graft.queries.RelevanceQueries.all ++ graft.queries.CurationQueries.all ++
         graft.queries.ScaleQueries.all ++ graft.queries.GraphQueries.all ++
-        graft.queries.DqQueries.all
+        graft.queries.DqQueries.all ++ graft.queries.FormatQueries.all
       require(defs.map(_.name).distinct.size == defs.size,
         "duplicate query names: " +
           defs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }.mkString(","))
