@@ -878,4 +878,90 @@ object DedupOps {
        |FROM inter i JOIN sz sa ON sa.id = i.doc_a JOIN sz sb ON sb.id = i.doc_b
        |WHERE CAST(i.inter AS DOUBLE) / LEAST(sa.n, sb.n) >= $threshold
        |ORDER BY contained_doc, container_doc""".stripMargin
+
+  // ------------------------------------ sorted-neighborhood blocking
+
+  /** Sorted-key prefix length and neighbor-window width for
+    * [[sortedNeighborhoodPairs]]. Prefix 4 keeps blocks small enough
+    * to window cheaply while still co-locating mutated copies (the
+    * corpus's near-dups share long prefixes); window 2 follows the
+    * classic SNM default (compare each record with its w-1 sorted
+    * successors).
+    */
+  val SnPrefix = 4
+  val SnWindow = 2
+
+  /** Sorted-Neighborhood Method candidates + exact-Jaccard verify —
+    * the third classic candidate-generation strategy next to LSH
+    * banding ([[minhashNearDuplicates]]) and the inverted index
+    * ([[ngramJaccardPairs]]): sort by a derived key, compare each
+    * record only with its [[SnWindow]] sorted successors. Sorting is
+    * PARTITIONED by the [[SnPrefix]]-char lowercase prefix (the
+    * classic single global sort would funnel everything through one
+    * partition in Spark — blocked SNM keeps every window computation
+    * parallel and is how multi-pass SNM is deployed anyway), then
+    * candidates are verified with the same df-capped discriminative-
+    * shingle Jaccard the other dedup paths certify against. Recall is
+    * bounded by the sort key (dups differing in their first 4 chars
+    * never meet) — the documented SNM trade; production runs multiple
+    * passes with different keys and unions the pairs.
+    */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val key = docs.select(col(idCol).as("id"), col(textCol).as("txt"),
+      substring(lower(col(textCol)), 1, SnPrefix).as("pre"))
+    val w = Window.partitionBy(col("pre")).orderBy(col("txt"), col("id"))
+    val nb = key.select(
+      col("id") +: (1 to SnWindow).map(d =>
+        lead(col("id"), d).over(w).as(s"n$d")): _*)
+    val cand = (1 to SnWindow).map { d =>
+      nb.filter(col(s"n$d").isNotNull)
+        .select(least(col("id"), col(s"n$d")).as("doc_a"),
+          greatest(col("id"), col(s"n$d")).as("doc_b"))
+    }.reduce(_ union _).distinct()
+    val sh = Reuse.materialized(discriminativeShingles(docs, idCol, textCol))
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.select(col("id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("h")), Seq("doc_b", "h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sz.withColumnRenamed("id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sz.withColumnRenamed("id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  def sortedNeighborhoodOracleSql(threshold: Double): String = {
+    // leads and the candidate UNION are rendered from SnWindow so the
+    // oracle tracks the engine constant by construction
+    val leads = (1 to SnWindow)
+      .map(d => s"LEAD(id, $d) OVER w AS n$d").mkString(",\n    ")
+    val cands = (1 to SnWindow)
+      .map(d => s"SELECT LEAST(id, n$d) AS doc_a, GREATEST(id, n$d) AS doc_b" +
+        s" FROM nb WHERE n$d IS NOT NULL")
+      .mkString("\n  UNION\n  ")
+    s"""WITH ${discriminativeShinglesSqlCtes("documents", "doc_id", "text")},
+       |key AS (SELECT doc_id AS id, text AS txt,
+       |    SUBSTR(LOWER(text), 1, $SnPrefix) AS pre FROM documents),
+       |nb AS (SELECT id,
+       |    $leads
+       |  FROM key WINDOW w AS (PARTITION BY pre ORDER BY txt, id)),
+       |cand AS (
+       |  $cands),
+       |sz AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+       |  FROM cand c JOIN sh a ON a.id = c.doc_a
+       |  JOIN sh b ON b.id = c.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b,
+       |  ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4) AS jaccard
+       |FROM inter i JOIN sz sa ON sa.id = i.doc_a JOIN sz sb ON sb.id = i.doc_b
+       |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
 }

@@ -173,6 +173,63 @@ object GraphOps {
     ranks.select(col("id"), col("rank"))
   }
 
+  /** PERSONALIZED PageRank: [[pageRank]] with the teleport vector
+    * concentrated on a seed set instead of uniform — the
+    * proximity-to-trusted-anchors score (seed a few vetted documents,
+    * rank the rest by how tightly the similarity graph ties them to
+    * the seeds; random-walk-with-restart semantics). Same exact
+    * integer micro-unit contract as [[pageRank]], with two deltas the
+    * oracle replays term for term: r₀ and the 15% restart mass go
+    * only to seeds (S DIV |seeds| each, 0 elsewhere), and dangling
+    * mass restarts to the SEEDS (Dₜ DIV |seeds|), not to all nodes —
+    * the standard RWR formulation, which keeps non-seed mass strictly
+    * walk-derived. Plan shape per round is identical to [[pageRank]]:
+    * one edges ⋈ ranks shuffle, a broadcast 1-row dangling aggregate,
+    * and the constant is_seed flag rides the rank table like outdeg.
+    *
+    * @param nodes `id` + boolean `is_seed` (at least one seed)
+    * @param edges directed `src`,`dst`; pass both directions for an
+    *              undirected graph
+    */
+  def personalizedPageRank(
+      nodes: DataFrame, edges: DataFrame, iterations: Int = 10): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("outdeg"))
+    val n = nodes.count()
+    val nSeeds = nodes.filter(col("is_seed")).count()
+    require(nSeeds > 0, "personalizedPageRank: empty seed set")
+    val scale = pageRankScale(n)
+    val seedR0 = scale / nSeeds
+    val teleport = seedR0 * 15L / 100L
+
+    var (ranks, release) = Reuse.materializedHandle(nodes
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), col("is_seed"),
+        coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+        when(col("is_seed"), seedR0).otherwise(0L).as("rank")))
+    for (_ <- 0 until iterations) {
+      val dangling = ranks.filter(col("outdeg") === 0L)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+      val contribs = ranks.filter(col("outdeg") > 0L)
+        .join(e, col("id") === col("src"))
+        .select(col("dst"), expr("rank DIV outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val (next, nextRelease) = Reuse.materializedHandle(ranks
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"), col("is_seed"), col("outdeg"),
+          (when(col("is_seed"), teleport).otherwise(0L) +
+            expr("(85 * (coalesce(s, 0L) + " +
+              s"(CASE WHEN is_seed THEN dm DIV ${nSeeds}L ELSE 0L END))) DIV 100")
+              .cast("long"))
+            .as("rank")))
+      release.close()
+      ranks = next
+      release = nextRelease
+    }
+    ranks.select(col("id"), col("rank"))
+  }
+
   /** Exact per-node triangle counts on an undirected simple graph,
     * by degree-ordered edge orientation (the "node-iterator++" /
     * compact-forward scheme): orient every edge toward its higher

@@ -248,10 +248,88 @@ object DedupQueries {
         Tables.documents(spark, dir), "doc_id", "text")
   }
 
+  /** Sorted-Neighborhood Method near-duplicates
+    * ([[DedupOps.sortedNeighborhoodPairs]]): the third classic
+    * candidate-generation strategy on the board next to LSH banding
+    * (q_minhash_lsh) and the inverted index (q_ngram_jaccard) —
+    * sort by a derived key, compare each record with its 2 sorted
+    * successors, verify survivors with the same exact discriminative-
+    * shingle Jaccard. Same measure, different candidate set: SNM's
+    * recall is bounded by the sort key (mutations inside the first 4
+    * chars escape), which is exactly the trade a curation pipeline
+    * weighs against LSH's signature cost — having both certified
+    * against one Jaccard definition makes the comparison honest.
+    */
+  val q_sorted_neighborhood = QueryDef(
+    "q_sorted_neighborhood",
+    DedupOps.sortedNeighborhoodOracleSql(0.5)) { (spark, dir) =>
+    DedupOps.sortedNeighborhoodPairs(
+      Tables.documents(spark, dir), "doc_id", "text", 0.5)
+  }
+
+  /** Fellegi–Sunter probabilistic record linkage over blocked customer
+    * pairs — entity resolution when there is no shared key: candidates
+    * come from an equi-join on (nation, $1000 balance band) blocking
+    * keys (never all-pairs — the block key is the scale lever, same
+    * posture as the dedup blocking above), then each comparison field
+    * contributes a hard-coded integer log-odds weight (milli-bans:
+    * agreement +, disagreement −, the m/u-probability ratios of the
+    * FS model quantized once so both engines sum identical integers)
+    * and pairs past the decision threshold come out as matches. Fields:
+    * market segment equality, balance within $50 (exact-cents integer
+    * distance), balance-sign agreement.
+    */
+  val q_record_linkage = QueryDef(
+    "q_record_linkage",
+    """WITH c AS (
+      |  SELECT c_custkey AS id, c_mktsegment AS seg,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents,
+      |    CAST(c_nationkey AS BIGINT) AS nat
+      |  FROM customer),
+      |p AS (
+      |  SELECT a.id AS cust_a, b.id AS cust_b,
+      |    a.seg = b.seg AS seg_match,
+      |    ABS(a.cents - b.cents) <= 5000 AS bal_close,
+      |    (a.cents < 0) = (b.cents < 0) AS sign_match
+      |  FROM c a JOIN c b
+      |    ON a.nat = b.nat AND a.cents // 100000 = b.cents // 100000
+      |    AND a.id < b.id),
+      |s AS (
+      |  SELECT cust_a, cust_b, seg_match, bal_close,
+      |    CAST((CASE WHEN seg_match THEN 653 ELSE -903 END)
+      |      + (CASE WHEN bal_close THEN 1100 ELSE -600 END)
+      |      + (CASE WHEN sign_match THEN 120 ELSE -450 END) AS BIGINT)
+      |      AS score_milli
+      |  FROM p)
+      |SELECT cust_a, cust_b, seg_match, bal_close, score_milli
+      |FROM s WHERE score_milli >= 800
+      |ORDER BY cust_a, cust_b""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir).select(
+      col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"),
+      col("c_nationkey").cast("long").as("nat"))
+      .withColumn("blk", expr("cents DIV 100000"))
+    c.as("a").join(c.as("b"),
+        col("a.nat") === col("b.nat") && col("a.blk") === col("b.blk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("cust_a"), col("b.id").as("cust_b"),
+        (col("a.seg") === col("b.seg")).as("seg_match"),
+        (abs(col("a.cents") - col("b.cents")) <= 5000).as("bal_close"),
+        ((col("a.cents") < 0) === (col("b.cents") < 0)).as("sign_match"))
+      .withColumn("score_milli",
+        (when(col("seg_match"), 653L).otherwise(-903L) +
+          when(col("bal_close"), 1100L).otherwise(-600L) +
+          when(col("sign_match"), 120L).otherwise(-450L)).cast("long"))
+      .filter(col("score_milli") >= 800)
+      .select(col("cust_a"), col("cust_b"), col("seg_match"),
+        col("bal_close"), col("score_milli"))
+      .orderBy(col("cust_a"), col("cust_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_dup_ngram_rate, q_dup_spans,
     q_dedup_exact, q_minhash_lsh, q_simhash, q_ngram_jaccard,
     q_containment_pairs, q_minhash_est, q_segment_dedup,
     q_incremental_dedup, q_clean_corpus,
-    q_dedup_decisions)
+    q_dedup_decisions, q_sorted_neighborhood, q_record_linkage)
 }

@@ -266,6 +266,73 @@ object GraphQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Personalized PageRank ([[GraphOps.personalizedPageRank]]) seeded
+    * at one trusted source's documents (`source = 'src0'`): the
+    * random-walk-with-restart proximity score over the near-dup graph
+    * — "how tightly does each document's duplication neighborhood tie
+    * it to the vetted set?", the trust-propagation read a curation
+    * pipeline uses to triage unvetted docs next to known-good ones.
+    * Non-seed docs score 0 unless the walk actually reaches them, so
+    * the output doubles as a reachability-weighted audit. The oracle
+    * unrolls all rounds as exact integer micro-unit CTEs like
+    * q_pagerank, with the restart and dangling mass going ONLY to
+    * seeds (`dm DIV |seeds|` through a LEFT JOIN seed flag).
+    */
+  val q_ppr = QueryDef(
+    "q_ppr", {
+      val iters = (0 until Iterations).map { t =>
+        s"""d$t AS MATERIALIZED (
+           |  SELECT COALESCE(CAST(SUM(r.rank) AS BIGINT), 0) AS dm
+           |  FROM r$t r LEFT JOIN deg g ON g.id = r.id WHERE g.id IS NULL),
+           |c$t AS MATERIALIZED (
+           |  SELECT e.dst AS id, CAST(SUM(r.rank // g.outdeg) AS BIGINT) AS s
+           |  FROM r$t r JOIN deg g ON g.id = r.id JOIN edges e ON e.src = r.id
+           |  GROUP BY e.dst),
+           |r${t + 1} AS MATERIALIZED (
+           |  SELECT n.id, CAST(
+           |    (CASE WHEN sd.id IS NOT NULL
+           |      THEN ((sc.s // ns.k) * 15) // 100 ELSE 0 END)
+           |    + (85 * (COALESCE(c.s, 0)
+           |        + CASE WHEN sd.id IS NOT NULL THEN d.dm // ns.k ELSE 0 END))
+           |      // 100 AS BIGINT) AS rank
+           |  FROM nodes n CROSS JOIN sc CROSS JOIN ns CROSS JOIN d$t d
+           |  LEFT JOIN c$t c ON c.id = n.id
+           |  LEFT JOIN seeds sd ON sd.id = n.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupOps.minhashPairsSqlCtes(0.8)},
+         |edges AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |nodes AS MATERIALIZED (SELECT doc_id AS id FROM documents),
+         |seeds AS MATERIALIZED (
+         |  SELECT doc_id AS id FROM documents WHERE source = 'src0'),
+         |sc AS MATERIALIZED (
+         |  SELECT GREATEST(1000000, 1000 * COUNT(*)) AS s FROM nodes),
+         |ns AS MATERIALIZED (SELECT COUNT(*) AS k FROM seeds),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |r0 AS MATERIALIZED (
+         |  SELECT n.id, CAST(CASE WHEN sd.id IS NOT NULL
+         |    THEN sc.s // ns.k ELSE 0 END AS BIGINT) AS rank
+         |  FROM nodes n CROSS JOIN sc CROSS JOIN ns
+         |  LEFT JOIN seeds sd ON sd.id = n.id),
+         |$iters
+         |SELECT r.id AS doc_id, r.rank AS rank_micro
+         |FROM r$Iterations r ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.ops.Reuse.materialized(
+      DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.8)
+        .select(col("doc_a"), col("doc_b")))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val nodes = docs.select(col("doc_id").as("id"),
+      (col("source") === "src0").as("is_seed"))
+    GraphOps.personalizedPageRank(nodes, edges, Iterations)
+      .select(col("id").as("doc_id"), col("rank").as("rank_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_pagerank, q_triangles, q_communities, q_kcore, q_bfs_hops)
+    Seq(q_pagerank, q_triangles, q_communities, q_kcore, q_bfs_hops, q_ppr)
 }

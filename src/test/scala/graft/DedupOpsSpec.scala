@@ -305,4 +305,46 @@ class DedupOpsSpec extends AnyFunSuite {
       assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("sorted-neighborhood: finds shared-prefix dups, blind to first-chars mutations") {
+    import spark.implicits._
+    // base ~200 chars so 0.5-jaccard survives a 1-char edit; pair
+    // (1,2) differs mid-string (same sort key prefix → found), pair
+    // (3,4) differs in char 1 (different 4-char block → structurally
+    // missed: the documented SNM recall bound). Unrelated doc 5 sorts
+    // between nothing relevant.
+    val base = ("the quick brown fox jumps over the lazy dog again and " * 4)
+    val d = Seq(
+      (1L, base + "tail one"),
+      (2L, base + "tail two"),
+      (3L, "aaaa " + base),
+      (4L, "bbbb " + base),
+      (5L, "zzzz completely different text with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val got = DedupOps.sortedNeighborhoodPairs(d, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((3L, 4L)), "pair differing in the sort-key prefix " +
+      "must be missed by a single SNM pass (multi-pass unions keys)")
+    // the same pair IS found by the key-free inverted-index measure —
+    // the exact trade the two certified strategies bracket
+    val inv = DedupOps.ngramJaccardPairs(d, "doc_id", "text", 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inv.contains((3L, 4L)))
+  }
+
+  test("record linkage: matches require both strong agreements; scores are the two lattice values") {
+    val out = graft.queries.DedupQueries.q_record_linkage.fn(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3),
+        "under the FS weights, threshold 800 is reachable only with " +
+          "segment AND balance agreement")
+      val s = r.getLong(4)
+      assert(s === 1873L || s === 1303L, s"unexpected score lattice value $s")
+    }
+  }
 }

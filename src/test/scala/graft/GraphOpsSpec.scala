@@ -125,4 +125,23 @@ class GraphOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(iso(3L) === 3L)
   }
+
+  test("personalized PageRank: mass stays in the seed's reachable set") {
+    import TestSpark._
+    import spark.implicits._
+    // two components: {1,2,3} path seeded at 1; {4,5} pair unseeded.
+    // RWR restarts at seeds only, so component {4,5} must hold ZERO
+    // mass, and within the seeded component the seed outranks its
+    // 1-hop neighbor, which outranks the 2-hop one.
+    val nodes = Seq((1L, true), (2L, false), (3L, false),
+      (4L, false), (5L, false)).toDF("id", "is_seed")
+    val und = Seq((1L, 2L), (2L, 3L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r = GraphOps.personalizedPageRank(nodes, edges, 10)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(4L) === 0L && r(5L) === 0L)
+    assert(r(1L) > r(2L) && r(2L) > r(3L) && r(3L) > 0L)
+    // total mass bounded by the scale (integer truncation only sheds)
+    assert(r.values.sum <= GraphOps.pageRankScale(5))
+  }
 }
