@@ -879,6 +879,70 @@ object DedupOps {
        |WHERE CAST(i.inter AS DOUBLE) / LEAST(sa.n, sb.n) >= $threshold
        |ORDER BY contained_doc, container_doc""".stripMargin
 
+  // ------------------------------------------ bag (multiset) Jaccard
+
+  /** Multiset ("bag") Jaccard near-duplicates: Σ min(tf_a, tf_b) /
+    * Σ max(tf_a, tf_b) over word-token frequencies — the weighted
+    * similarity that SET Jaccard flattens (a doc that repeats one
+    * paragraph five times set-matches a single copy perfectly; bag
+    * similarity sees the frequency gap). Candidates come from the SAME
+    * certified shingle-LSH banding as [[minhashNearDuplicates]]
+    * (generation and verification measures are independent concerns —
+    * the banding bounds candidate volume, the bag measure re-scores
+    * them), verification joins only SHARED tokens per candidate
+    * (Σ max = tot_a + tot_b − Σ min, so unshared tokens never travel).
+    * Token identity is the portable [[TextOps.wordHash]], replayed
+    * exactly by the oracle.
+    *
+    * Cache contract: as [[minhashNearDuplicates]] — call
+    * [[Reuse.releaseAllCaches]] between jobs in long-lived sessions.
+    */
+  def bagJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val sh = Reuse.materialized(discriminativeShingles(docs, idCol, textCol))
+    val cand = lshCandidatePairs(sigFromShingles(sh))
+    val tf = Reuse.materialized(docs
+      .select(col(idCol).as("id"),
+        explode(TextOps.wordHashes(col(textCol))).as("w"))
+      .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf")))
+    val tot = tf.groupBy(col("id")).agg(sum(col("tf")).as("t"))
+    cand
+      .join(tf.select(col("id").as("doc_a"), col("w"), col("tf").as("tfa")),
+        "doc_a")
+      .join(tf.select(col("id").as("doc_b"), col("w"), col("tf").as("tfb")),
+        Seq("doc_b", "w"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("tfa"), col("tfb"))).as("inter"))
+      .join(tot.withColumnRenamed("id", "doc_a").withColumnRenamed("t", "ta"), "doc_a")
+      .join(tot.withColumnRenamed("id", "doc_b").withColumnRenamed("t", "tb"), "doc_b")
+      .withColumn("bag_jaccard",
+        col("inter").cast("double") / (col("ta") + col("tb") - col("inter")))
+      .filter(col("bag_jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        round(col("bag_jaccard"), 4).as("bag_jaccard"))
+  }
+
+  def bagJaccardOracleSql(threshold: Double): String =
+    s"""WITH $minhashBaseCtes,
+       |tf AS (
+       |  SELECT id, ${TextOps.wordHashSql("w")} AS w, COUNT(*) AS tf
+       |  FROM (SELECT doc_id AS id, UNNEST(${TextOps.wordsSql("text")}) AS w
+       |        FROM documents)
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT id, CAST(SUM(tf) AS BIGINT) AS t FROM tf GROUP BY id),
+       |binter AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS i
+       |  FROM cand c JOIN tf a ON a.id = c.doc_a
+       |  JOIN tf b ON b.id = c.doc_b AND b.w = a.w
+       |  GROUP BY 1, 2)
+       |SELECT b.doc_a, b.doc_b,
+       |  ROUND(CAST(b.i AS DOUBLE) / (ta.t + tb.t - b.i), 4) AS bag_jaccard
+       |FROM binter b JOIN tot ta ON ta.id = b.doc_a
+       |JOIN tot tb ON tb.id = b.doc_b
+       |WHERE CAST(b.i AS DOUBLE) / (ta.t + tb.t - b.i) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------ sorted-neighborhood blocking
 
   /** Sorted-key prefix length and neighbor-window width for

@@ -267,6 +267,22 @@ object DedupQueries {
       Tables.documents(spark, dir), "doc_id", "text", 0.5)
   }
 
+  /** Bag (multiset) Jaccard near-duplicates
+    * ([[DedupOps.bagJaccardPairs]]): the weighted companion to the set
+    * measures — token FREQUENCIES enter the score (Σmin/Σmax), so
+    * repetition-inflated docs stop matching single copies perfectly.
+    * Candidates ride the same certified LSH banding as q_minhash_lsh;
+    * only the verification measure changes, which is exactly how a
+    * production dedup pass swaps similarity definitions without
+    * re-engineering candidate generation.
+    */
+  val q_bag_jaccard = QueryDef(
+    "q_bag_jaccard",
+    DedupOps.bagJaccardOracleSql(0.5)) { (spark, dir) =>
+    DedupOps.bagJaccardPairs(
+      Tables.documents(spark, dir), "doc_id", "text", 0.5)
+  }
+
   /** Fellegi–Sunter probabilistic record linkage over blocked customer
     * pairs — entity resolution when there is no shared key: candidates
     * come from an equi-join on (nation, $1000 balance band) blocking
@@ -331,5 +347,6 @@ object DedupQueries {
     q_dedup_exact, q_minhash_lsh, q_simhash, q_ngram_jaccard,
     q_containment_pairs, q_minhash_est, q_segment_dedup,
     q_incremental_dedup, q_clean_corpus,
-    q_dedup_decisions, q_sorted_neighborhood, q_record_linkage)
+    q_dedup_decisions, q_sorted_neighborhood, q_record_linkage,
+    q_bag_jaccard)
 }

@@ -289,6 +289,77 @@ object DqQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Cohen's kappa inter-rater agreement, per language, between two
+    * deterministic document raters — the chance-corrected agreement
+    * statistic every labeling/curation pipeline reports before
+    * trusting annotations (raw agreement is inflated whenever tier
+    * marginals are skewed; kappa subtracts the chance floor). Rater A
+    * tiers by total characters, rater B by whitespace count (a word
+    * proxy): correlated for spaced scripts, structurally divergent
+    * for zh — so the per-lang kappas are genuinely heterogeneous.
+    * Same integer-lattice policy as [[q_assoc_chi2]]: observed
+    * agreement in ppm, expected agreement as a sum of per-mille
+    * marginal products, kappa = (po−pe)·10⁶ // (10⁶−pe) — pure BIGINT
+    * arithmetic, one groupBy over (lang), counts map-side combined.
+    */
+  val q_cohens_kappa = QueryDef(
+    "q_cohens_kappa",
+    """WITH t AS (
+      |  SELECT lang,
+      |    CASE WHEN n_chars < 300 THEN 0 WHEN n_chars < 600 THEN 1
+      |      ELSE 2 END AS a,
+      |    CASE WHEN length(text) - length(replace(text, ' ', '')) < 50
+      |      THEN 0
+      |      WHEN length(text) - length(replace(text, ' ', '')) < 100
+      |      THEN 1 ELSE 2 END AS b
+      |  FROM documents),
+      |m AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot,
+      |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+      |    CAST(SUM(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ra0,
+      |    CAST(SUM(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ra1,
+      |    CAST(SUM(CASE WHEN a = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ra2,
+      |    CAST(SUM(CASE WHEN b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS rb0,
+      |    CAST(SUM(CASE WHEN b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rb1,
+      |    CAST(SUM(CASE WHEN b = 2 THEN 1 ELSE 0 END) AS BIGINT) AS rb2
+      |  FROM t GROUP BY lang),
+      |q AS (
+      |  SELECT lang, tot, (agree * 1000000) // tot AS po_ppm,
+      |    ((ra0 * 1000) // tot) * ((rb0 * 1000) // tot)
+      |      + ((ra1 * 1000) // tot) * ((rb1 * 1000) // tot)
+      |      + ((ra2 * 1000) // tot) * ((rb2 * 1000) // tot) AS pe_ppm
+      |  FROM m)
+      |SELECT lang, CAST(tot AS BIGINT) AS n_docs,
+      |  CAST(po_ppm AS BIGINT) AS po_ppm, CAST(pe_ppm AS BIGINT) AS pe_ppm,
+      |  CAST(((po_ppm - pe_ppm) * 1000000)
+      |    // GREATEST(1000000 - pe_ppm, 1) AS BIGINT) AS kappa_ppm
+      |FROM q ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val spaces = length(col("text")) - length(regexp_replace(col("text"), " ", ""))
+    val tiers = Tables.documents(spark, dir).select(col("lang"),
+      when(col("n_chars") < 300, 0L).when(col("n_chars") < 600, 1L)
+        .otherwise(2L).as("a"),
+      when(spaces < 50, 0L).when(spaces < 100, 1L).otherwise(2L).as("b"))
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    tiers.groupBy(col("lang"))
+      .agg(count(lit(1)).as("tot"),
+        cnt(col("a") === col("b")).as("agree"),
+        cnt(col("a") === 0).as("ra0"), cnt(col("a") === 1).as("ra1"),
+        cnt(col("a") === 2).as("ra2"),
+        cnt(col("b") === 0).as("rb0"), cnt(col("b") === 1).as("rb1"),
+        cnt(col("b") === 2).as("rb2"))
+      .select(col("lang"), col("tot"),
+        expr("(agree * 1000000) DIV tot").as("po_ppm"),
+        expr("((ra0 * 1000) DIV tot) * ((rb0 * 1000) DIV tot)" +
+          " + ((ra1 * 1000) DIV tot) * ((rb1 * 1000) DIV tot)" +
+          " + ((ra2 * 1000) DIV tot) * ((rb2 * 1000) DIV tot)").as("pe_ppm"))
+      .select(col("lang"), col("tot").as("n_docs"), col("po_ppm"),
+        col("pe_ppm"),
+        expr("((po_ppm - pe_ppm) * 1000000)" +
+          " DIV GREATEST(1000000 - pe_ppm, 1L)").as("kappa_ppm"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q_dq_checks, q_k_anonymity, q_benford, q_assoc_chi2, q_l_diversity)
+    Seq(q_dq_checks, q_k_anonymity, q_benford, q_assoc_chi2, q_l_diversity,
+      q_cohens_kappa)
 }

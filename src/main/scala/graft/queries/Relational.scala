@@ -549,6 +549,65 @@ object Relational {
       .orderBy(col("region"), col("nation"))
   }
 
+  /** TPC-H Q8-shaped market share: within one region's market (customer
+    * side resolves order → nation → region), the per-year revenue share
+    * of ONE supplier nation (supplier side resolves lineitem → supplier
+    * → nation) — the two-sided dimension resolution over the fact table
+    * that is the canonical star-join stress shape. Revenue quantized to
+    * exact cents per line item BEFORE summing (order-free), share in
+    * basis points by integer division. Plan: lineitem⋈orders is the one
+    * real shuffle; nation/region broadcast; supplier joins as a plain
+    * equi-join (a dimension AQE broadcasts at test scale and shuffles
+    * at warehouse scale — TPC-H sizes supplier at 1% of the fact rows).
+    */
+  val q_market_share = QueryDef(
+    "q_market_share",
+    """WITH v AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM CAST(o.o_orderdate AS TIMESTAMP))
+      |      AS BIGINT) AS yr,
+      |    CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+      |      AS BIGINT) AS cents,
+      |    s.s_nationkey = 7 AS is_target
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      |  JOIN region r ON cn.n_regionkey = r.r_regionkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE r.r_name = 'ASIA')
+      |SELECT yr,
+      |  CAST(SUM(CASE WHEN is_target THEN cents ELSE 0 END) AS BIGINT)
+      |    AS nation_cents,
+      |  CAST(SUM(cents) AS BIGINT) AS market_cents,
+      |  CAST((SUM(CASE WHEN is_target THEN cents ELSE 0 END) * 10000)
+      |    // SUM(cents) AS BIGINT) AS share_bp
+      |FROM v GROUP BY yr ORDER BY yr""".stripMargin) { (spark, dir) =>
+    val asiaNations = broadcast(Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir)
+          .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")))
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(year(col("o_orderdate")).cast("long").as("yr"),
+        floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100
+          + 0.5).cast("long").as("cents"),
+        (col("s_nationkey") === 7).as("is_target"))
+      .groupBy(col("yr"))
+      .agg(sum(when(col("is_target"), col("cents")).otherwise(0L))
+          .as("nation_cents"),
+        sum(col("cents")).as("market_cents"))
+      .select(col("yr"), col("nation_cents"), col("market_cents"),
+        expr("(nation_cents * 10000) DIV market_cents").as("share_bp"))
+      .orderBy(col("yr"))
+  }
+
   /** Market-basket pair mining: parts co-purchased in the same order,
     * with independence lift — the classic co-occurrence recommender
     * primer. The pair fan-out is a self-equi-join on the order key, so
@@ -602,5 +661,5 @@ object Relational {
     q_distinct_parts_per_status, q_key_accounts_union, q_nations_customers_only,
     q_multiset_ops,
     q_shipping_priority, q_region_volume, q_bbox_lookup, q_brand_prefix_join,
-    q_fuzzy_match, q_share_of_region)
+    q_fuzzy_match, q_share_of_region, q_market_share)
 }

@@ -335,6 +335,26 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(inv.contains((3L, 4L)))
   }
 
+  test("bag jaccard: frequency-inflated doc scores below the set measure against a single copy") {
+    import spark.implicits._
+    // doc 2 = doc 1's paragraph repeated 4x: SET shingle jaccard is
+    // high (same shingle set + 3 seam shingles), bag similarity of
+    // word tf vectors is ~min(1,4)/max(1,4) = 0.25 per word — the
+    // repetition gap only the weighted measure sees
+    val para = "the quick brown fox jumps over the lazy dog once more today "
+    val d = Seq((1L, para), (2L, para * 4)).toDF("doc_id", "text")
+    val set = DedupOps.ngramJaccardPairs(d, "doc_id", "text", 0.0)
+      .collect().head.getDouble(2)
+    val bag = DedupOps.bagJaccardPairs(d, "doc_id", "text", 0.0)
+      .collect().head.getDouble(2)
+    assert(set > 0.8, s"set jaccard should be near 1, got $set")
+    assert(bag < 0.3, s"bag jaccard must see the 4x repetition, got $bag")
+    // identical docs: bag similarity is exactly 1
+    val same = Seq((1L, para), (2L, para)).toDF("doc_id", "text")
+    assert(DedupOps.bagJaccardPairs(same, "doc_id", "text", 0.0)
+      .collect().head.getDouble(2) === 1.0)
+  }
+
   test("record linkage: matches require both strong agreements; scores are the two lattice values") {
     val out = graft.queries.DedupQueries.q_record_linkage.fn(spark, sf)
       .collect()
@@ -345,6 +365,23 @@ class DedupOpsSpec extends AnyFunSuite {
           "segment AND balance agreement")
       val s = r.getLong(4)
       assert(s === 1873L || s === 1303L, s"unexpected score lattice value $s")
+    }
+  }
+
+  test("market share and kappa queries: internal consistency invariants") {
+    val ms = graft.queries.Relational.q_market_share.fn(spark, sf).collect()
+    assert(ms.nonEmpty)
+    ms.foreach { r =>
+      val (nat, mkt, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nat >= 0 && nat <= mkt, s"share numerator outside market: $r")
+      assert(bp === nat * 10000 / mkt)
+    }
+    val kp = graft.queries.DqQueries.q_cohens_kappa.fn(spark, sf).collect()
+    assert(kp.length === 5) // one row per language
+    kp.foreach { r =>
+      val (po, pe, k) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(po >= 0 && po <= 1000000 && pe >= 0 && pe <= 1000000)
+      assert(k <= 1000000, s"kappa above 1: $r")
     }
   }
 }
