@@ -359,7 +359,74 @@ object DqQueries {
       .orderBy(col("lang"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov distance between the `value`
+    * distributions of two event types — the standard distribution-
+    * drift test (is "purchase" value-shaped like "click"?), computed
+    * EXACTLY on the integer lattice: values quantize to cents, the
+    * ECDF difference is |⌊ca·10⁶/n₁⌋ − ⌊cb·10⁶/n₂⌋| in ppm, and the
+    * report row carries D plus the location where the gap peaks (min
+    * cents on ties — deterministic). Scale posture: the raw events
+    * reduce FIRST (one map-side-combined groupBy on cents), and the
+    * cumulative window runs over the AGGREGATED distribution — its
+    * single-partition sort is bounded by the value grid's cardinality,
+    * not the event count, which is how an exact global ECDF stays
+    * feasible at 100 TB (quantization IS the compaction).
+    */
+  val q_ks_test = QueryDef(
+    "q_ks_test",
+    """WITH s AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |g AS (
+      |  SELECT cents,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b
+      |  FROM s GROUP BY cents),
+      |c AS (
+      |  SELECT cents,
+      |    CAST(SUM(a) OVER (ORDER BY cents) AS BIGINT) AS ca,
+      |    CAST(SUM(b) OVER (ORDER BY cents) AS BIGINT) AS cb,
+      |    CAST(SUM(a) OVER () AS BIGINT) AS n1,
+      |    CAST(SUM(b) OVER () AS BIGINT) AS n2
+      |  FROM g),
+      |d AS (
+      |  SELECT cents,
+      |    ABS((ca * 1000000) // n1 - (cb * 1000000) // n2) AS dv, n1, n2
+      |  FROM c),
+      |m AS (SELECT MAX(dv) AS mx FROM d)
+      |SELECT d.n1 AS n_a, d.n2 AS n_b, CAST(m.mx AS BIGINT) AS d_ppm,
+      |  CAST(MIN(d.cents) AS BIGINT) AS at_cents
+      |FROM d CROSS JOIN m WHERE d.dv = m.mx
+      |GROUP BY d.n1, d.n2, m.mx""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val g = s.groupBy(col("cents"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+    // windows over the aggregated per-cents distribution (grid-bounded)
+    val cum = Window.orderBy(col("cents"))
+    val all = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val d = g.select(col("cents"),
+        sum(col("a")).over(cum).as("ca"), sum(col("b")).over(cum).as("cb"),
+        sum(col("a")).over(all).as("n1"), sum(col("b")).over(all).as("n2"))
+      .select(col("cents"),
+        abs(expr("(ca * 1000000) DIV n1 - (cb * 1000000) DIV n2")).as("dv"),
+        col("n1"), col("n2"))
+    d.crossJoin(broadcast(d.agg(max(col("dv")).as("mx"))))
+      .filter(col("dv") === col("mx"))
+      .groupBy(col("n1"), col("n2"), col("mx"))
+      .agg(min(col("cents")).as("at_cents"))
+      .select(col("n1").as("n_a"), col("n2").as("n_b"),
+        col("mx").as("d_ppm"), col("at_cents"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_dq_checks, q_k_anonymity, q_benford, q_assoc_chi2, q_l_diversity,
-      q_cohens_kappa)
+      q_cohens_kappa, q_ks_test)
 }
