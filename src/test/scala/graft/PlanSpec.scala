@@ -290,6 +290,9 @@ class PlanSpec extends AnyFunSuite {
     * a line in the commit message saying why the shape moved.
     */
   private val goldenShapes: Map[String, String] = Map(
+    // round-8: the 5-way star join must keep every dimension broadcast
+    // (one fact shuffle for the orders join, zero for the dims)
+    "q_market_share" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>BroadcastHashJoin>BroadcastHashJoin>BroadcastHashJoin>BroadcastHashJoin>FileSourceScan>BroadcastExchange>FileSourceScan>BroadcastExchange>FileSourceScan>BroadcastExchange>BroadcastHashJoin>FileSourceScan>BroadcastExchange>FileSourceScan>BroadcastExchange>FileSourceScan",
     // round-7 flagships: the custom-exec and sketch plans, drift-pinned
     // like the expensive ones (q_ann_sketch's static plan IS the shape
     // q_stream_ann executes per micro-batch — same sketchTopK call)
