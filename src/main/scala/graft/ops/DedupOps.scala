@@ -397,6 +397,23 @@ object DedupOps {
        |  JOIN sz sb ON sb.id = c.doc_b
        |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= $threshold)""".stripMargin
 
+  /** [[minhashPairsSqlCtes]] with the verified pairs CARRYING their
+    * rounded jaccard — for oracles whose downstream arithmetic derives
+    * edge weights from the certified similarity (round-to-4 first, so
+    * both engines start from the SAME double).
+    */
+  def minhashScoredPairsSqlCtes(threshold: Double): String =
+    s"""$minhashBaseCtes,
+       |pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |    ROUND(CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter), 4)
+       |      AS jaccard
+       |  FROM cand c
+       |  JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sz sa ON sa.id = c.doc_a
+       |  JOIN sz sb ON sb.id = c.doc_b
+       |  WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= $threshold)""".stripMargin
+
   /** Near-duplicate GROUP formation: verified MinHash pairs resolved
     * into connected components ([[GraphOps.minLabelComponents]]) with
     * the minimum doc id as the canonical representative — the operator

@@ -404,4 +404,35 @@ object GraphOps {
     }
     dist
   }
+
+  /** Bounded-round WEIGHTED shortest paths from a seed set —
+    * [[bfsHops]] with integer edge weights (distributed Bellman-Ford:
+    * each round relaxes every edge once, so after R rounds every path
+    * of ≤ R edges is optimal; like the BFS, the round bound is the
+    * scale contract — distances through longer paths stay upper
+    * bounds, never wrong values, and dup-graph diameters are small).
+    * All-integer arithmetic (min over sums of BIGINT weights), so the
+    * unrolled-CTE oracle replays bit-exactly. One edges ⋈ dist shuffle
+    * + one min-aggregate per round; no driver-side state.
+    *
+    * @param seeds  `id` rows, distance 0
+    * @param edges  directed weighted `src`,`dst`,`w` (w ≥ 0 BIGINT;
+    *               pass both directions for an undirected graph)
+    */
+  def weightedHops(seeds: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint()
+    var (dist, release) = Reuse.materializedHandle(
+      seeds.select(col("id"), lit(0L).as("dist")))
+    for (_ <- 0 until rounds) {
+      val next = dist.join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), (col("dist") + col("w")).as("dist"))
+      val (merged, nextRelease) = Reuse.materializedHandle(
+        dist.select(col("id"), col("dist")).union(next)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist")))
+      release.close()
+      dist = merged
+      release = nextRelease
+    }
+    dist
+  }
 }

@@ -266,6 +266,62 @@ object GraphQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Bounded-round WEIGHTED shortest paths ([[GraphOps.weightedHops]])
+    * from the same seed anchors as q_bfs_hops, with edge cost
+    * 10000 − jaccard_bp — dissimilarity in basis points, derived from
+    * the CERTIFIED rounded jaccard (both engines start from the same
+    * .4-rounded double, so `10000 − ⌊j·10⁴+0.5⌋` is the same BIGINT).
+    * Where BFS answers "how many dup links away", this answers "how
+    * much cumulative dissimilarity away" — chained borderline matches
+    * now cost more than chains of exact copies, which is the right
+    * triage metric for contamination spread. Distributed Bellman-Ford,
+    * ≤-R-edge paths optimal after R rounds; unrolled-CTE oracle.
+    */
+  val q_weighted_hops = QueryDef(
+    "q_weighted_hops", {
+      val iters = (0 until BfsRounds).map { t =>
+        s"""d${t + 1} AS MATERIALIZED (
+           |  SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+           |    SELECT id, dist FROM d$t
+           |    UNION ALL
+           |    SELECT e.dst AS id, x.dist + e.w AS dist
+           |    FROM d$t x JOIN wed e ON e.src = x.id)
+           |  GROUP BY id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupOps.minhashScoredPairsSqlCtes(0.8)},
+         |wed AS MATERIALIZED (
+         |  SELECT doc_a AS src, doc_b AS dst,
+         |    CAST(10000 - FLOOR(jaccard * 10000 + 0.5) AS BIGINT) AS w
+         |  FROM pairs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a,
+         |    CAST(10000 - FLOOR(jaccard * 10000 + 0.5) AS BIGINT)
+         |  FROM pairs),
+         |d0 AS MATERIALIZED (
+         |  SELECT doc_id AS id, CAST(0 AS BIGINT) AS dist
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |$iters
+         |SELECT d.doc_id, x.dist AS dist_bp
+         |FROM documents d LEFT JOIN d$BfsRounds x ON x.id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val pairs = graft.ops.Reuse.materialized(
+      DedupOps.minhashNearDuplicates(docs, "doc_id", "text", 0.8))
+    val w = (lit(10000L) - floor(col("jaccard") * 10000 + 0.5).cast("long"))
+      .as("w")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), w)
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"), w))
+    val seeds = docs.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("id"))
+    docs.join(
+      GraphOps.weightedHops(seeds, edges, BfsRounds)
+        .withColumnRenamed("id", "doc_id").withColumnRenamed("dist", "dist_bp"),
+      Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dist_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Personalized PageRank ([[GraphOps.personalizedPageRank]]) seeded
     * at one trusted source's documents (`source = 'src0'`): the
     * random-walk-with-restart proximity score over the near-dup graph
@@ -334,5 +390,6 @@ object GraphQueries {
   }
 
   val all: Seq[QueryDef] =
-    Seq(q_pagerank, q_triangles, q_communities, q_kcore, q_bfs_hops, q_ppr)
+    Seq(q_pagerank, q_triangles, q_communities, q_kcore, q_bfs_hops, q_ppr,
+      q_weighted_hops)
 }

@@ -850,6 +850,76 @@ object VectorQueries {
       .orderBy(col("query_id"))
   }
 
+  /** Dimension-truncation recall eval ("matryoshka" trade): recall@10
+    * of brute-force search over the FIRST 16 of 64 embedding dims
+    * against the full-dimension ground truth — the measurement that
+    * decides whether a 4×-cheaper dot product (and a 4×-smaller
+    * vector store / shuffle payload) is worth the ranking loss, the
+    * same decision the sketch frontier (q_ann_recall) answers for the
+    * Hamming path. Both searches are the certified
+    * [[SimilarityOps.bruteForceTopK]]; only the vector column differs,
+    * so the eval isolates exactly the truncation. Same zero-norm
+    * guards on the TRUNCATED vectors (a prefix can be zero when the
+    * full vector is not), replicated in the oracle.
+    */
+  val q_ann_dim_recall = QueryDef(
+    "q_ann_dim_recall", {
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, $vd AS vd,
+         |    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS vt
+         |  FROM embeddings),
+         |n AS (
+         |  SELECT id, vd, sqrt(list_dot_product(vd, vd)) AS nrm,
+         |    vt, sqrt(list_dot_product(vt, vt)) AS nt
+         |  FROM v),
+         |br AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.id AS query_id, c.id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+         |        list_dot_product(q.vd, c.vd) / (q.nrm * c.nrm) DESC, c.id) AS r
+         |    FROM n q JOIN n c ON q.id < 50 AND c.id >= 50
+         |    WHERE q.nrm > 0 AND c.nrm > 0) t WHERE r <= 10),
+         |tr AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT q.id AS query_id, c.id AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+         |        list_dot_product(q.vt, c.vt) / (q.nt * c.nt) DESC, c.id) AS r
+         |    FROM n q JOIN n c ON q.id < 50 AND c.id >= 50
+         |    WHERE q.nt > 0 AND c.nt > 0) t WHERE r <= 10),
+         |hits AS (
+         |  SELECT b.query_id, COUNT(*) AS n_hits
+         |  FROM br b JOIN tr s ON s.query_id = b.query_id
+         |    AND s.neighbor_id = b.neighbor_id
+         |  GROUP BY 1),
+         |tot AS (SELECT query_id, COUNT(*) AS n_true FROM br GROUP BY 1)
+         |SELECT t.query_id AS query_id, t.n_true, COALESCE(h.n_hits, 0) AS n_hits,
+         |  FLOOR(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / t.n_true
+         |        * 1000000 + 0.5) / 1000000.0 AS recall
+         |FROM tot t LEFT JOIN hits h ON h.query_id = t.query_id
+         |ORDER BY t.query_id""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 50)
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val full = SimilarityOps.bruteForceTopK(
+        queries, corpus, "vec_id", "embedding", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val tq = queries.withColumn("emb16", slice(col("embedding"), 1, 16))
+    val tc = corpus.withColumn("emb16", slice(col("embedding"), 1, 16))
+    val trunc = SimilarityOps.bruteForceTopK(tq, tc, "vec_id", "emb16", 10)
+      .select(col("query_id"), col("neighbor_id"))
+    val tot = full.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+    val hits = full.join(trunc, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    val recall =
+      coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_true")
+    tot.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (floor(recall * 1000000 + 0.5) / lit(1000000.0)).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Self-calibrating sketch ANN: the Hamming radius is not a magic
     * constant but the 5% quantile of pairwise sketch distances over a
     * bounded deterministic sample
@@ -942,5 +1012,5 @@ object VectorQueries {
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
     q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_mutual,
-    q_knn_clusters, q_array_hof)
+    q_knn_clusters, q_array_hof, q_ann_dim_recall)
 }

@@ -144,4 +144,22 @@ class GraphOpsSpec extends AnyFunSuite {
     // total mass bounded by the scale (integer truncation only sheds)
     assert(r.values.sum <= GraphOps.pageRankScale(5))
   }
+
+  test("weightedHops: a cheap 2-edge path beats an expensive direct edge") {
+    import TestSpark._
+    import spark.implicits._
+    // 1 -> 3 direct costs 10; 1 -> 2 -> 3 costs 2+3 = 5. Node 4 is
+    // reachable only past the round budget → absent from the result.
+    val seeds = Seq(1L).toDF("id")
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L),
+      (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val d2 = GraphOps.weightedHops(seeds, edges, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 === Map(1L -> 0L, 2L -> 2L, 3L -> 5L, 4L -> 11L))
+    val d1 = GraphOps.weightedHops(seeds, edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // after ONE round the 2-edge shortcut is not yet relaxed: the
+    // direct edge's 10 stands, and 4 is unreached
+    assert(d1 === Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+  }
 }
