@@ -426,7 +426,80 @@ object DqQueries {
         col("mx").as("d_ppm"), col("at_cents"))
   }
 
+  /** Gini coefficient of revenue concentration per nation — the
+    * Lorenz-curve inequality audit ("is this market a few whales or a
+    * broad base?") that flags concentration risk before a contract
+    * renegotiation or a sampling design trusts per-customer averages.
+    * Zero-revenue customers are INCLUDED (left join; a nation where
+    * most customers never order is maximally concentrated — dropping
+    * them would hide exactly the signal). Exact integer lattice: cents
+    * revenue, ranks by (cents, custkey) inside each nation partition
+    * (parallel across nations — no global sort), and the closed form
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) in ppm. The ppm scaling is a
+    * STAGED exact division (⌊num·10⁶/den⌋ as q·10⁶ + digit-split
+    * remainders) because num·10⁶ overflows BIGINT at sf0.1 revenue
+    * volumes while num and den themselves fit comfortably — the
+    * identity ⌊a·10⁶/D⌋ = ⌊a·10³/D⌋·10³ + ⌊((a·10³) mod D)·10³/D⌋
+    * keeps every intermediate ≤ den·10³. (Caught by the 3-SF sweep:
+    * sf0.01 passed, sf0.1 threw ARITHMETIC_OVERFLOW.)
+    */
+  val q_gini_concentration = QueryDef(
+    "q_gini_concentration",
+    """WITH rev AS (
+      |  SELECT c.c_custkey, c.c_nationkey,
+      |    CAST(COALESCE(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5)
+      |      AS BIGINT)), 0) AS BIGINT) AS cents
+      |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT c_nationkey, cents,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |      ORDER BY cents, c_custkey) AS BIGINT) AS i
+      |  FROM rev),
+      |g AS (
+      |  SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS s0,
+      |    CAST(SUM(i * cents) AS BIGINT) AS s1
+      |  FROM r GROUP BY 1),
+      |d AS (
+      |  SELECT c_nationkey, n, s0,
+      |    2 * s1 - (n + 1) * s0 AS num,
+      |    GREATEST(n * s0, 1) AS den
+      |  FROM g)
+      |SELECT n2.n_name AS nation, d.n AS n_customers, d.s0 AS total_cents,
+      |  CAST((d.num // d.den) * 1000000
+      |    + ((d.num % d.den) * 1000 // d.den) * 1000
+      |    + (((d.num % d.den) * 1000 % d.den) * 1000) // d.den
+      |    AS BIGINT) AS gini_ppm
+      |FROM d JOIN nation n2 ON n2.n_nationkey = d.c_nationkey
+      |ORDER BY nation""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(coalesce(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")),
+        lit(0L)).as("cents"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("cents"), col("c_custkey"))
+    rev
+      .withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s0"),
+        sum(col("i") * col("cents")).as("s1"))
+      .withColumn("num", expr("2 * s1 - (n + 1) * s0"))
+      .withColumn("den", expr("GREATEST(n * s0, 1L)"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("n_nationkey") === col("c_nationkey"))
+      .select(col("n_name").as("nation"), col("n").as("n_customers"),
+        col("s0").as("total_cents"),
+        expr("(num DIV den) * 1000000" +
+          " + ((num % den) * 1000 DIV den) * 1000" +
+          " + (((num % den) * 1000 % den) * 1000) DIV den").as("gini_ppm"))
+      .orderBy(col("nation"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_dq_checks, q_k_anonymity, q_benford, q_assoc_chi2, q_l_diversity,
-      q_cohens_kappa, q_ks_test)
+      q_cohens_kappa, q_ks_test, q_gini_concentration)
 }
