@@ -408,7 +408,19 @@ object DqQueries {
     val g = s.groupBy(col("cents"))
       .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
-    // windows over the aggregated per-cents distribution (grid-bounded)
+    ksReadoff(g)
+  }
+
+  /** KS read-off over an aggregated (cents, a, b) distribution table —
+    * shared by [[q_ks_test]] (batch-built distribution) and the
+    * streaming q_stream_ks (micro-batch-accumulated distribution):
+    * per-cents counts are a plain mergeable SUM, so the same read-off
+    * over either build must produce the same statistic. The cumulative
+    * windows run over the AGGREGATED grid (bounded cardinality), never
+    * raw events.
+    */
+  def ksReadoff(g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cum = Window.orderBy(col("cents"))
     val all = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)

@@ -846,7 +846,33 @@ object StreamQueries {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Streaming KS drift monitor: the per-cents (a, b) distribution
+    * accumulates as a stateful streaming count over micro-batches
+    * (plain SUMs — the mergeable state), drains, and the SAME
+    * [[DqQueries.ksReadoff]] as the batch q_ks_test computes the
+    * statistic — certified against q_ks_test's own oracle, so this is
+    * the drift monitor's batch-cut invariance certificate: the KS
+    * value must not depend on how the stream was micro-batched. The
+    * production shape is this aggregation per window + a threshold
+    * alert; the grid-bounded distribution is the only state.
+    */
+  val q_stream_ks = QueryDef(
+    "q_stream_ks", DqQueries.q_ks_test.oracle.get) { (spark, dir) =>
+    val stream = StreamingOps.eventsStream(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val counts = stream.groupBy(col("cents"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+    val drained = StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToBatch(counts, OutputMode.Complete())
+    }
+    DqQueries.ksReadoff(drained)
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q_stream_ks,
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
