@@ -781,6 +781,46 @@ object EventsMore {
         count(lit(1)).as("n_days"))
   }
 
+  /** Serial autocorrelation of the per-type daily series at lags 1 and
+    * 7 — the persistence/weekly-seasonality read a forecasting pipeline
+    * checks before picking model structure (high lag-7 → weekly terms
+    * earn their keep; near-zero lag-1 → yesterday predicts nothing).
+    * Day pairs come from an equi-join on `day + lag` (gap days simply
+    * produce no pair — defined, not NaN), so no single-partition
+    * window touches raw events; CORR runs over the tiny daily rollup
+    * with exact integer inputs, same contract as q_daily_corr.
+    */
+  val q_autocorr = QueryDef(
+    "q_autocorr",
+    """WITH daily AS (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.event_type, CAST(l.lag AS BIGINT) AS lag,
+      |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  ROUND(CORR(a.cnt, b.cnt), 4) AS autocorr
+      |FROM daily a
+      |JOIN (VALUES (1), (7)) l(lag) ON TRUE
+      |JOIN daily b ON b.event_type = a.event_type
+      |  AND b.day = a.day + l.lag
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val a = daily.crossJoin(broadcast(Seq(1, 7).toDF("lag")))
+    a.as("a").join(daily.as("b"),
+        col("b.event_type") === col("a.event_type") &&
+          col("b.day") === date_add(col("a.day"), col("a.lag")))
+      .groupBy(col("a.event_type").as("event_type"),
+        col("a.lag").cast("long").as("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(corr(col("a.cnt"), col("b.cnt")), 4).as("autocorr"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** Early-detection spike analysis A20 (`app_upgraded.py:631-652`):
     * per type, days above 1.5× the series mean, and the first such day.
     */
@@ -2233,7 +2273,8 @@ object EventsMore {
     q_user_growth, q_snapshot_diff, q_wow_change, q_bursts, q_trend_slope,
     q_drawdown, q_rfm, q_type_gini, q_event_paths, q_mode_value,
     q_frequent_paths, q_rolling_distinct, q_seasonality, q_repeat_purchase,
-    q_cube_counts, q_sessions, q_daily_corr, q_early_detection, q_detection_lag,
+    q_cube_counts, q_sessions, q_daily_corr, q_autocorr, q_early_detection,
+    q_detection_lag,
     q_percentiles, q_value_ranks, q_pivot_daily, q_unpivot_daily, q_range_window,
     q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_bloom, q_asof_native_str,
