@@ -596,6 +596,105 @@ object EventsMore {
       .orderBy(col("purchase_id"))
   }
 
+  /** INTERPOLATION as-of join (the kdb/QuestDB `aj`+interp shape,
+    * pandas `merge_asof` + `interpolate` fused): each probe reads the
+    * user's click-value series at the probe instant by LINEAR
+    * interpolation between the bracketing samples — prev-only edges
+    * forward-fill, next-only edges back-fill. Built by CHAINING the
+    * native exec: backward pass, then a forward pass whose LEFT side
+    * is the backward output. [[graft.plans.AsofJoinExec]] declares
+    * `outputPartitioning`/`outputOrdering` = its left child's, so the
+    * second merge's required hash-distribution and (key, ts) sort are
+    * ALREADY satisfied — Catalyst plans NO exchange and NO sort
+    * between the two execs (plan-asserted in JoinOpsSpec): at 100 TB
+    * the whole bracketing probe costs one shuffle per base input,
+    * same as a single as-of.
+    *
+    * Exactness contract: samples quantize to cents once
+    * (`FLOOR(v*100+0.5)` — the house lattice); the interpolated value
+    * is `prev + FLOOR(dv * gap / span)` computed in DOUBLE with this
+    * exact association — one correctly-rounded multiply and divide,
+    * so both engines produce the identical double and the identical
+    * floor (the products exceed BIGINT range at micro-second gaps,
+    * which is why the lattice detours through DOUBLE here rather than
+    * integer cross-multiplication). Degenerate spans (`next == prev
+    * == probe ts`) fall to the forward-fill arm.
+    * Ref: analysis/disease_analysis.py (trend interpolation between
+    * sparse observations).
+    */
+  val q_asof_interp = QueryDef(
+    "q_asof_interp",
+    """WITH clicks AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS click_us,
+      |    CAST(FLOOR(arg_max(value, event_id) * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+      |purchases AS (
+      |  SELECT event_id AS purchase_id, user_id,
+      |    epoch_us(CAST(ts AS TIMESTAMP)) AS purchase_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |bwd AS (
+      |  SELECT p.purchase_id, c.click_us, c.cents
+      |  FROM purchases p ASOF LEFT JOIN clicks c
+      |    ON p.user_id = c.user_id AND p.purchase_us >= c.click_us),
+      |fw AS (
+      |  SELECT p.purchase_id, c.click_us, c.cents
+      |  FROM purchases p ASOF LEFT JOIN clicks c
+      |    ON p.user_id = c.user_id AND p.purchase_us <= c.click_us)
+      |SELECT p.purchase_id, p.user_id, p.purchase_us,
+      |  b.click_us AS prev_us, f.click_us AS next_us,
+      |  CASE
+      |    WHEN b.click_us IS NOT NULL AND f.click_us IS NOT NULL
+      |         AND f.click_us > b.click_us THEN
+      |      b.cents + CAST(FLOOR(
+      |        CAST(f.cents - b.cents AS DOUBLE)
+      |        * CAST(p.purchase_us - b.click_us AS DOUBLE)
+      |        / CAST(f.click_us - b.click_us AS DOUBLE)) AS BIGINT)
+      |    WHEN b.click_us IS NOT NULL THEN b.cents
+      |    ELSE f.cents
+      |  END AS interp_cents
+      |FROM purchases p
+      |LEFT JOIN bwd b USING (purchase_id)
+      |LEFT JOIN fw f USING (purchase_id)
+      |ORDER BY purchase_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir).withColumn("us", unix_micros(col("ts")))
+    // both bracketing passes read the SAME sample series; aliased
+    // branches get fresh expr-ids so exchange reuse can't dedupe them —
+    // materialize once (Reuse scaladoc) instead of scanning and
+    // aggregating the history twice
+    val clicks = graft.ops.Reuse.materialized(
+      ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us").as("click_us"))
+        .agg(floor(max_by(col("value"), col("event_id")) * 100 + 0.5)
+          .cast("long").as("cents")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("purchase_us"))
+    val prev = clicks.select(col("user_id"), col("click_us").as("prev_us"),
+      col("cents").as("prev_cents"))
+    val next = clicks.select(col("user_id"), col("click_us").as("next_us"),
+      col("cents").as("next_cents"))
+    val bracketed = JoinOps.asofJoinNative(
+      JoinOps.asofJoinNative(purchases, prev,
+        keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "prev_us",
+        rightValCols = Seq("prev_us", "prev_cents")),
+      next,
+      keyCol = "user_id", leftTsCol = "purchase_us", rightTsCol = "next_us",
+      rightValCols = Seq("next_us", "next_cents"), direction = "forward")
+    val span = col("next_us") - col("prev_us")
+    bracketed.select(
+      col("purchase_id"), col("user_id"), col("purchase_us"),
+      col("prev_us"), col("next_us"),
+      when(col("prev_us").isNotNull && col("next_us").isNotNull && span > 0,
+        col("prev_cents") + floor(
+          (col("next_cents") - col("prev_cents")).cast("double")
+            * (col("purchase_us") - col("prev_us")).cast("double")
+            / span.cast("double")).cast("long"))
+        .when(col("prev_us").isNotNull, col("prev_cents"))
+        .otherwise(col("next_cents"))
+        .as("interp_cents"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Explicit GROUPING SETS — the custom subtotal lattice CUBE/ROLLUP
     * can't express: just the two independent marginals
     * (per-type, per-day-of-week) plus the grand total, with
@@ -2279,7 +2378,7 @@ object EventsMore {
     q_value_histogram, q_salted_agg,
     q_rollup_counts, q_asof_join, q_asof_native, q_asof_bloom, q_asof_native_str,
     q_asof_native_multi, q_asof_native_ts, q_asof_tolerance,
-    q_asof_tolerance_native, q_asof_forward, q_asof_nearest,
+    q_asof_tolerance_native, q_asof_forward, q_asof_nearest, q_asof_interp,
     q_asof_bucketed, q_resample_ffill, q_resample_bfill,
     q_hll_distinct,
     q_rank_dist, q_robust_stats,

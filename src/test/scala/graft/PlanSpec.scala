@@ -309,7 +309,12 @@ class PlanSpec extends AnyFunSuite {
     "q_pagerank" -> "Sort>ShuffleExchange>RDDScan",
     "q_table_checksum" -> "Sort>Union>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan",
     "q_table_profile" -> "Sort>Generate>HashAggregate>ShuffleExchange>HashAggregate>HashAggregate>ShuffleExchange>HashAggregate>Expand>FileSourceScan",
-    "q_table_profile_sketch" -> "Sort>ShuffleExchange>SortMergeJoin>Sort>ShuffleExchange>RDDScan>Sort>HashAggregate>ShuffleExchange>HashAggregate>Generate>RDDScan")
+    "q_table_profile_sketch" -> "Sort>ShuffleExchange>SortMergeJoin>Sort>ShuffleExchange>RDDScan>Sort>HashAggregate>ShuffleExchange>HashAggregate>Generate>RDDScan",
+    // round-8 interpolation join: the DEFINING property is that the
+    // second AsofJoin sits DIRECTLY on the first (no exchange, no
+    // sort between them — the chained merge reuses the backward
+    // pass's partitioning and ordering); one exchange per base input
+    "q_asof_interp" -> "Sort>ShuffleExchange>AsofJoin>AsofJoin>Sort>ShuffleExchange>FileSourceScan>Sort>ShuffleExchange>RDDScan>Sort>ShuffleExchange>RDDScan")
 
   test("golden plan shapes: top-10 most expensive batch queries don't drift") {
     val drifted = goldenShapes.toSeq.sortBy(_._1).flatMap { case (name, want) =>
