@@ -511,7 +511,74 @@ object DqQueries {
       .orderBy(col("nation"))
   }
 
+  /** Exact tie-corrected Mann–Whitney U between the `value`
+    * distributions of two event types — the RANK-based companion to
+    * [[q_ks_test]]'s ECDF distance: KS asks "do the shapes differ
+    * anywhere", U asks "does one population stochastically dominate",
+    * which is the right question for a median-shift drift (and the
+    * nonparametric justification behind A/B readouts on skewed value
+    * data). Everything stays on the integer lattice: values quantize
+    * to cents; tied groups use DOUBLED midranks (`2·c_before + t + 1`
+    * — integer, no .5), so `u2_a = 2·U_a` is exact; the
+    * common-language effect size `U_a/(n_a·n_b)` reports in ppm by
+    * integer division, and the tie-correction term `Σ(t³−t)` (what a
+    * z-approximation divides out of the variance) is an exact BIGINT.
+    * Scale posture identical to KS: raw events reduce FIRST to the
+    * per-cents (a, b) grid, and the single cumulative window runs
+    * over the bounded value grid, never the event stream.
+    */
+  val q_mannwhitney = QueryDef(
+    "q_mannwhitney",
+    """WITH s AS (
+      |  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('click', 'purchase')),
+      |g AS (
+      |  SELECT cents,
+      |    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS a,
+      |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS b
+      |  FROM s GROUP BY cents),
+      |c AS (
+      |  SELECT a, b, a + b AS t,
+      |    SUM(a + b) OVER (ORDER BY cents) - (a + b) AS c_before
+      |  FROM g),
+      |m AS (
+      |  SELECT CAST(SUM(a) AS BIGINT) AS n_a, CAST(SUM(b) AS BIGINT) AS n_b,
+      |    CAST(SUM(a * (2 * c_before + t + 1)) AS BIGINT) AS r2a,
+      |    CAST(SUM(t * t * t - t) AS BIGINT) AS tie_cube
+      |  FROM c)
+      |SELECT n_a, n_b,
+      |  r2a - n_a * (n_a + 1) AS u2_a,
+      |  2 * n_a * n_b - (r2a - n_a * (n_a + 1)) AS u2_b,
+      |  ((r2a - n_a * (n_a + 1)) * 1000000) // (2 * n_a * n_b) AS cle_ppm,
+      |  tie_cube
+      |FROM m""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val s = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val g = s.groupBy(col("cents"))
+      .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("b"))
+    val cum = Window.orderBy(col("cents"))
+    val c = g.select(col("a"), col("b"), (col("a") + col("b")).as("t"),
+      (sum(col("a") + col("b")).over(cum) - (col("a") + col("b")))
+        .as("c_before"))
+    c.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        sum(col("a") * (lit(2) * col("c_before") + col("t") + 1)).as("r2a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie_cube"))
+      .select(col("n_a"), col("n_b"),
+        (col("r2a") - col("n_a") * (col("n_a") + 1)).as("u2_a"),
+        (lit(2) * col("n_a") * col("n_b")
+          - (col("r2a") - col("n_a") * (col("n_a") + 1))).as("u2_b"),
+        expr("((r2a - n_a * (n_a + 1)) * 1000000) DIV (2 * n_a * n_b)")
+          .as("cle_ppm"),
+        col("tie_cube"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_dq_checks, q_k_anonymity, q_benford, q_assoc_chi2, q_l_diversity,
-      q_cohens_kappa, q_ks_test, q_gini_concentration)
+      q_cohens_kappa, q_ks_test, q_mannwhitney, q_gini_concentration)
 }
