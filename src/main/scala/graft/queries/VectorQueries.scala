@@ -716,6 +716,71 @@ object VectorQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** Link prediction over the kNN similarity graph — every NON-edge
+    * pair at distance 2 scored by common-neighbor count and
+    * neighborhood Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| in basis points:
+    * "these two vectors share top-5 neighbors but never ranked each
+    * other", which is the candidate queue for edge densification
+    * before clustering (and, on an entity graph, the classic
+    * friend-of-friend recommender read). The graph is
+    * [[q_knn_graph]]'s certified edge list, UNDIRECTED (canonical
+    * LEAST/GREATEST + distinct — a∈top5(b) or b∈top5(a) links them);
+    * candidates come from WEDGE enumeration (sym ⋈ sym on the middle
+    * node, a < b once) — O(Σ deg²) with deg ≤ 2k by construction,
+    * never |V|²; existing edges drop by an anti-join. Integer floor
+    * division keeps both engines on one lattice; counts are
+    * structural, so no float enters at all.
+    */
+  val q_link_predict = QueryDef(
+    "q_link_predict", {
+      s"""WITH ${sketchCtes(
+          corpusPred = "cs.id >= 50 AND cs.id < 350 AND cs.id <> qs.id",
+          queryPred = "qs.id >= 50 AND qs.id < 350", k = 5)},
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(query_id, neighbor_id) AS a,
+         |    GREATEST(query_id, neighbor_id) AS b
+         |  FROM sk),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS d
+         |        FROM sym GROUP BY 1),
+         |wedge AS (
+         |  SELECT e1.src AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS cn
+         |  FROM sym e1 JOIN sym e2 ON e2.src = e1.dst AND e1.src < e2.dst
+         |  GROUP BY 1, 2)
+         |SELECT c.a AS node_a, c.b AS node_b, c.cn AS common_neighbors,
+         |  (c.cn * 10000) // (da.d + db.d - c.cn) AS jaccard_bp
+         |FROM wedge c
+         |JOIN deg da ON da.id = c.a
+         |JOIN deg db ON db.id = c.b
+         |WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = c.a AND u.b = c.b)
+         |ORDER BY node_a, node_b""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val nodes = emb.filter(col("vec_id") >= 50 && col("vec_id") < 350)
+    val e = SimilarityOps.sketchTopK(nodes, nodes, "vec_id", "embedding", 5,
+      bits = SketchBits, dim = LshDim, maxHamming = SketchRadius)
+    val und = graft.ops.Reuse.materialized(
+      e.select(least(col("query_id"), col("neighbor_id")).cast("long").as("a"),
+          greatest(col("query_id"), col("neighbor_id")).cast("long").as("b"))
+        .distinct())
+    val sym = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+    val e1 = sym.select(col("src").as("a"), col("dst").as("mid"))
+    val e2 = sym.select(col("src").as("mid"), col("dst").as("b"))
+    val wedge = e1.join(e2, Seq("mid")).filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
+    wedge
+      .join(und, Seq("a", "b"), "left_anti")
+      .join(deg.select(col("id").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("d").as("db")), "b")
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        col("cn").as("common_neighbors"),
+        expr("(cn * 10000) DIV (da + db - cn)").as("jaccard_bp"))
+      .orderBy(col("node_a"), col("node_b"))
+  }
+
   /** Binary-relevance DCG discounts in integer micro-units:
     * floor(1e6/log2(r+1) + 0.5) for rank r in 1..10, rendered from ONE
     * Scala math.log run into BOTH the engine literals and the oracle
@@ -1011,6 +1076,6 @@ object VectorQueries {
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
-    q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_mutual,
+    q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_mutual, q_link_predict,
     q_knn_clusters, q_array_hof, q_ann_dim_recall)
 }
