@@ -578,7 +578,114 @@ object DqQueries {
         col("tie_cube"))
   }
 
+  /** Isotonic (PAV) calibration curve: does early activity predict
+    * retention MONOTONICALLY, and what is the calibrated probability
+    * per activity band? Score = events in the first 14 days, label =
+    * any event in the last 14; scores bin to ≤20 bands and the
+    * isotonic fit is computed by the pool-adjacent-violators CLOSED
+    * FORM fit(i) = max_{j≤i} min_{k≥i} mean(y[j..k]) over the BINNED
+    * aggregates — segment means come from prefix sums, so the whole
+    * fit is B² integer-lattice rows (B ≤ 20), exact in ppm by floor
+    * division, and embarrassingly parallel. Scale posture: the raw
+    * events reduce to per-user (score, label) with two hash aggs,
+    * then to the B-row bin table — the minimax never touches anything
+    * data-sized, which is what makes exact PAV feasible at 100 TB
+    * (the reduction IS the algorithm; a sequential pool walk would
+    * serialize on the driver for no benefit at this cardinality).
+    * This is the calibration audit a quality-classifier's scores get
+    * before the pipeline trusts them as probabilities.
+    */
+  val q_isotonic = QueryDef(
+    "q_isotonic",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |    event_type, value
+      |  FROM events),
+      |bounds AS (SELECT MIN(d) AS t0, MAX(d) AS tmax FROM ev),
+      |per AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN event_type = 'click'
+      |      AND date_diff('day', t0, d) < 14 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS score,
+      |    CAST(MAX(CASE WHEN event_type = 'purchase' AND value > 50
+      |      AND date_diff('day', d, tmax) < 14 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos
+      |  FROM ev CROSS JOIN bounds GROUP BY 1),
+      |g AS (
+      |  SELECT LEAST(score, 19) AS b, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(pos) AS BIGINT) AS pos
+      |  FROM per GROUP BY 1),
+      |cum AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY b) AS rn, b, n, pos,
+      |    CAST(SUM(n) OVER (ORDER BY b) AS BIGINT) AS cn,
+      |    CAST(SUM(pos) OVER (ORDER BY b) AS BIGINT) AS cp
+      |  FROM g),
+      |cum0 AS (
+      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(0 AS BIGINT) AS cn,
+      |    CAST(0 AS BIGINT) AS cp
+      |  UNION ALL SELECT rn, cn, cp FROM cum),
+      |seg AS (
+      |  SELECT l.rn AS l, k.rn AS k,
+      |    ((k.cp - l.cp) * 1000000) // (k.cn - l.cn) AS rate
+      |  FROM cum0 l JOIN cum k ON l.rn < k.rn),
+      |mm AS (
+      |  SELECT c.rn AS i, c.b, c.n, c.pos, s.l, MIN(s.rate) AS minr
+      |  FROM cum c JOIN seg s ON s.l < c.rn AND s.k >= c.rn
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT b AS bin, n AS n_users, pos AS n_pos,
+      |  (pos * 1000000) // n AS raw_ppm,
+      |  CAST(MAX(minr) AS BIGINT) AS iso_ppm
+      |FROM mm GROUP BY 1, 2, 3, 4
+      |ORDER BY bin""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.ops.Reuse.materialized(
+      Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          col("event_type"), col("value")))
+    val bounds = ev.agg(min(col("d")).as("t0"), max(col("d")).as("tmax"))
+    // ONE grouped pass builds (score, label) per user — every user has
+    // events, so no outer-join scaffolding is needed
+    val per = ev.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click"
+          && datediff(col("d"), col("t0")) < 14, 1L).otherwise(0L))
+          .as("score"),
+        max(when(col("event_type") === "purchase" && col("value") > 50
+          && datediff(col("tmax"), col("d")) < 14, 1L).otherwise(0L))
+          .as("pos"))
+    val g = per.groupBy(least(col("score"), lit(19L)).as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("pos"))
+    // everything below is over the ≤20-row bin table — the bounded
+    // single-partition window is the same posture as ksReadoff
+    val wc = Window.orderBy(col("b"))
+    val cum = graft.ops.Reuse.materialized(
+      g.select(row_number().over(wc).cast("long").as("rn"),
+        col("b"), col("n"), col("pos"),
+        sum(col("n")).over(wc).as("cn"), sum(col("pos")).over(wc).as("cp")))
+    val cum0 = cum.select(col("rn"), col("cn"), col("cp"))
+      .unionByName(spark.range(1).select(lit(0L).as("rn"),
+        lit(0L).as("cn"), lit(0L).as("cp")))
+    val seg = cum0.select(col("rn").as("l"), col("cn").as("cnl"),
+        col("cp").as("cpl"))
+      .join(cum.select(col("rn").as("k"), col("cn").as("cnk"),
+        col("cp").as("cpk")), col("l") < col("k"))
+      .select(col("l"), col("k"),
+        expr("((cpk - cpl) * 1000000) DIV (cnk - cnl)").as("rate"))
+    cum.select(col("rn").as("i"), col("b"), col("n"), col("pos"))
+      .join(seg, col("l") < col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("b"), col("n"), col("pos"), col("l"))
+      .agg(min(col("rate")).as("minr"))
+      .groupBy(col("i"), col("b"), col("n"), col("pos"))
+      .agg(max(col("minr")).as("iso_ppm"))
+      .select(col("b").as("bin"), col("n").as("n_users"),
+        col("pos").as("n_pos"),
+        expr("(pos * 1000000) DIV n").as("raw_ppm"), col("iso_ppm"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q_dq_checks, q_k_anonymity, q_benford, q_assoc_chi2, q_l_diversity,
-      q_cohens_kappa, q_ks_test, q_mannwhitney, q_gini_concentration)
+      q_cohens_kappa, q_ks_test, q_mannwhitney, q_isotonic,
+      q_gini_concentration)
 }

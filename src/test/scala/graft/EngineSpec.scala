@@ -60,6 +60,33 @@ class EngineSpec extends AnyFunSuite {
     * type set that hashes identically across Spark / DuckDB / pandas:
     * no INT32/FLOAT32 scalars, no un-cast aggregate outputs.
     */
+  test("q_isotonic: fit is monotone, pools violators, preserves mass") {
+    val rows = SparkEntry.queries("q_isotonic")(spark, sf)
+      .orderBy("bin").collect()
+    val iso = rows.map(_.getAs[Long]("iso_ppm"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      s"isotonic output must be nondecreasing: ${iso.mkString(",")}")
+    val raw = rows.map(_.getAs[Long]("raw_ppm"))
+    assert(raw.zip(raw.tail).exists { case (a, b) => a > b },
+      "fixture has no monotonicity violation — the PAV pooling path is " +
+        "vacuously untested at this SF")
+    // pooled blocks must carry the block's own pooled mean: within an
+    // ADJACENT run of equal iso values, iso == floor(Σpos·1e6 / Σn)
+    val runs = rows.foldLeft(List.empty[List[org.apache.spark.sql.Row]]) {
+      case (acc @ (cur :: rest), r)
+          if cur.head.getAs[Long]("iso_ppm") == r.getAs[Long]("iso_ppm") =>
+        (r :: cur) :: rest
+      case (acc, r) => List(r) :: acc
+    }
+    runs.foreach { blk =>
+      val fit = blk.head.getAs[Long]("iso_ppm")
+      val n = blk.map(_.getAs[Long]("n_users")).sum
+      val p = blk.map(_.getAs[Long]("n_pos")).sum
+      assert(fit == p * 1000000L / n,
+        s"pooled block mean mismatch: fit=$fit vs ${p * 1000000L / n}")
+    }
+  }
+
   test("oracle typing lint: certified outputs use the house type set") {
     import org.apache.spark.sql.types._
     def houseScalar(dt: DataType): Boolean = dt match {
