@@ -1008,7 +1008,54 @@ object CurationQueries {
         .stripMargin)
   }
 
+  /** Leave-one-out target encoding — the leakage-safe categorical
+    * feature encoder (each row's encoding is the target mean over the
+    * OTHER rows of its category, so a row never sees its own label;
+    * the naive full-category mean leaks the target and inflates
+    * validation scores, which is exactly the failure this operator
+    * exists to prevent). Category = order priority, target =
+    * order value in exact cents; loo = (Σcat − own) // (n_cat − 1),
+    * with singleton categories falling back to the leave-one-out
+    * GLOBAL mean. Shape: one map-side-combined aggregate to the
+    * category table, broadcast back over the fact rows — two scans,
+    * zero row-explosion, no window over the fact table; the integer
+    * lattice (cents, floor division) keeps both engines bit-equal.
+    */
+  val q_target_encode = QueryDef(
+    "q_target_encode",
+    """WITH o AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM orders),
+      |cat AS (
+      |  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(cents) AS BIGINT) AS s
+      |  FROM o GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS gn, CAST(SUM(cents) AS BIGINT) AS gs
+      |  FROM o)
+      |SELECT o.o_orderkey, o.o_orderpriority, o.cents,
+      |  CASE WHEN c.n > 1 THEN (c.s - o.cents) // (c.n - 1)
+      |       ELSE (g.gs - o.cents) // (g.gn - 1) END AS loo_cents
+      |FROM o JOIN cat c ON c.o_orderpriority = o.o_orderpriority
+      |CROSS JOIN tot g
+      |ORDER BY o.o_orderkey""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    val cat = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+    val glob = o.agg(count(lit(1)).as("gn"), sum(col("cents")).as("gs"))
+    o.join(broadcast(cat), "o_orderpriority")
+      .crossJoin(broadcast(glob))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+        when(col("n") > 1, expr("(s - cents) DIV (n - 1)"))
+          .otherwise(expr("(gs - cents) DIV (gn - 1)")).as("loo_cents"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q_target_encode,
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_pack_greedy, q_contamination, q_mix_rates,
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
