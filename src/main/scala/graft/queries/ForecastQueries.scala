@@ -145,5 +145,106 @@ object ForecastQueries {
       ForecastOps.holtWintersForecast(dailyByType(spark, dir), 14))
   }
 
-  val all: Seq[QueryDef] = Seq(q_forecast_hw, q_forecast_alerts)
+  /** Split-conformal prediction intervals, backtested on the last 7
+    * days per event type: base forecaster = seasonal-naive (ŷ_d =
+    * y_{d−7} on the dense daily grid), calibration set = every
+    * earlier day with a lag-7 predecessor, and the interval half-width
+    * is the finite-sample conformal quantile — the
+    * ⌈(n+1)(1−α)⌉-th smallest absolute residual (α = 0.1), which
+    * guarantees ≥ 90% marginal coverage under exchangeability with NO
+    * distributional assumption. That wrapper property — intervals
+    * from empirical residual quantiles, not a Gaussian ±1.96σ like
+    * [[q_forecast_hw]] — is exactly what this operator certifies:
+    * daily counts are integers, residuals are integers, the quantile
+    * is an exact order statistic (`⌈·⌉` as `(9·(n+1)+9)//10`), so the
+    * whole interval construction replays bit-identically in DuckDB.
+    * Scale shape: dense grid via per-type sequence+explode (the
+    * resample pattern, zero extra shuffles), lag-7 as a per-type
+    * window, per-type calibration aggregate broadcast back — nothing
+    * global, types are the parallelism unit.
+    */
+  val q_forecast_conformal = QueryDef(
+    "q_forecast_conformal",
+    """WITH daily AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (
+      |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1,
+      |    CAST(date_diff('day', MIN(day), MAX(day)) AS BIGINT) + 1 AS n
+      |  FROM daily GROUP BY 1),
+      |grid AS (
+      |  SELECT b.event_type, b.d0 + CAST(gs.g AS INT) AS day,
+      |    b.d1 - 6 AS cutoff
+      |  FROM bounds b CROSS JOIN UNNEST(range(0, b.n)) gs(g)),
+      |dense AS (
+      |  SELECT g.event_type, g.day, g.cutoff,
+      |    COALESCE(d.cnt, 0) AS y,
+      |    LAG(COALESCE(d.cnt, 0), 7) OVER (
+      |      PARTITION BY g.event_type ORDER BY g.day) AS yhat
+      |  FROM grid g LEFT JOIN daily d
+      |    ON d.event_type = g.event_type AND d.day = g.day),
+      |calib AS (
+      |  SELECT event_type, ABS(y - yhat) AS r
+      |  FROM dense WHERE yhat IS NOT NULL AND day < cutoff),
+      |qk AS (
+      |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cal,
+      |    LEAST((9 * (COUNT(*) + 1) + 9) // 10, COUNT(*)) AS k
+      |  FROM calib GROUP BY 1),
+      |ranked AS (
+      |  SELECT c.event_type, c.r,
+      |    ROW_NUMBER() OVER (PARTITION BY c.event_type ORDER BY c.r) AS rn
+      |  FROM calib c),
+      |qv AS (
+      |  SELECT r.event_type, q.n_cal, CAST(r.r AS BIGINT) AS q
+      |  FROM ranked r JOIN qk q ON q.event_type = r.event_type AND r.rn = q.k)
+      |SELECT d.event_type, d.day, d.y AS actual, CAST(d.yhat AS BIGINT) AS pred,
+      |  CAST(d.yhat - v.q AS BIGINT) AS lo, CAST(d.yhat + v.q AS BIGINT) AS hi,
+      |  (d.y BETWEEN d.yhat - v.q AND d.yhat + v.q) AS covered,
+      |  v.n_cal, v.q AS q_width
+      |FROM dense d JOIN qv v ON v.event_type = d.event_type
+      |WHERE d.day >= d.cutoff
+      |ORDER BY d.event_type, d.day""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val bounds = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = bounds
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"),
+        date_sub(col("d1"), 6).as("cutoff"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val dense = grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), col("cutoff"),
+        coalesce(col("cnt"), lit(0L)).as("y"))
+      .withColumn("yhat", lag(col("y"), 7).over(w))
+    val calib = dense
+      .filter(col("yhat").isNotNull && col("day") < col("cutoff"))
+      .select(col("event_type"), abs(col("y") - col("yhat")).as("r"))
+    val qk = calib.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cal"),
+        least(expr("(9 * (count(1) + 1) + 9) DIV 10"), count(lit(1))).as("k"))
+    val ranked = calib.withColumn("rn",
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("r"))).cast("long"))
+    val qv = ranked.join(broadcast(qk),
+        ranked("event_type") === qk("event_type") && col("rn") === col("k"))
+      .select(ranked("event_type"), col("n_cal"), col("r").cast("long").as("q"))
+    dense.filter(col("day") >= col("cutoff"))
+      .join(broadcast(qv), "event_type")
+      .select(col("event_type"), col("day"), col("y").as("actual"),
+        col("yhat").cast("long").as("pred"),
+        (col("yhat") - col("q")).cast("long").as("lo"),
+        (col("yhat") + col("q")).cast("long").as("hi"),
+        (col("y") >= col("yhat") - col("q") &&
+          col("y") <= col("yhat") + col("q")).as("covered"),
+        col("n_cal"), col("q").as("q_width"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q_forecast_hw, q_forecast_alerts, q_forecast_conformal)
 }
