@@ -1775,6 +1775,102 @@ object EventsMore {
     * working at 100 TB where a COUNT(DISTINCT) OVER (ORDER BY day)
     * window would re-scan history per day.
     */
+  /** Kaplan–Meier survival curve for time-to-first-failure — the
+    * product-limit estimator with RIGHT-CENSORING done properly: a
+    * user's duration runs from their first event to their FIRST
+    * `error` event; users who never error are CENSORED at the end of
+    * the observation window (they leave the risk set without counting
+    * as failures — dropping them, or counting them as failed, are the
+    * two classic lifetime-analysis mistakes this operator exists to
+    * avoid). Exactness: the survival product Π(1 − dᵢ/nᵢ) is
+    * quantized STEPWISE on the ppm lattice — S ← ⌊S·(n−d)/n⌋ — as an
+    * ordered fold, which both engines replay identically (Spark
+    * `aggregate` HOF with the sentinel-first accumulator; DuckDB
+    * `list_reduce` over the same sentinel-prepended list — the house
+    * foldLeft equivalence). Scale posture: events reduce to per-user
+    * (first, last) with one hash agg, then to the ≤|window|-day step
+    * table; the fold runs over that bounded list, never over users.
+    */
+  val q_survival = QueryDef(
+    "q_survival",
+    """WITH ev AS (
+      |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_type
+      |  FROM events),
+      |b AS (SELECT MAX(day) AS tmax FROM ev),
+      |per AS (
+      |  SELECT user_id, MIN(day) AS f,
+      |    MIN(CASE WHEN event_type = 'error' THEN day END) AS e
+      |  FROM ev GROUP BY 1),
+      |u AS (
+      |  SELECT CAST(date_diff('day', f,
+      |      CASE WHEN e IS NULL THEN tmax ELSE e END) AS BIGINT) AS t,
+      |    CASE WHEN e IS NULL THEN 0 ELSE 1 END AS ob
+      |  FROM per CROSS JOIN b),
+      |g AS (
+      |  SELECT t, CAST(SUM(ob) AS BIGINT) AS d,
+      |    CAST(SUM(1 - ob) AS BIGINT) AS c,
+      |    CAST(COUNT(*) AS BIGINT) AS m
+      |  FROM u GROUP BY 1),
+      |cum AS (
+      |  SELECT t, d, c,
+      |    CAST((SELECT SUM(m) FROM g)
+      |      - (SUM(m) OVER (ORDER BY t) - m) AS BIGINT) AS n_risk
+      |  FROM g),
+      |arr AS (
+      |  SELECT list_prepend([CAST(1000000 AS BIGINT)],
+      |    list([t, n_risk, d, c]::BIGINT[] ORDER BY t)) AS fl
+      |  FROM cum),
+      |sl AS (
+      |  SELECT fl, list_reduce(fl, (acc, x) ->
+      |    list_append(acc, (acc[len(acc)] * (x[2] - x[3])) // x[2])) AS s
+      |  FROM arr)
+      |SELECT fl[i + 1][1] AS duration_days, fl[i + 1][2] AS n_risk,
+      |  fl[i + 1][3] AS n_churn, fl[i + 1][4] AS n_censored,
+      |  s[i + 1] AS surv_ppm
+      |FROM sl CROSS JOIN UNNEST(range(1, len(fl))) gs(i)
+      |ORDER BY duration_days""".stripMargin) { (spark, dir) =>
+    val ev = graft.ops.Reuse.materialized(
+      Tables.events(spark, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type")))
+    val b = ev.agg(max(col("day")).as("tmax"))
+    val per = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("f"),
+        min(when(col("event_type") === "error", col("day"))).as("e"))
+    val u = per.crossJoin(broadcast(b))
+      .select(datediff(coalesce(col("e"), col("tmax")), col("f"))
+          .cast("long").as("t"),
+        when(col("e").isNull, 0L).otherwise(1L).as("ob"))
+    val g = u.groupBy(col("t"))
+      .agg(sum(col("ob")).as("d"), sum(lit(1L) - col("ob")).as("c"),
+        count(lit(1)).as("m"))
+    val wc = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+    val wa = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    // step table is bounded by the day window (≤ ~91 rows) — the
+    // single-partition window and the fold below are over THAT, never
+    // over users
+    val cum = g.select(col("t"), col("d"), col("c"),
+      (sum(col("m")).over(wa)
+        - (sum(col("m")).over(wc) - col("m"))).as("n_risk"))
+    cum
+      .agg(array_sort(collect_list(
+        array(col("t"), col("n_risk"), col("d"), col("c")))).as("steps"))
+      .select(expr(
+        "aggregate(steps, array(CAST(1000000 AS BIGINT)), (acc, x) -> " +
+          "concat(acc, array((element_at(acc, -1) * (x[1] - x[2])) " +
+          "DIV x[1])))").as("s"),
+        col("steps"))
+      .select(posexplode(col("steps")).as(Seq("i", "x")), col("s"))
+      .select(element_at(col("x"), 1).as("duration_days"),
+        element_at(col("x"), 2).as("n_risk"),
+        element_at(col("x"), 3).as("n_churn"),
+        element_at(col("x"), 4).as("n_censored"),
+        element_at(col("s"), col("i") + 2).as("surv_ppm"))
+      .orderBy(col("duration_days"))
+  }
+
   val q_user_growth = QueryDef(
     "q_user_growth",
     """WITH act AS (
@@ -2382,7 +2478,7 @@ object EventsMore {
     q_asof_bucketed, q_resample_ffill, q_resample_bfill,
     q_hll_distinct,
     q_rank_dist, q_robust_stats,
-    q_funnel, q_retention, q_markov, q_topk_daily, q_scd2,
+    q_funnel, q_retention, q_survival, q_markov, q_topk_daily, q_scd2,
     q_time_weighted, q_grouping_sets, q_cdc_apply, q_rolling_median,
     q_equidepth_bins, q_ewma, q_attribution, q_corr_matrix)
 }

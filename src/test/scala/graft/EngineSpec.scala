@@ -87,6 +87,26 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("q_survival: KM curve is nonincreasing and risk sets account") {
+    val rows = SparkEntry.queries("q_survival")(spark, sf)
+      .orderBy("duration_days").collect()
+    assert(rows.nonEmpty)
+    val surv = rows.map(_.getAs[Long]("surv_ppm"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b },
+      s"survival must be nonincreasing: ${surv.mkString(",")}")
+    assert(surv.head <= 1000000L)
+    // risk-set bookkeeping: n_risk drops by exactly the failures +
+    // censorings of each earlier step
+    val triples = rows.map(r => (r.getAs[Long]("n_risk"),
+      r.getAs[Long]("n_churn"), r.getAs[Long]("n_censored")))
+    triples.zip(triples.tail).foreach { case ((n0, d0, c0), (n1, _, _)) =>
+      assert(n1 == n0 - d0 - c0,
+        s"risk set must shrink by exits: $n0 - $d0 - $c0 != $n1")
+    }
+    assert(triples.exists(_._2 > 0),
+      "fixture has no failure events — the product-limit step is vacuous")
+  }
+
   test("oracle typing lint: certified outputs use the house type set") {
     import org.apache.spark.sql.types._
     def houseScalar(dt: DataType): Boolean = dt match {
