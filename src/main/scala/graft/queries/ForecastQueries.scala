@@ -205,11 +205,23 @@ object ForecastQueries {
       |FROM dense d JOIN qv v ON v.event_type = d.event_type
       |WHERE d.day >= d.cutoff
       |ORDER BY d.event_type, d.day""".stripMargin) { (spark, dir) =>
+    conformalReadoff(
+      Tables.events(spark, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt")))
+  }
+
+  /** Conformal-interval read-off over an aggregated (event_type, day,
+    * cnt) daily table — shared by [[q_forecast_conformal]] (batch
+    * build) and the streaming q_stream_conformal (micro-batch-
+    * accumulated build): per-day counts are a plain mergeable SUM, so
+    * the interval construction must be invariant to HOW the counts
+    * were accumulated — the same batch-cut-invariance contract as
+    * [[graft.queries.DqQueries.ksReadoff]].
+    */
+  def conformalReadoff(daily: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val daily = Tables.events(spark, dir)
-      .groupBy(col("event_type"),
-        date_trunc("day", col("ts")).cast("date").as("day"))
-      .agg(count(lit(1)).as("cnt"))
     val bounds = daily.groupBy(col("event_type"))
       .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val grid = bounds
@@ -217,9 +229,18 @@ object ForecastQueries {
         explode(sequence(col("d0"), col("d1"))).as("day"),
         date_sub(col("d1"), 6).as("cutoff"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
-    val dense = grid.join(daily, Seq("event_type", "day"), "left")
+    // the grid side derives FROM daily, so joining daily back against
+    // it presents the same attribute ids on both sides; re-aliasing
+    // mints fresh ids (each Alias is a new exprId) and keeps the join
+    // resolvable even when `daily` is a drained temp view (the
+    // streaming path hit INTERNAL_ERROR conflicting-references here)
+    val d2 = daily.select(col("event_type").as("d_type"),
+      col("day").as("d_day"), col("cnt").as("d_cnt"))
+    val dense = grid.join(d2,
+        col("event_type") === col("d_type") && col("day") === col("d_day"),
+        "left")
       .select(col("event_type"), col("day"), col("cutoff"),
-        coalesce(col("cnt"), lit(0L)).as("y"))
+        coalesce(col("d_cnt"), lit(0L)).as("y"))
       .withColumn("yhat", lag(col("y"), 7).over(w))
     val calib = dense
       .filter(col("yhat").isNotNull && col("day") < col("cutoff"))
@@ -230,11 +251,15 @@ object ForecastQueries {
     val ranked = calib.withColumn("rn",
       row_number().over(Window.partitionBy(col("event_type"))
         .orderBy(col("r"))).cast("long"))
-    val qv = ranked.join(broadcast(qk),
-        ranked("event_type") === qk("event_type") && col("rn") === col("k"))
-      .select(ranked("event_type"), col("n_cal"), col("r").cast("long").as("q"))
+    val qk2 = qk.select(col("event_type").as("q_type"),
+      col("n_cal").as("n_cal"), col("k").as("k"))
+    val qv = ranked.join(broadcast(qk2),
+        col("event_type") === col("q_type") && col("rn") === col("k"))
+      .select(col("event_type"), col("n_cal"), col("r").cast("long").as("q"))
+    val qv2 = qv.select(col("event_type").as("v_type"),
+      col("n_cal").as("n_cal"), col("q").as("q"))
     dense.filter(col("day") >= col("cutoff"))
-      .join(broadcast(qv), "event_type")
+      .join(broadcast(qv2), col("event_type") === col("v_type"))
       .select(col("event_type"), col("day"), col("y").as("actual"),
         col("yhat").cast("long").as("pred"),
         (col("yhat") - col("q")).cast("long").as("lo"),

@@ -871,8 +871,33 @@ object StreamQueries {
     DqQueries.ksReadoff(drained)
   }
 
+  /** Streaming split-conformal intervals — [[graft.queries
+    * .ForecastQueries.q_forecast_conformal]]'s continuous-ingest half:
+    * the per-(type, day) count distribution accumulates as mergeable
+    * streaming SUM state across micro-batches, drains, and the SAME
+    * `conformalReadoff` computes the backtest intervals against the
+    * batch query's own oracle. Batch-cut invariance certified: the
+    * calibration quantile and every interval bound cannot depend on
+    * how the stream was chopped — the same contract as
+    * [[q_stream_ks]], here for an order-statistic readoff rather than
+    * an ECDF max.
+    */
+  val q_stream_conformal = QueryDef(
+    "q_stream_conformal", ForecastQueries.q_forecast_conformal.oracle.get) {
+    (spark, dir) =>
+      val stream = StreamingOps.eventsStream(spark, dir)
+        .select(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+      val counts = stream.groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+      val drained = StreamingOps.withShufflePartitions(spark, 8) {
+        StreamingOps.drainToBatch(counts, OutputMode.Complete())
+      }
+      ForecastQueries.conformalReadoff(drained)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_stream_ks,
+    q_stream_ks, q_stream_conformal,
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
