@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Top-principal-component extraction over an embedding column via the
+  * fixed-iteration power method — the preprocessing step every
+  * production vector pipeline runs before OPQ rotation, dimension
+  * truncation, or whitening (the reference stores raw MiniLM vectors,
+  * `embedding_consumer.py:94`; at 100 TB the index build wants the
+  * energy-compacting basis first).
+  *
+  * Determinism contract (the repo's float policy, same as
+  * [[ClusterOps.kmeansLloyd]]): the mean vector and every iterate are
+  * floor-quantized to the 1e-6 grid, the start vector is the constant
+  * `quant(1/sqrt(dim))`, and exactly `iters` multiply-normalize rounds
+  * run — so the DuckDB oracle replays the identical trajectory as an
+  * unrolled CTE chain and the certified outputs (per-vector PC1 score,
+  * eigenvalue, variance-explained) compare exactly.
+  *
+  * Scale posture: per iteration ONE map-only pass over the cached
+  * centered vectors feeding a single-row aggregate of `dim` partial
+  * sums (map-side combine; no shuffle of row data, the exchange carries
+  * one row per partition). Driver state is O(dim) per iteration — the
+  * same bounded-collect class as PageRank's scalar mass fold. The final
+  * projection is a map-only codegen dot product. Nothing here grows
+  * with row count except the scans.
+  */
+object PcaOps {
+
+  private def quant(v: Double): Double = Reuse.quantMicro(v)
+
+  /** (mean, component) for the top PC — both 1e-6-quantized, `dim`
+    * doubles each. `iters` fixed multiply-normalize rounds from the
+    * constant start vector.
+    */
+  def topComponent(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int): (Array[Double], Array[Double]) = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val x = emb
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("x"))
+    val (xc, cache) = Reuse.materializedHandle(x)
+    try {
+      val muRow = xc.agg(
+        avg(element_at(col("x"), 1)),
+        (2 to dim).map(j => avg(element_at(col("x"), j))): _*).head()
+      val mu = Array.tabulate(dim)(j => quant(muRow.getDouble(j)))
+      val muLit = array(mu.map(lit).toIndexedSeq: _*)
+
+      var v = Array.fill(dim)(quant(1.0 / math.sqrt(dim.toDouble)))
+      for (_ <- 1 to iters) {
+        val scored = withV(centered(xc, muLit), v)
+          .withColumn("s", expr("dot_product(c, v)"))
+        val wRow = scored.agg(
+          sum(col("s") * element_at(col("c"), 1)),
+          (2 to dim).map(j => sum(col("s") * element_at(col("c"), j))): _*)
+          .head()
+        val w = Array.tabulate(dim)(wRow.getDouble)
+        val norm = math.sqrt(w.map(wj => wj * wj).sum)
+        v = w.map(wj => quant(wj / norm))
+      }
+      (mu, v)
+    } finally cache.close()
+  }
+
+  /** Centered vectors with the CURRENT iterate attached as a literal
+    * array column `v` (so `dot_product(c, v)` stays a codegen'd
+    * left-to-right fold — the exact summation order the oracle's
+    * per-id SUM replays up to sub-grid noise).
+    */
+  private def centered(x: DataFrame, muLit: Column): DataFrame =
+    x.select(col("id"),
+      zip_with(col("x"), muLit, (a, b) => a - b).as("c"))
+
+  private def withV(c: DataFrame, v: Array[Double]): DataFrame =
+    c.withColumn("v", array(v.map(lit).toIndexedSeq: _*))
+
+  /** Per-vector PC1 score (the projection onto the top component),
+    * 1e-6-quantized. Map-only once (mean, component) are known.
+    */
+  def project(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int): DataFrame = {
+    val (mu, v) = topComponent(emb, idCol, vecCol, dim, iters)
+    val x = emb
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("x"))
+    val proj = withV(centered(x, array(mu.map(lit).toIndexedSeq: _*)), v)
+      .withColumn("s", expr("dot_product(c, v)"))
+    proj.select(col("id").as("vec_id"),
+      (floor(col("s") * 1000000 + 0.5) / 1000000.0).as("pc1"))
+  }
+
+  /** One-row spectrum summary: leading eigenvalue (Rayleigh quotient of
+    * the final iterate), total variance (trace of the covariance), and
+    * the explained-variance ratio — all on the (n-1) denominator, all
+    * 1e-6-quantized, the ratio computed FROM the quantized pair so the
+    * oracle's nested FLOOR reproduces it exactly.
+    */
+  def varianceSummary(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (mu, v) = topComponent(emb, idCol, vecCol, dim, iters)
+    val x = emb
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("x"))
+    val c = withV(centered(x, array(mu.map(lit).toIndexedSeq: _*)), v)
+      .withColumn("s", expr("dot_product(c, v)"))
+    val row = c.agg(
+      sum(col("s") * col("s")),
+      sum(expr("dot_product(c, c)")),
+      count(lit(1))).head()
+    val n = row.getLong(2)
+    val lambda = quant(row.getDouble(0) / (n - 1).toDouble)
+    val total = quant(row.getDouble(1) / (n - 1).toDouble)
+    val ratio = quant(lambda / total)
+    Seq((n, lambda, total, ratio))
+      .toDF("n_vectors", "lambda1", "total_var", "var_ratio")
+  }
+
+  /** The shared oracle CTE chain: centered values `c(id, idx, cv)` and
+    * the unrolled iterates `v0..v{iters}` — DuckDB zips parallel
+    * `unnest`s for (val, idx), and each round is score/multiply/
+    * normalize with the engine's exact quantization points.
+    */
+  private def trajectoryCtes(dim: Int, iters: Int): String = {
+    def q(e: String) = s"FLOOR(($e)*1000000+0.5)/1000000.0"
+    val v0 = java.lang.Double.toString(quant(1.0 / math.sqrt(dim.toDouble)))
+    // AS MATERIALIZED: each iterate is referenced twice (w by its own
+    // normalizing scalar subquery, v by the next round) — without the
+    // hint DuckDB inlines the chain into a 2^iters expression tree
+    val rounds = (1 to iters).map { k =>
+      s"""s$k AS MATERIALIZED (SELECT id, SUM(cv * vv) AS s
+         |  FROM c JOIN v${k - 1} USING (idx) GROUP BY id),
+         |w$k AS MATERIALIZED (SELECT c.idx, SUM(cv * s) AS w
+         |  FROM c JOIN s$k USING (id) GROUP BY c.idx),
+         |v$k AS MATERIALIZED (
+         |  SELECT idx, ${q(s"w / sqrt((SELECT SUM(w*w) FROM w$k))")} AS vv
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""e AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+       |    unnest(range(1, len(embedding)+1)) AS idx
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |mu AS MATERIALIZED (SELECT idx, ${q("AVG(val)")} AS m FROM e GROUP BY idx),
+       |c AS MATERIALIZED (
+       |  SELECT id, e.idx, val - m AS cv FROM e JOIN mu USING (idx)),
+       |v0 AS MATERIALIZED (SELECT idx, $v0 AS vv FROM mu),
+       |$rounds""".stripMargin
+  }
+
+  def projectOracleSql(dim: Int, iters: Int): String =
+    s"""WITH ${trajectoryCtes(dim, iters)}
+       |SELECT id AS vec_id,
+       |  FLOOR(SUM(cv * vv)*1000000+0.5)/1000000.0 AS pc1
+       |FROM c JOIN v$iters USING (idx)
+       |GROUP BY id ORDER BY vec_id""".stripMargin
+
+  def varianceOracleSql(dim: Int, iters: Int): String = {
+    def q(e: String) = s"FLOOR(($e)*1000000+0.5)/1000000.0"
+    s"""WITH ${trajectoryCtes(dim, iters)},
+       |sf AS MATERIALIZED (SELECT id, SUM(cv * vv) AS s
+       |  FROM c JOIN v$iters USING (idx) GROUP BY id),
+       |agg AS (SELECT
+       |    (SELECT COUNT(*) FROM embeddings
+       |      WHERE embedding IS NOT NULL AND len(embedding) = $dim) AS n,
+       |    (SELECT SUM(s*s) FROM sf) AS ss,
+       |    (SELECT SUM(cv*cv) FROM c) AS tt)
+       |SELECT n AS n_vectors,
+       |  ${q("ss / (n - 1)")} AS lambda1,
+       |  ${q("tt / (n - 1)")} AS total_var,
+       |  ${q(s"(${q("ss / (n - 1)")}) / (${q("tt / (n - 1)")})")} AS var_ratio
+       |FROM agg""".stripMargin
+  }
+}

@@ -668,12 +668,12 @@ object DqQueries {
         lit(0L).as("cn"), lit(0L).as("cp")))
     val seg = cum0.select(col("rn").as("l"), col("cn").as("cnl"),
         col("cp").as("cpl"))
-      .join(cum.select(col("rn").as("k"), col("cn").as("cnk"),
-        col("cp").as("cpk")), col("l") < col("k"))
+      .join(broadcast(cum.select(col("rn").as("k"), col("cn").as("cnk"),
+        col("cp").as("cpk"))), col("l") < col("k"))
       .select(col("l"), col("k"),
         expr("((cpk - cpl) * 1000000) DIV (cnk - cnl)").as("rate"))
     cum.select(col("rn").as("i"), col("b"), col("n"), col("pos"))
-      .join(seg, col("l") < col("i") && col("k") >= col("i"))
+      .join(broadcast(seg), col("l") < col("i") && col("k") >= col("i"))
       .groupBy(col("i"), col("b"), col("n"), col("pos"), col("l"))
       .agg(min(col("rate")).as("minr"))
       .groupBy(col("i"), col("b"), col("n"), col("pos"))

@@ -1072,10 +1072,36 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Top principal component by the fixed-iteration power method
+    * ([[graft.ops.PcaOps]]) — per-vector PC1 score. The energy-
+    * compacting preprocessing step for OPQ/whitening/dim-truncation
+    * over a stored vector corpus; per iteration one map-only pass +
+    * a dim-bounded single-row aggregate, driver state O(dim) (the
+    * PageRank bounded-collect class). Oracle replays the identical
+    * quantized trajectory as an unrolled CTE chain.
+    */
+  val q_pca_project = QueryDef(
+    "q_pca_project", graft.ops.PcaOps.projectOracleSql(64, 8)) { (spark, dir) =>
+    graft.ops.PcaOps.project(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", dim = 64, iters = 8)
+      .orderBy(col("vec_id"))
+  }
+
+  /** Spectrum summary of the same trajectory: leading eigenvalue
+    * (Rayleigh quotient), total variance (covariance trace), and the
+    * explained-variance ratio — the one-row readoff that decides how
+    * many components a truncation/whitening pass keeps.
+    */
+  val q_pca_variance = QueryDef(
+    "q_pca_variance", graft.ops.PcaOps.varianceOracleSql(64, 8)) { (spark, dir) =>
+    graft.ops.PcaOps.varianceSummary(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", dim = 64, iters = 8)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
     q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_mutual, q_link_predict,
-    q_knn_clusters, q_array_hof, q_ann_dim_recall)
+    q_knn_clusters, q_array_hof, q_ann_dim_recall, q_pca_project, q_pca_variance)
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.ops.PcaOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Power-iteration PCA checked against geometry it must recover: a
+  * corpus whose variance is overwhelmingly along one planted axis must
+  * project onto (±) that axis, and the one-row spectrum summary must
+  * attribute that variance share to the leading eigenvalue.
+  */
+class PcaOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val dim = 8
+
+  /** Points mu + t*u + tiny orthogonal wiggle, u = the planted axis. */
+  private lazy val planted = {
+    import spark.implicits._
+    val u = Array(0.6, 0.8, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    (0 until 200).map { i =>
+      val t = (i - 100) / 10.0 // spread along u dominates
+      val w = ((i * 37) % 11 - 5) / 1000.0 // deterministic wiggle on dim 3
+      val v = Array.tabulate(dim)(j =>
+        (0.5 + t * u(j) + (if (j == 2) w else 0.0)).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("planted dominant axis is recovered up to sign") {
+    val (_, v) = PcaOps.topComponent(planted, "vec_id", "embedding", dim, 8)
+    val dot = v(0) * 0.6 + v(1) * 0.8
+    assert(math.abs(math.abs(dot) - 1.0) < 1e-3,
+      s"component ${v.mkString(",")} not aligned with planted axis (|dot|=${math.abs(dot)})")
+    assert(v.drop(2).forall(x => math.abs(x) < 2e-2),
+      s"off-axis leakage: ${v.mkString(",")}")
+  }
+
+  test("variance summary attributes the planted share to lambda1") {
+    val row = PcaOps.varianceSummary(planted, "vec_id", "embedding", dim, 8).head()
+    assert(row.getLong(0) === 200L)
+    val ratio = row.getDouble(3)
+    assert(ratio > 0.999, s"var_ratio $ratio — the planted axis carries ~all variance")
+    val lambda = row.getDouble(1)
+    val total = row.getDouble(2)
+    assert(lambda <= total + 1e-9)
+  }
+
+  test("projection scores are centered and trajectory is rerun-stable") {
+    val p1 = PcaOps.project(planted, "vec_id", "embedding", dim, 8)
+      .orderBy(col("vec_id")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val p2 = PcaOps.project(planted, "vec_id", "embedding", dim, 8)
+      .orderBy(col("vec_id")).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(p1.sameElements(p2), "power iteration must be bit-stable across runs")
+    val mean = p1.map(_._2).sum / p1.length
+    assert(math.abs(mean) < 1e-3, s"projections of centered data must center at 0, got $mean")
+  }
+
+  test("vectors of the wrong dimension are excluded, not mis-read") {
+    import spark.implicits._
+    val ragged = planted.union(
+      Seq((999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding"))
+    val n = PcaOps.project(ragged, "vec_id", "embedding", dim, 2).count()
+    assert(n === 200L)
+  }
+}
