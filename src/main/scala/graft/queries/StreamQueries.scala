@@ -896,8 +896,157 @@ object StreamQueries {
       ForecastQueries.conformalReadoff(drained)
   }
 
+  /** Shared CTE prefix for the late-data pair: assigns every event a
+    * deterministic ARRIVAL batch (4 day-slices; `user_id % 7` rows
+    * arrive one batch late, `user_id % 11` two batches late) and
+    * replays Spark's watermark protocol in pure SQL:
+    *
+    *  - the watermark is the max seen event time floored to
+    *    MILLISECONDS (EventTimeStats accumulates micros/1000), delay 0;
+    *  - the late-event FILTER of batch b uses the EVICTION watermark of
+    *    batch b-1 — i.e. max event time through batch b-2
+    *    (SPARK-42376's two-watermark protocol; one-batch-late rows
+    *    always survive) — with an INCLUSIVE boundary
+    *    (`window.end <= wm` drops; probed empirically in
+    *    tools/ProbeLate, where a window ending exactly AT the filter
+    *    watermark was dropped);
+    *  - a window EMITS once `window.end <= eviction wm`, and the
+    *    trailing AvailableNow no-data batch advances the watermark to
+    *    the global max, flushing every closed window.
+    */
+  private def lateCtes: String =
+    """ev AS MATERIALIZED (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events),
+      |bnd AS (SELECT MIN(CAST(ts AS DATE)) AS d0,
+      |  DATEDIFF('day', MIN(CAST(ts AS DATE)), MAX(CAST(ts AS DATE))) + 1 AS nd
+      |  FROM ev),
+      |r AS MATERIALIZED (
+      |  SELECT ts, cents,
+      |    CAST(ts AS DATE) AS d,
+      |    epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY) AS wend,
+      |    LEAST(LEAST((DATEDIFF('day', d0, CAST(ts AS DATE)) * 4) // nd, 3)
+      |      + CASE WHEN user_id % 11 = 0 THEN 2
+      |             WHEN user_id % 7 = 0 THEN 1 ELSE 0 END, 3) AS arrival
+      |  FROM ev CROSS JOIN bnd),
+      |fmax AS MATERIALIZED (
+      |  SELECT arrival, MAX(epoch_us(ts)) AS mx FROM r GROUP BY arrival),
+      |fw AS MATERIALIZED (
+      |  SELECT a.arrival, (MAX(b.mx) // 1000) * 1000 AS fwm
+      |  FROM fmax a LEFT JOIN fmax b ON b.arrival <= a.arrival - 2
+      |  GROUP BY a.arrival),
+      |gwm AS (SELECT (MAX(mx) // 1000) * 1000 AS wm FROM fmax)""".stripMargin
+
+  /** Builds the 4-file arrival layout on disk (sequential writes with
+    * explicitly spaced mtimes so FileStreamSource's modification-time
+    * order IS the arrival order) and returns the source dir. The
+    * fixture is test scaffolding standing in for an out-of-order
+    * transport; the OPERATOR under certification is the watermarked
+    * windowed aggregation and its late-drop protocol.
+    */
+  private def lateFixture(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val work = StreamingOps.tempSinkDir("graft_stream_late_")
+    val src = s"$work/src"
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("ts"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    val b = ev.agg(min(to_date(col("ts"))).as("d0"),
+      (datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1).as("nd"))
+      .head()
+    val d0 = b.getDate(0)
+    val nd = b.getInt(1)
+    val rows = ev
+      .withColumn("slice",
+        expr(s"least((datediff(to_date(ts), date'$d0') * 4) div $nd, 3)"))
+      .withColumn("arrival", least(col("slice")
+        + when(pmod(col("user_id"), lit(11)) === 0, 2)
+          .when(pmod(col("user_id"), lit(7)) === 0, 1).otherwise(0), lit(3L)))
+    val seen = scala.collection.mutable.Set[String]()
+    val base = System.currentTimeMillis()
+    for (a <- 0 to 3) {
+      rows.filter(col("arrival") === a).select("user_id", "ts", "cents")
+        .coalesce(1).write.mode("append").parquet(src)
+      new java.io.File(src).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
+        .foreach { f => f.setLastModified(base + a * 2000); seen += f.getName }
+    }
+    src
+  }
+
+  private def lateAgg(spark: org.apache.spark.sql.SparkSession,
+      src: String): org.apache.spark.sql.DataFrame =
+    spark.readStream.schema(spark.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      .select(col("window.start").cast("date").as("day"),
+        col("n_events"), col("sum_cents"))
+
+  /** Late-data accounting, output side: daily counts from an
+    * Append-mode watermarked aggregation over a deliberately
+    * out-of-order stream — the certified result is exactly the rows
+    * that SURVIVE Spark's two-watermark late-filter, in windows the
+    * final watermark closed. This is the question every event-time
+    * pipeline must answer before a downstream trusts a "complete"
+    * window: which late arrivals made it in, which were dropped, and
+    * which windows never sealed.
+    */
+  val q_stream_late = QueryDef(
+    "q_stream_late",
+    s"""WITH $lateCtes,
+       |kept AS (
+       |  SELECT r.* FROM r JOIN fw USING (arrival)
+       |  WHERE fw.fwm IS NULL OR r.wend > fw.fwm)
+       |SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |  CAST(SUM(cents) AS BIGINT) AS sum_cents
+       |FROM kept WHERE wend <= (SELECT wm FROM gwm)
+       |GROUP BY d ORDER BY day""".stripMargin) { (spark, dir) =>
+    val src = lateFixture(spark, dir)
+    StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToParquetSink(lateAgg(spark, src),
+        StreamingOps.tempSinkDir("graft_stream_late_sink_"))
+    }.orderBy(col("day"))
+  }
+
+  /** Late-data accounting, engine-internals side: per micro-batch
+    * (input rows, `numRowsDroppedByWatermark`) read from Spark's OWN
+    * StreamingQueryProgress, certified against the same pure-SQL
+    * watermark replay — the engine's internal drop counters must match
+    * the protocol document batch by batch, not just the surviving
+    * output. Measured internal (this certificate pins it): the drop
+    * filter runs at the STATE operator, downstream of the partial
+    * aggregation and its shuffle-merge, so the counter counts dropped
+    * per-WINDOW aggregate rows — i.e. the number of distinct late
+    * windows in the batch, not raw late input rows (within one batch a
+    * window's rows are late all-or-nothing, so window-level dropping
+    * is row-exact for the OUTPUT — q_stream_late certifies that side).
+    */
+  val q_stream_late_audit = QueryDef(
+    "q_stream_late_audit",
+    s"""WITH $lateCtes
+       |SELECT r.arrival AS batch_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_input,
+       |  CAST(COUNT(DISTINCT CASE WHEN fw.fwm IS NOT NULL
+       |    AND r.wend <= fw.fwm THEN r.wend END) AS BIGINT) AS n_dropped
+       |FROM r JOIN fw USING (arrival)
+       |GROUP BY r.arrival ORDER BY batch_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val src = lateFixture(spark, dir)
+    val (_, progress) = StreamingOps.withShufflePartitions(spark, 8) {
+      StreamingOps.drainToParquetSinkWithProgress(lateAgg(spark, src),
+        StreamingOps.tempSinkDir("graft_stream_late_audit_"))
+    }
+    progress.filter(_.numInputRows > 0)
+      .map(p => (p.batchId, p.numInputRows,
+        p.stateOperators.headOption.map(_.numRowsDroppedByWatermark).getOrElse(0L)))
+      .toDF("batch_id", "n_input", "n_dropped")
+      .orderBy(col("batch_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_stream_ks, q_stream_conformal,
+    q_stream_ks, q_stream_conformal, q_stream_late, q_stream_late_audit,
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions, q_stream_throttle, q_stream_quantile,

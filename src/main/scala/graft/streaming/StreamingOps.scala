@@ -144,6 +144,30 @@ object StreamingOps {
       .parquet(s"$dir/out")
   }
 
+  /** [[drainToParquetSink]] that ALSO returns the per-batch progress
+    * events — the engine's own accounting (input rows, rows dropped by
+    * the watermark late-filter) that
+    * [[graft.queries.StreamQueries.q_stream_late_audit]] certifies
+    * against a pure-SQL replay of the watermark protocol.
+    */
+  def drainToParquetSinkWithProgress(stream: DataFrame, dir: String)
+      : (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    ensureScaleSafeStateStore(stream.sparkSession)
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val progress =
+      try { q.awaitTermination(); q.recentProgress.toSeq }
+      finally q.stop()
+    (stream.sparkSession.read
+      .schema(stream.schema)
+      .parquet(s"$dir/out"), progress)
+  }
+
   /** Fresh working directory for a sink drain under java.io.tmpdir. */
   def tempSinkDir(prefix: String): String =
     java.nio.file.Files

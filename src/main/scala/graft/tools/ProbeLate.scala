@@ -26,14 +26,21 @@ object ProbeLate {
     def day(d: Int, h: Int): java.sql.Timestamp =
       java.sql.Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
 
-    // file0: on-time day1+day2; file1: day3 + late(day1, day2);
-    // file2: day4 + late(day2, day3)
+    // Round 2 of the probe: round 1 showed NO drops — Spark keeps two
+    // watermarks (SPARK-42376): late-event filtering in batch N uses
+    // the EVICTION watermark of batch N-1 (= max ts through batch
+    // N-2, minus delay), so one-batch-late rows always survive. This
+    // round plants a two-batch-late row whose window end equals that
+    // filter watermark EXACTLY (boundary <=? <?) and a three-batch-late
+    // row that must drop under any reading.
     val files = Seq(
-      Seq(("f0_d1", day(1, 5)), ("f0_d2", day(2, 6))),
-      Seq(("f1_d3", day(3, 7)), ("f1_late_d1", day(1, 8)), ("f1_late_d2", day(2, 9)),
-        // boundary probe: ts exactly AT the watermark (= day2 06:00)
-        ("f1_at_wm", day(2, 6))),
-      Seq(("f2_d4", day(4, 3)), ("f2_late_d2", day(2, 10)), ("f2_late_d3", day(3, 1))))
+      // max ts of file0 = Jan 2 00:00:00 exactly (a day-2 row)
+      Seq(("f0_d1", day(1, 5)), ("f0_edge", day(2, 0))),
+      Seq(("f1_d3", day(3, 7)), ("f1_late_d1", day(1, 8))),
+      // two-batch late: filter wm in batch 2 = Jan 2 00:00 = window end
+      Seq(("f2_d4", day(4, 3)), ("f2_late_d1", day(1, 9))),
+      // three-batch late: filter wm in batch 3 = Jan 3 07:00 > window end
+      Seq(("f3_d5", day(5, 2)), ("f3_late_d1", day(1, 10))))
     files.zipWithIndex.foreach { case (rows, i) =>
       rows.toDF("tag", "ts").coalesce(1).write.mode("append").parquet(src)
       Thread.sleep(1100) // distinct mtimes → deterministic file order
