@@ -125,6 +125,141 @@ object PcaOps {
       .toDF("n_vectors", "lambda1", "total_var", "var_ratio")
   }
 
+  /** Top-m components by deflated power iteration: each component runs
+    * the same quantized multiply-normalize trajectory, with the raw
+    * iterate PARALLEL-orthogonalized against every already-found
+    * component each round (classical Gram–Schmidt on the O(dim) driver
+    * state — subtractions fold left-to-right so the oracle's
+    * `w - d0*v0 - d1*v1 - …` expression replays the exact arithmetic).
+    * Scale posture is unchanged from [[topComponent]]: m·iters map-only
+    * passes, each feeding a dim-bounded single-row aggregate; at deploy
+    * scale the basis is fitted on a bounded sample and applied to the
+    * full corpus — fitting IS a sampling-tolerant estimation step,
+    * the transform is the exact map-only pass.
+    */
+  def topComponents(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int, m: Int): (Array[Double], Array[Array[Double]]) = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val x = emb
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("x"))
+    val (xc, cache) = Reuse.materializedHandle(x)
+    try {
+      val muRow = xc.agg(
+        avg(element_at(col("x"), 1)),
+        (2 to dim).map(j => avg(element_at(col("x"), j))): _*).head()
+      val mu = Array.tabulate(dim)(j => quant(muRow.getDouble(j)))
+      val muLit = array(mu.map(lit).toIndexedSeq: _*)
+
+      val comps = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+      for (_ <- 0 until m) {
+        var v = Array.fill(dim)(quant(1.0 / math.sqrt(dim.toDouble)))
+        for (_ <- 1 to iters) {
+          val scored = withV(centered(xc, muLit), v)
+            .withColumn("s", expr("dot_product(c, v)"))
+          val wRow = scored.agg(
+            sum(col("s") * element_at(col("c"), 1)),
+            (2 to dim).map(j => sum(col("s") * element_at(col("c"), j))): _*)
+            .head()
+          val w = Array.tabulate(dim)(wRow.getDouble)
+          // parallel Gram–Schmidt: all projections taken against the RAW
+          // iterate, then subtracted left-to-right in component order
+          val dots = comps.map(p => (0 until dim).map(j => w(j) * p(j)).sum)
+          val wo = Array.tabulate(dim) { j =>
+            comps.zip(dots).foldLeft(w(j)) { case (acc, (p, d)) => acc - d * p(j) }
+          }
+          val norm = math.sqrt(wo.map(wj => wj * wj).sum)
+          v = wo.map(wj => quant(wj / norm))
+        }
+        comps += v
+      }
+      (mu, comps.toArray)
+    } finally cache.close()
+  }
+
+  /** Per-vector projections onto the top-m basis — the
+    * dimensionality-reduction transform (columns pc1..pcm, each
+    * 1e-6-quantized). Map-only once the basis is known.
+    */
+  def transform(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int, m: Int): DataFrame = {
+    val (mu, comps) = topComponents(emb, idCol, vecCol, dim, iters, m)
+    val x = emb
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("x"))
+    val c = centered(x, array(mu.map(lit).toIndexedSeq: _*))
+    val projCols = comps.zipWithIndex.map { case (v, t) =>
+      val vLit = array(v.map(lit).toIndexedSeq: _*)
+      (floor(expr("dot_product(c, v" + t + ")") * 1000000 + 0.5) / 1000000.0)
+        .as(s"pc${t + 1}")
+    }
+    val withVs = comps.zipWithIndex.foldLeft(c) { case (df, (v, t)) =>
+      df.withColumn("v" + t, array(v.map(lit).toIndexedSeq: _*))
+    }
+    withVs.select(col("id").as("vec_id") +: projCols.toIndexedSeq: _*)
+  }
+
+  /** Oracle for [[transform]]: the single-component trajectory chain
+    * repeated per component with the parallel Gram–Schmidt correction
+    * CTE (`o{t}_{k}`) between multiply and normalize.
+    */
+  def transformOracleSql(dim: Int, iters: Int, m: Int): String = {
+    def q(e: String) = s"FLOOR(($e)*1000000+0.5)/1000000.0"
+    val v0 = java.lang.Double.toString(quant(1.0 / math.sqrt(dim.toDouble)))
+    val chains = (0 until m).map { t =>
+      val rounds = (1 to iters).map { k =>
+        val ortho =
+          if (t == 0) s"o${t}_$k AS MATERIALIZED (SELECT idx, w FROM w${t}_$k)"
+          else {
+            val subs = (0 until t).map { p =>
+              s"- (SELECT SUM(w2.w * v.vv) FROM w${t}_$k w2 JOIN vf$p v USING (idx)) * a$p.vv"
+            }.mkString(" ")
+            val joins = (0 until t).map(p => s"JOIN vf$p a$p USING (idx)").mkString(" ")
+            s"""o${t}_$k AS MATERIALIZED (
+               |  SELECT w.idx, w.w $subs AS w FROM w${t}_$k w $joins)""".stripMargin
+          }
+        s"""s${t}_$k AS MATERIALIZED (SELECT id, SUM(cv * vv) AS s
+           |  FROM c JOIN v${t}_${k - 1} USING (idx) GROUP BY id),
+           |w${t}_$k AS MATERIALIZED (SELECT c.idx, SUM(cv * s) AS w
+           |  FROM c JOIN s${t}_$k USING (id) GROUP BY c.idx),
+           |$ortho,
+           |v${t}_$k AS MATERIALIZED (
+           |  SELECT idx, ${q(s"w / sqrt((SELECT SUM(w*w) FROM o${t}_$k))")} AS vv
+           |  FROM o${t}_$k)""".stripMargin
+      }.mkString(",\n")
+      s"""v${t}_0 AS MATERIALIZED (SELECT idx, $v0 AS vv FROM mu),
+         |$rounds,
+         |vf$t AS MATERIALIZED (SELECT idx, vv FROM v${t}_$iters)""".stripMargin
+    }.mkString(",\n")
+    val vfall = (0 until m)
+      .map(t => s"SELECT $t AS t, idx, vv FROM vf$t")
+      .mkString(" UNION ALL ")
+    val outCols = (0 until m).map { t =>
+      s"MAX(CASE WHEN t = $t THEN pc END) AS pc${t + 1}"
+    }.mkString(",\n  ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+       |    unnest(range(1, len(embedding)+1)) AS idx
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |mu AS MATERIALIZED (SELECT idx, ${q("AVG(val)")} AS m FROM e GROUP BY idx),
+       |c AS MATERIALIZED (
+       |  SELECT id, e.idx, val - m AS cv FROM e JOIN mu USING (idx)),
+       |$chains,
+       |vfall AS MATERIALIZED ($vfall),
+       |p AS MATERIALIZED (
+       |  SELECT c.id, v.t, ${q("SUM(c.cv * v.vv)")} AS pc
+       |  FROM c JOIN vfall v USING (idx) GROUP BY c.id, v.t)
+       |SELECT id AS vec_id,
+       |  $outCols
+       |FROM p GROUP BY id ORDER BY vec_id""".stripMargin
+  }
+
   /** The shared oracle CTE chain: centered values `c(id, idx, cv)` and
     * the unrolled iterates `v0..v{iters}` — DuckDB zips parallel
     * `unnest`s for (val, idx), and each round is score/multiply/

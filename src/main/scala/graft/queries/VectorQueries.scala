@@ -1098,10 +1098,29 @@ object VectorQueries {
       Tables.embeddings(spark, dir), "vec_id", "embedding", dim = 64, iters = 8)
   }
 
+  /** Top-4 basis transform by deflated power iteration
+    * ([[graft.ops.PcaOps.topComponents]]): per-vector (pc1..pc4)
+    * projections — the dimensionality-reduction map an index build
+    * applies corpus-wide after fitting the basis. Each later component
+    * is parallel-Gram–Schmidt-corrected against the found ones every
+    * round, so the oracle's per-round correction CTE replays the exact
+    * driver arithmetic. The 4× energy-compacted columns are what
+    * PERF.md's ProbePca measures for recall against naive truncation.
+    */
+  val q_pca_transform = QueryDef(
+    "q_pca_transform",
+    graft.ops.PcaOps.transformOracleSql(64, 6, 4)) { (spark, dir) =>
+    graft.ops.PcaOps.transform(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      dim = 64, iters = 6, m = 4)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
     q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_mutual, q_link_predict,
-    q_knn_clusters, q_array_hof, q_ann_dim_recall, q_pca_project, q_pca_variance)
+    q_knn_clusters, q_array_hof, q_ann_dim_recall, q_pca_project, q_pca_variance,
+    q_pca_transform)
 }
