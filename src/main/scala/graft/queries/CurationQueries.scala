@@ -939,6 +939,115 @@ object CurationQueries {
     }
   }
 
+  /** Content-defined chunking (CDC): chunk boundaries are placed where
+    * the rolling 8-char window hash ≡ 0 (mod 64) — a function of LOCAL
+    * content only, so an insertion or deletion reshapes at most the
+    * chunks it touches while every boundary downstream re-synchronizes
+    * (fixed-size chunking shifts every subsequent chunk — the property
+    * that makes CDC the chunking layer under storage/training-corpus
+    * chunk dedup; certified stability spec in CdcChunkSpec). Expected
+    * chunk length = the 64-char modulus. Engine: one codegen
+    * rolling-hash pass per doc ([[graft.functions.ShinglePosHashes]] —
+    * the SAME certified hash the shingle index uses), boundary
+    * selection and segmentation as pure array algebra (transform /
+    * filter / array_distinct / posexplode), no sequential state and no
+    * shuffle before the sort. Oracle replays the hash per position via
+    * `substr` + the shared polynomial rendering
+    * ([[TextOps.polyHashSql]], exact in BIGINT at n=8).
+    */
+  /** Shared oracle CTE prefix ending in the CDC chunk table
+    * `ch(doc_id, chunk_idx, start, chunk_len, chunk_md5)`.
+    */
+  private def cdcCtes: String = {
+    val h = TextOps.polyHashSql("substr(text, CAST(g AS INT), 8)", 8)
+    s"""d AS MATERIALIZED (
+       |  SELECT doc_id, text, CAST(len(text) AS BIGINT) AS ln FROM documents),
+       |pos AS MATERIALIZED (
+       |  SELECT doc_id, CAST(g + 7 AS BIGINT) AS cut
+       |  FROM d CROSS JOIN UNNEST(range(1, GREATEST(ln - 7, 0) + 1)) t(g)
+       |  WHERE $h % 64 = 0 AND g + 7 < ln),
+       |b AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, c FROM (
+       |    SELECT doc_id, CAST(0 AS BIGINT) AS c FROM d
+       |    UNION ALL SELECT doc_id, cut FROM pos
+       |    UNION ALL SELECT doc_id, ln FROM d)),
+       |s AS (SELECT doc_id, c,
+       |    LEAD(c) OVER (PARTITION BY doc_id ORDER BY c) AS nxt,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c) AS k
+       |  FROM b),
+       |ch AS MATERIALIZED (
+       |  SELECT s.doc_id, CAST(k AS BIGINT) AS chunk_idx, c AS start,
+       |    nxt - c AS chunk_len,
+       |    md5(substr(text, CAST(c AS INT) + 1, CAST(nxt - c AS INT)))
+       |      AS chunk_md5
+       |  FROM s JOIN d USING (doc_id) WHERE nxt IS NOT NULL)""".stripMargin
+  }
+
+  val q_cdc_chunks: QueryDef = QueryDef(
+    "q_cdc_chunks",
+    s"""WITH $cdcCtes
+       |SELECT doc_id, chunk_idx, start, chunk_len, chunk_md5
+       |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    cdcChunkRows(Tables.documents(spark, dir))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** The CDC chunk table (shared by q_cdc_chunks and q_cdc_dedup). */
+  private[graft] def cdcChunkRows(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), col("text"))
+      .withColumn("ln", length(col("text")).cast("long"))
+      .withColumn("cuts", filter(
+        transform(expr("shingle_pos_hashes(text, 8)"),
+          (h, i) => when(pmod(h, lit(64L)) === 0, i.cast("long") + 8L)
+            .otherwise(-1L)),
+        x => x > 0 && x < col("ln")))
+      .withColumn("bounds", array_distinct(
+        concat(array(lit(0L)), col("cuts"), array(col("ln")))))
+      .withColumn("chunks",
+        when(size(col("bounds")) > 1,
+          transform(sequence(lit(1), size(col("bounds")) - 1),
+            k => struct(
+              element_at(col("bounds"), k).as("start"),
+              (element_at(col("bounds"), k + 1)
+                - element_at(col("bounds"), k)).as("clen"))))
+          .otherwise(array().cast("array<struct<start:bigint,clen:bigint>>")))
+      .select(col("doc_id"), col("text"),
+        posexplode(col("chunks")).as(Seq("ci", "ch")))
+      .select(col("doc_id"),
+        (col("ci") + 1).cast("long").as("chunk_idx"),
+        col("ch.start").as("start"),
+        col("ch.clen").as("chunk_len"),
+        md5(expr("substr(text, ch.start + 1, ch.clen)")).as("chunk_md5"))
+  }
+
+  /** Chunk-level cross-document dedup over the CDC chunks: which
+    * content spans recur across distinct documents (≥16 chars, ≥2
+    * docs) — the readoff CDC chunking exists to enable, since its
+    * boundaries re-synchronize across insert/delete edits and fixed
+    * grids don't. Hash-grouped on the chunk digest: one shuffle of
+    * (digest, doc) pairs, output bounded by the shared-span count.
+    */
+  val q_cdc_dedup: QueryDef = QueryDef(
+    "q_cdc_dedup",
+    s"""WITH $cdcCtes
+       |SELECT chunk_md5, chunk_len,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |FROM ch WHERE chunk_len >= 16
+       |GROUP BY chunk_md5, chunk_len
+       |HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY chunk_md5""".stripMargin) { (spark, dir) =>
+    cdcChunkRows(Tables.documents(spark, dir))
+      .filter(col("chunk_len") >= 16)
+      .groupBy(col("chunk_md5"), col("chunk_len"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("chunk_md5"))
+  }
+
   /** Duplication-cluster size histogram: how many near-dup groups of
     * each size the corpus contains (singletons included) — the
     * one-glance duplication health chart built ON TOP of the certified
@@ -1061,5 +1170,6 @@ object CurationQueries {
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
     q_hll_overlap, q_pii_scrub, q_soft_dedup_sample, q_bigram_lm,
     q_dataset_split, q_group_split, q_split_leakage, q_host_caps, q_doc_chunks,
+    q_cdc_chunks, q_cdc_dedup,
     q_canonical_docs, q_dataset_card, q_dup_cluster_sizes)
 }
