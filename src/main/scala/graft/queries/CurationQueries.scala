@@ -996,15 +996,24 @@ object CurationQueries {
   private[graft] def cdcChunkRows(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col("doc_id"), col("text"))
-      .withColumn("ln", length(col("text")).cast("long"))
-      .withColumn("cuts", filter(
-        transform(expr("shingle_pos_hashes(text, 8)"),
-          (h, i) => when(pmod(h, lit(64L)) === 0, i.cast("long") + 8L)
-            .otherwise(-1L)),
-        x => x > 0 && x < col("ln")))
-      .withColumn("bounds", array_distinct(
-        concat(array(lit(0L)), col("cuts"), array(col("ln")))))
+    // Materialize the bounds stage: the downstream `chunks` transform
+    // reads `bounds` once per sequence element, and CollapseProject
+    // would otherwise inline the whole hash→transform→filter chain
+    // into EVERY element_at — the deferred-projection re-evaluation
+    // trap (same failure mode the sketch-ANN corpus tuple documents),
+    // measured here as 11 s → ~1 s at sf0.1.
+    val bounded = graft.ops.Reuse.materialized(
+      docs.select(col("doc_id"), col("text"))
+        .withColumn("ln", length(col("text")).cast("long"))
+        .withColumn("cuts", filter(
+          transform(expr("shingle_pos_hashes(text, 8)"),
+            (h, i) => when(pmod(h, lit(64L)) === 0, i.cast("long") + 8L)
+              .otherwise(-1L)),
+          x => x > 0 && x < col("ln")))
+        .withColumn("bounds", array_distinct(
+          concat(array(lit(0L)), col("cuts"), array(col("ln")))))
+        .select(col("doc_id"), col("text"), col("bounds")))
+    bounded
       .withColumn("chunks",
         when(size(col("bounds")) > 1,
           transform(sequence(lit(1), size(col("bounds")) - 1),
@@ -1046,6 +1055,67 @@ object CurationQueries {
         countDistinct(col("doc_id")).as("n_docs"))
       .filter(col("n_docs") >= 2)
       .orderBy(col("chunk_md5"))
+  }
+
+  /** Purged k-fold temporal split with embargo (the leakage-safe CV
+    * construction for label horizons): 3 contiguous day-folds; a train
+    * row is PURGED when its 7-day label window [d, d+7) overlaps the
+    * fold's test interval, and EMBARGOED when it falls in the 3 days
+    * after test end (information leaking backward through serially
+    * correlated features). Emits the per-fold account (n_test, n_train,
+    * n_purged, n_embargoed) a training pipeline logs before it trusts
+    * a temporal CV score. Scale posture: events reduce to the day grain
+    * FIRST (one hash agg), then 3 broadcast fold rows classify ~nd
+    * day-rows — the classification never touches row-sized data.
+    */
+  val q_purged_split = QueryDef(
+    "q_purged_split",
+    """WITH ev AS (
+      |  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      |bnd AS (SELECT MIN(d) AS d0,
+      |  DATEDIFF('day', MIN(d), MAX(d)) + 1 AS nd FROM ev),
+      |byday AS (SELECT d, COUNT(*) AS n FROM ev GROUP BY d),
+      |folds AS (SELECT unnest(range(0, 3)) AS fold),
+      |cls AS (
+      |  SELECT f.fold,
+      |    CASE
+      |      WHEN di >= lo AND di < hi THEN 'test'
+      |      WHEN di < hi AND di + 7 > lo THEN 'purged'
+      |      WHEN di >= hi AND di < hi + 3 THEN 'embargoed'
+      |      ELSE 'train' END AS cls, n
+      |  FROM (SELECT b.d, b.n, DATEDIFF('day', d0, b.d) AS di, nd
+      |        FROM byday b CROSS JOIN bnd) x
+      |  CROSS JOIN (SELECT fold, (fold * (SELECT nd FROM bnd)) // 3 AS lo,
+      |    ((fold + 1) * (SELECT nd FROM bnd)) // 3 AS hi FROM folds) f)
+      |SELECT fold,
+      |  CAST(COALESCE(SUM(CASE WHEN cls = 'test' THEN n END), 0) AS BIGINT) AS n_test,
+      |  CAST(COALESCE(SUM(CASE WHEN cls = 'train' THEN n END), 0) AS BIGINT) AS n_train,
+      |  CAST(COALESCE(SUM(CASE WHEN cls = 'purged' THEN n END), 0) AS BIGINT) AS n_purged,
+      |  CAST(COALESCE(SUM(CASE WHEN cls = 'embargoed' THEN n END), 0) AS BIGINT) AS n_embargoed
+      |FROM cls GROUP BY fold ORDER BY fold""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(to_date(col("ts")).as("d"))
+    val byday = ev.groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val bnd = ev.agg(min(col("d")).as("d0"),
+      (datediff(max(col("d")), min(col("d"))) + 1).as("nd")).head()
+    val (d0, nd) = (bnd.getDate(0), bnd.getInt(1))
+    val folds = Seq(0L, 1L, 2L).map(f => (f, f * nd / 3, (f + 1) * nd / 3))
+      .toDF("fold", "lo", "hi")
+    val cls = byday
+      .withColumn("di", datediff(col("d"), lit(d0)).cast("long"))
+      .crossJoin(broadcast(folds))
+      .withColumn("cls",
+        when(col("di") >= col("lo") && col("di") < col("hi"), "test")
+          .when(col("di") < col("hi") && col("di") + 7 > col("lo"), "purged")
+          .when(col("di") >= col("hi") && col("di") < col("hi") + 3, "embargoed")
+          .otherwise("train"))
+    cls.groupBy(col("fold"))
+      .agg(
+        coalesce(sum(when(col("cls") === "test", col("n"))), lit(0L)).as("n_test"),
+        coalesce(sum(when(col("cls") === "train", col("n"))), lit(0L)).as("n_train"),
+        coalesce(sum(when(col("cls") === "purged", col("n"))), lit(0L)).as("n_purged"),
+        coalesce(sum(when(col("cls") === "embargoed", col("n"))), lit(0L)).as("n_embargoed"))
+      .orderBy(col("fold"))
   }
 
   /** Duplication-cluster size histogram: how many near-dup groups of
@@ -1170,6 +1240,6 @@ object CurationQueries {
     q_weighted_sample, q_lm_quality, q_dup_rate_by_source, q_source_overlap,
     q_hll_overlap, q_pii_scrub, q_soft_dedup_sample, q_bigram_lm,
     q_dataset_split, q_group_split, q_split_leakage, q_host_caps, q_doc_chunks,
-    q_cdc_chunks, q_cdc_dedup,
+    q_cdc_chunks, q_cdc_dedup, q_purged_split,
     q_canonical_docs, q_dataset_card, q_dup_cluster_sizes)
 }
