@@ -197,6 +197,20 @@ class PlanSpec extends AnyFunSuite {
       s"chunker must stay in codegen column algebra:\n$p")
   }
 
+  test("CDC chunking keeps the cache barrier against projection re-collapse") {
+    // q_cdc_chunks materializes the bounds stage so the chunks
+    // transform reads a plain attribute; without the barrier,
+    // CollapseProject inlines the hash→transform→filter chain into
+    // EVERY element_at (measured 11 s → 0.42 s at sf0.1). The barrier
+    // must survive as an InMemoryTableScan feeding the generator, and
+    // the rolling hash must appear ONCE, below it.
+    val p = plan("q_cdc_chunks")
+    assert(p.contains("InMemoryTableScan"),
+      s"bounds-stage cache barrier lost — re-evaluation trap is back:\n$p")
+    val hashEvals = "shinglepos".r.findAllIn(p.toLowerCase).size
+    assert(hashEvals <= 1, s"rolling hash inlined $hashEvals times:\n$p")
+  }
+
   test("sketch ANN plans as brute's shape plus a stateless radius conjunct") {
     val p = plan("q_ann_sketch")
     // the prefilter is a FILTER in the nested-loop stage, not an
