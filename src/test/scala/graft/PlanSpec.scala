@@ -205,10 +205,11 @@ class PlanSpec extends AnyFunSuite {
     // must survive as an InMemoryTableScan feeding the generator, and
     // the rolling hash must appear ONCE, below it.
     val p = plan("q_cdc_chunks")
-    assert(p.contains("InMemoryTableScan"),
-      s"bounds-stage cache barrier lost — re-evaluation trap is back:\n$p")
+    assert("Scan ExistingRDD\\[doc_id[^\\]]*bounds".r.findFirstIn(p).nonEmpty,
+      s"bounds-stage materialization barrier lost — re-evaluation trap is back:\n$p")
     val hashEvals = "shinglepos".r.findAllIn(p.toLowerCase).size
-    assert(hashEvals <= 1, s"rolling hash inlined $hashEvals times:\n$p")
+    assert(hashEvals == 0,
+      s"rolling hash leaked above the barrier ($hashEvals evals):\n$p")
   }
 
   test("sketch ANN plans as brute's shape plus a stateless radius conjunct") {
