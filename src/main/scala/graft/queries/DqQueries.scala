@@ -289,6 +289,109 @@ object DqQueries {
       .orderBy(col("event_type"))
   }
 
+  /** t-closeness audit — the third privacy gate after [[q_k_anonymity]]
+    * and [[q_l_diversity]]: a class can be k-anonymous AND l-diverse
+    * while its sensitive-value DISTRIBUTION still leaks (every row in
+    * the class skews rich, say). Per QI class (event_type, day, value
+    * tier) we measure Earth-Mover's Distance between the class's
+    * ordered sensitive-bucket distribution (spend cents in 20 fixed
+    * buckets) and the event_type's global distribution — for ordered
+    * equal-width buckets EMD is the mean |cumulative difference|, which
+    * stays on the exact integer lattice by cross-multiplying the
+    * unnormalized counts (d = n_cb·N_g − g_b·N_c) before the prefix
+    * sum, then one floor division into ppm at the end. Absent buckets
+    * still carry the running |cum| — the dense class×bucket grid is
+    * what makes the prefix positions complete (classes × 20 rows,
+    * bounded). Roll-up per type: worst class t, classes past t=0.2,
+    * rows exposed. One grouping pass per grain; the grid join
+    * broadcasts a 20-row bucket list.
+    */
+  val q_t_closeness = QueryDef(
+    "q_t_closeness",
+    """WITH ev AS MATERIALIZED (
+      |  SELECT event_type,
+      |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+      |    CAST(FLOOR(value / 50) AS BIGINT) AS value_tier,
+      |    LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 2500, 19) AS b
+      |  FROM events),
+      |cls AS (SELECT event_type, day, value_tier,
+      |    CAST(COUNT(*) AS BIGINT) AS nc
+      |  FROM ev GROUP BY 1, 2, 3),
+      |cell AS (SELECT event_type, day, value_tier, b,
+      |    CAST(COUNT(*) AS BIGINT) AS ncb
+      |  FROM ev GROUP BY 1, 2, 3, 4),
+      |gl AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS gb
+      |  FROM ev GROUP BY 1, 2),
+      |gtot AS (SELECT event_type, CAST(SUM(gb) AS BIGINT) AS ng
+      |  FROM gl GROUP BY 1),
+      |grid AS (
+      |  SELECT c.event_type, c.day, c.value_tier, c.nc, t.ng, bs.b,
+      |    COALESCE(ce.ncb, 0) AS ncb, COALESCE(g.gb, 0) AS gb
+      |  FROM cls c
+      |  JOIN gtot t USING (event_type)
+      |  CROSS JOIN (SELECT unnest(range(0, 20)) AS b) bs
+      |  LEFT JOIN cell ce USING (event_type, day, value_tier, b)
+      |  LEFT JOIN gl g USING (event_type, b)),
+      |cum AS (
+      |  SELECT event_type, day, value_tier, nc, ng, b,
+      |    SUM(ncb * ng - gb * nc) OVER (
+      |      PARTITION BY event_type, day, value_tier
+      |      ORDER BY b ROWS UNBOUNDED PRECEDING) AS cd
+      |  FROM grid),
+      |tcls AS (
+      |  SELECT event_type, day, value_tier, nc,
+      |    (SUM(ABS(cd)) * 1000000) // (nc * ng * 19) AS t_ppm
+      |  FROM cum WHERE b < 19
+      |  GROUP BY event_type, day, value_tier, nc, ng)
+      |SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(MAX(t_ppm) AS BIGINT) AS max_t_ppm,
+      |  CAST(SUM(CASE WHEN t_ppm > 200000 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS weak_classes,
+      |  CAST(SUM(CASE WHEN t_ppm > 200000 THEN nc ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk
+      |FROM tcls GROUP BY 1 ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.ops.Reuse.materialized(
+      Tables.events(spark, dir).select(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        floor(col("value") / 50).cast("long").as("value_tier"),
+        least(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div 2500"),
+          lit(19L)).as("b")))
+    val cls = ev.groupBy(col("event_type"), col("day"), col("value_tier"))
+      .agg(count(lit(1)).as("nc"))
+    val cell = ev.groupBy(col("event_type"), col("day"), col("value_tier"),
+        col("b")).agg(count(lit(1)).as("ncb"))
+    val glob = ev.groupBy(col("event_type"), col("b"))
+      .agg(count(lit(1)).as("gb"))
+    val gtot = glob.groupBy(col("event_type")).agg(sum(col("gb")).as("ng"))
+    val buckets = spark.range(0, 20).select(col("id").as("b"))
+    val grid = cls
+      .join(gtot, Seq("event_type"))
+      .crossJoin(broadcast(buckets))
+      .join(cell, Seq("event_type", "day", "value_tier", "b"), "left")
+      .join(glob, Seq("event_type", "b"), "left")
+      .select(col("event_type"), col("day"), col("value_tier"),
+        col("nc"), col("ng"), col("b"),
+        coalesce(col("ncb"), lit(0L)).as("ncb"),
+        coalesce(col("gb"), lit(0L)).as("gb"))
+    val w = Window.partitionBy(col("event_type"), col("day"), col("value_tier"))
+      .orderBy(col("b")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tcls = grid
+      .withColumn("cd", sum(col("ncb") * col("ng") - col("gb") * col("nc")).over(w))
+      .filter(col("b") < 19)
+      .groupBy(col("event_type"), col("day"), col("value_tier"),
+        col("nc"), col("ng"))
+      .agg(sum(abs(col("cd"))).as("sad"))
+      .withColumn("t_ppm", expr("(sad * 1000000) DIV (nc * ng * 19)"))
+    tcls.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_classes"),
+        max(col("t_ppm")).as("max_t_ppm"),
+        sum(when(col("t_ppm") > 200000, 1L).otherwise(0L)).as("weak_classes"),
+        sum(when(col("t_ppm") > 200000, col("nc")).otherwise(0L)).as("rows_at_risk"))
+      .orderBy(col("event_type"))
+  }
+
   /** Cohen's kappa inter-rater agreement, per language, between two
     * deterministic document raters — the chance-corrected agreement
     * statistic every labeling/curation pipeline reports before
@@ -686,6 +789,7 @@ object DqQueries {
 
   val all: Seq[QueryDef] =
     Seq(q_dq_checks, q_k_anonymity, q_benford, q_assoc_chi2, q_l_diversity,
+      q_t_closeness,
       q_cohens_kappa, q_ks_test, q_mannwhitney, q_isotonic,
       q_gini_concentration)
 }
