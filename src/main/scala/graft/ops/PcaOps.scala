@@ -260,6 +260,53 @@ object PcaOps {
        |FROM p GROUP BY id ORDER BY vec_id""".stripMargin
   }
 
+  /** The power trajectory re-derived from MERGED RAW MOMENTS
+    * (n, Σx, Σxxᵀ) instead of data passes — the continuous-ingest form:
+    * each micro-batch contributes its moments (a d²+d+1-value MONOID),
+    * and the centered matrix-vector product the batch path computes as
+    * `Σ_rows c·(c·v)` is algebraically `C'·v` with
+    * `C'_jk = S_jk − mu_j·Sx_k − mu_k·Sx_j + n·mu_j·mu_k` (mu the
+    * 1e-6-quantized mean, exactly as the batch path quantizes it). The
+    * two associations differ only in float summation grouping
+    * (~1e-13 relative), which the per-round 1e-6 quantization absorbs —
+    * the SAME determinism class the engine/oracle pair already rides —
+    * so the moments-derived component certifies against the identical
+    * DuckDB oracle as the batch trajectory.
+    */
+  def componentFromMoments(
+      n: Long, sx: Array[Double], sxx: Array[Array[Double]],
+      dim: Int, iters: Int): (Array[Double], Array[Double]) = {
+    val mu = sx.map(s => quant(s / n.toDouble))
+    val cp = Array.tabulate(dim, dim) { (j, k) =>
+      sxx(j)(k) - mu(j) * sx(k) - mu(k) * sx(j) + n.toDouble * mu(j) * mu(k)
+    }
+    var v = Array.fill(dim)(quant(1.0 / math.sqrt(dim.toDouble)))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim)(j =>
+        (0 until dim).foldLeft(0.0)((acc, k) => acc + cp(j)(k) * v(k)))
+      val norm = math.sqrt(w.map(wj => wj * wj).sum)
+      v = w.map(wj => quant(wj / norm))
+    }
+    (mu, v)
+  }
+
+  /** Map-only projection of `emb` onto a KNOWN (mean, component) —
+    * the tail of [[project]], shared with the streaming-moments path.
+    */
+  def projectWith(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      mu: Array[Double], v: Array[Double]): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val x = emb
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("x"))
+    withV(centered(x, array(mu.map(lit).toIndexedSeq: _*)), v)
+      .withColumn("s", expr("dot_product(c, v)"))
+      .select(col("id").as("vec_id"),
+        (floor(col("s") * 1000000 + 0.5) / 1000000.0).as("pc1"))
+  }
+
   /** The shared oracle CTE chain: centered values `c(id, idx, cv)` and
     * the unrolled iterates `v0..v{iters}` — DuckDB zips parallel
     * `unnest`s for (val, idx), and each round is score/multiply/

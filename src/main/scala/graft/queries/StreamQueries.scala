@@ -1045,8 +1045,80 @@ object StreamQueries {
       .orderBy(col("batch_id"))
   }
 
+  /** STREAMING PCA maintenance — the continuous-ingest half of the
+    * q_pca_project trajectory ([[graft.ops.PcaOps]]): each micro-batch
+    * contributes its raw moments (n, Σx, Σxxᵀ) — a d²+d+1-value MONOID,
+    * the bounded mergeable state that makes a basis maintainable under
+    * ingest without re-scanning history — written replay-idempotently
+    * per batch, merged key-wise at read time, and the SAME quantized
+    * power trajectory re-derived from the merged moments
+    * ([[graft.ops.PcaOps.componentFromMoments]]: the batch path's
+    * `Σ_rows c·(c·v)` regrouped as `C'·v`, a float-association change
+    * the per-round 1e-6 quantization absorbs). Certified against the
+    * IDENTICAL DuckDB oracle as batch q_pca_project — no batch
+    * boundary, and no data-vs-moments association change, may leak
+    * into the certified projections. Per batch the d² fan-out runs as
+    * explode + pair join + hash agg (partial-aggregated; at deploy
+    * scale the same accumulation is one custom TypedImperativeAggregate
+    * buffer — the MultiHllSketch pattern — saving the d² row blow-up).
+    */
+  val q_stream_pca = QueryDef(
+    "q_stream_pca",
+    graft.ops.PcaOps.projectOracleSql(64, 8)) { (spark, dir) =>
+    val dim = 64
+    val emb = Tables.embeddings(spark, dir)
+    val work = StreamingOps.tempSinkDir("graft_stream_pca_")
+    val src = s"$work/src"
+    emb.repartition(4).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    StreamingOps.withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          val x = batch
+            .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+            .select(col("vec_id").cast("long").as("id"),
+              col("embedding").cast("array<double>").as("x"))
+          val e = x.select(col("id"), posexplode(col("x")).as(Seq("j", "vj")))
+          // second moments (j,k,s), first moments (j,-1,s), count (-1,-1,n)
+          val second = e.join(
+              e.select(col("id"), col("j").as("k"), col("vj").as("vk")), "id")
+            .groupBy(col("j"), col("k")).agg(sum(col("vj") * col("vk")).as("s"))
+          val first = e.groupBy(col("j"))
+            .agg(sum(col("vj")).as("s")).withColumn("k", lit(-1))
+          val cnt = x.agg(count(lit(1)).cast("double").as("s"))
+            .select(lit(-1).as("j"), lit(-1).as("k"), col("s"))
+          StreamingOps.writeBatchDir(
+            second.select(col("j"), col("k"), col("s"))
+              .unionByName(first.select(col("j"), col("k"), col("s")))
+              .unionByName(cnt),
+            s"$work/state", batchId)
+          ()
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    // key-wise monoid merge of the batch moments, then a bounded
+    // (d²+d+1)-value collect feeds the driver-side trajectory
+    val merged = StreamingOps.readBatchDirs(spark, s"$work/state")
+      .groupBy(col("j"), col("k")).agg(sum(col("s")).as("s"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val n = merged((-1, -1)).toLong
+    val sx = Array.tabulate(dim)(j => merged((j, -1)))
+    val sxx = Array.tabulate(dim, dim)((j, k) => merged((j, k)))
+    val (mu, v) = graft.ops.PcaOps.componentFromMoments(n, sx, sxx, dim, iters = 8)
+    graft.ops.PcaOps.projectWith(emb, "vec_id", "embedding", dim, mu, v)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_stream_ks, q_stream_conformal, q_stream_late, q_stream_late_audit,
+    q_stream_pca,
     q_stream_hourly, q_stream_hourly_append, q_stream_dedup, q_stream_enrich,
     q_stream_join, q_stream_join_outer, q_stream_join_full,
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
