@@ -1057,10 +1057,12 @@ object StreamQueries {
     * the per-round 1e-6 quantization absorbs). Certified against the
     * IDENTICAL DuckDB oracle as batch q_pca_project — no batch
     * boundary, and no data-vs-moments association change, may leak
-    * into the certified projections. Per batch the d² fan-out runs as
-    * explode + pair join + hash agg (partial-aggregated; at deploy
-    * scale the same accumulation is one custom TypedImperativeAggregate
-    * buffer — the MultiHllSketch pattern — saving the d² row blow-up).
+    * into the certified projections. Per batch the accumulation is ONE
+    * [[graft.functions.VectorMoments]] TypedImperativeAggregate pass
+    * (each row folds d² FMAs into a (1+d+d²)-double buffer in place —
+    * no explode, no row amplification; the shuffle carries one partial
+    * buffer per map partition), spec-certified equal to the explode +
+    * pair-join formulation in VectorMomentsSpec.
     */
   val q_stream_pca = QueryDef(
     "q_stream_pca",
@@ -1079,24 +1081,19 @@ object StreamQueries {
         .option("checkpointLocation", s"$work/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-          val x = batch
-            .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
-            .select(col("vec_id").cast("long").as("id"),
-              col("embedding").cast("array<double>").as("x"))
-          val e = x.select(col("id"), posexplode(col("x")).as(Seq("j", "vj")))
-          // second moments (j,k,s), first moments (j,-1,s), count (-1,-1,n)
-          val second = e.join(
-              e.select(col("id"), col("j").as("k"), col("vj").as("vk")), "id")
-            .groupBy(col("j"), col("k")).agg(sum(col("vj") * col("vk")).as("s"))
-          val first = e.groupBy(col("j"))
-            .agg(sum(col("vj")).as("s")).withColumn("k", lit(-1))
-          val cnt = x.agg(count(lit(1)).cast("double").as("s"))
-            .select(lit(-1).as("j"), lit(-1).as("k"), col("s"))
+          val ss = batch.sparkSession
+          import ss.implicits._
+          val m = batch
+            .agg(graft.functions.VectorMoments(col("embedding"), dim).as("m"))
+            .head().getSeq[Double](0)
+          // flat buffer -> (j,k,s) state rows: count (-1,-1),
+          // first moments (j,-1), second moments (j,k)
+          val rows = Seq((-1, -1, m(0))) ++
+            (0 until dim).map(j => (j, -1, m(1 + j))) ++
+            (for (j <- 0 until dim; k <- 0 until dim)
+              yield (j, k, m(1 + dim + j * dim + k)))
           StreamingOps.writeBatchDir(
-            second.select(col("j"), col("k"), col("s"))
-              .unionByName(first.select(col("j"), col("k"), col("s")))
-              .unionByName(cnt),
-            s"$work/state", batchId)
+            rows.toDF("j", "k", "s"), s"$work/state", batchId)
           ()
         }
         .start()
