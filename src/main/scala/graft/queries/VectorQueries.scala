@@ -1116,11 +1116,66 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** Embedding-space outlier scoring — diagonal Mahalanobis distance²
+    * per vector (Σ_j ((x_j−mu_j)/sd_j)²), the curation filter that
+    * flags corrupt/degenerate embeddings before they poison an index
+    * or a training mix. Per-dim mean and sample-stddev are
+    * 1e-6-quantized (the kmeans standardization contract, zero-variance
+    * dims pinned to sd=1), the z-vector is built with two `zip_with`
+    * passes against literal arrays, and the score is one codegen
+    * `dot_product(z, z)` — a single stats pass plus a map-only scoring
+    * pass, both O(dim) driver state. The oracle replays the identical
+    * quantized standardization per (id, idx).
+    */
+  val q_embed_outliers = QueryDef(
+    "q_embed_outliers",
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
+       |    unnest(range(1, len(embedding)+1)) AS idx
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+       |st AS (SELECT idx,
+       |    FLOOR(AVG(val)*1000000+0.5)/1000000.0 AS m,
+       |    CASE WHEN FLOOR(STDDEV_SAMP(val)*1000000+0.5)/1000000.0 > 0
+       |      THEN FLOOR(STDDEV_SAMP(val)*1000000+0.5)/1000000.0
+       |      ELSE 1.0 END AS sd
+       |  FROM e GROUP BY idx)
+       |SELECT id AS vec_id,
+       |  FLOOR(SUM(((val - m) / sd) * ((val - m) / sd))*1000000+0.5)/1000000.0
+       |    AS m2
+       |FROM e JOIN st USING (idx)
+       |GROUP BY id ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    graft.functions.GraftFunctions.register(spark)
+    val dim = 64
+    def quant(v: Double): Double = graft.ops.Reuse.quantMicro(v)
+    val x = Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull && size(col("embedding")) === dim)
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<double>").as("x"))
+    val st = x.agg(
+      avg(element_at(col("x"), 1)),
+      ((2 to dim).map(j => avg(element_at(col("x"), j))) ++
+        (1 to dim).map(j => stddev_samp(element_at(col("x"), j)))): _*).head()
+    val mu = Array.tabulate(dim)(j => quant(st.getDouble(j)))
+    val sd = Array.tabulate(dim) { j =>
+      val q = if (st.isNullAt(dim + j)) Double.NaN else quant(st.getDouble(dim + j))
+      if (q > 0) q else 1.0
+    }
+    x.withColumn("z", zip_with(
+        zip_with(col("x"), array(mu.map(lit).toIndexedSeq: _*), (a, b) => a - b),
+        array(sd.map(lit).toIndexedSeq: _*), (c, s) => c / s))
+      .withColumn("m2raw", expr("dot_product(z, z)"))
+      .select(col("id").as("vec_id"),
+        (floor(col("m2raw") * 1000000 + 0.5) / 1000000.0).as("m2"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
     q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_mutual, q_link_predict,
     q_knn_clusters, q_array_hof, q_ann_dim_recall, q_pca_project, q_pca_variance,
-    q_pca_transform)
+    q_pca_transform, q_embed_outliers)
 }
