@@ -12,6 +12,10 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.local(cpus)
     new java.io.File(outDir).mkdirs()
+    // single source of truth for the headline counts (round-8 verdict
+    // item 7: README/PERF.md drifted by one) — docs paste from here
+    println(s"[counts] registry_queries=${SparkEntry.queries.size} " +
+      s"oracle_queries=${SparkEntry.oracleSql.size}")
     // A failing query must leave a machine-readable trace, not just a
     // missing output dir: the driver's correctness JSON is built from
     // what exists in outDir, so absence reads as "not run" instead of

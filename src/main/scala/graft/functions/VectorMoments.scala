@@ -18,9 +18,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * buffers), planned via ObjectHashAggregate with standard
   * serialize/merge partials — the MultiHllSketch/TopKRows pattern.
   *
-  * Rows that are NULL or of the wrong dimension are skipped (the same
-  * contract as the PCA scan filter). Evaluates to the flat
-  * `array<double>` buffer; callers slice (n, Σx, Σxxᵀ) out of it.
+  * Rows that are NULL, of the wrong dimension, or containing ANY null
+  * element are skipped (the same contract as the PCA scan filter —
+  * `ArrayData.getDouble` on a null slot would silently read 0.0 and
+  * the streaming mu would drift from the batch path's). Evaluates to
+  * the flat `array<double>` buffer; callers slice (n, Σx, Σxxᵀ) out.
   */
 case class VectorMoments(
     child: Expression,
@@ -41,7 +43,12 @@ case class VectorMoments(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
+      var anyNull = false
       if (arr.numElements() == dim) {
+        var i = 0
+        while (i < dim && !anyNull) { anyNull = arr.isNullAt(i); i += 1 }
+      }
+      if (arr.numElements() == dim && !anyNull) {
         buf(0) += 1.0
         var j = 0
         while (j < dim) {

@@ -60,6 +60,9 @@ object PcaOps {
           .head()
         val w = Array.tabulate(dim)(wRow.getDouble)
         val norm = math.sqrt(w.map(wj => wj * wj).sum)
+        require(norm > 0,
+          "power iterate collapsed to zero norm — the centered corpus is " +
+            "all-zero/constant (no principal direction exists)")
         v = w.map(wj => quant(wj / norm))
       }
       (mu, v)
@@ -118,6 +121,8 @@ object PcaOps {
       sum(expr("dot_product(c, c)")),
       count(lit(1))).head()
     val n = row.getLong(2)
+    require(n > 1,
+      s"variance needs at least 2 vectors after the dim filter, got $n")
     val lambda = quant(row.getDouble(0) / (n - 1).toDouble)
     val total = quant(row.getDouble(1) / (n - 1).toDouble)
     val ratio = quant(lambda / total)
@@ -171,6 +176,9 @@ object PcaOps {
             comps.zip(dots).foldLeft(w(j)) { case (acc, (p, d)) => acc - d * p(j) }
           }
           val norm = math.sqrt(wo.map(wj => wj * wj).sum)
+          require(norm > 0,
+            s"deflated power iterate collapsed to zero norm at component " +
+              s"${comps.size + 1} — corpus rank is below the requested m")
           v = wo.map(wj => quant(wj / norm))
         }
         comps += v
@@ -203,11 +211,14 @@ object PcaOps {
     withVs.select(col("id").as("vec_id") +: projCols.toIndexedSeq: _*)
   }
 
-  /** Oracle for [[transform]]: the single-component trajectory chain
-    * repeated per component with the parallel Gram–Schmidt correction
-    * CTE (`o{t}_{k}`) between multiply and normalize.
+  /** Shared deflated-trajectory CTE block (everything up to the
+    * per-(id, component) quantized projections `p(id, t, pc)`): the
+    * single-component trajectory chain repeated per component with the
+    * parallel Gram–Schmidt correction CTE (`o{t}_{k}`) between multiply
+    * and normalize. Used by [[transformOracleSql]] and
+    * [[outlierOracleSql]].
     */
-  def transformOracleSql(dim: Int, iters: Int, m: Int): String = {
+  private def deflatedCtes(dim: Int, iters: Int, m: Int): String = {
     def q(e: String) = s"FLOOR(($e)*1000000+0.5)/1000000.0"
     val v0 = java.lang.Double.toString(quant(1.0 / math.sqrt(dim.toDouble)))
     val chains = (0 until m).map { t =>
@@ -238,10 +249,7 @@ object PcaOps {
     val vfall = (0 until m)
       .map(t => s"SELECT $t AS t, idx, vv FROM vf$t")
       .mkString(" UNION ALL ")
-    val outCols = (0 until m).map { t =>
-      s"MAX(CASE WHEN t = $t THEN pc END) AS pc${t + 1}"
-    }.mkString(",\n  ")
-    s"""WITH e AS MATERIALIZED (
+    s"""e AS MATERIALIZED (
        |  SELECT vec_id AS id,
        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS val,
        |    unnest(range(1, len(embedding)+1)) AS idx
@@ -254,10 +262,111 @@ object PcaOps {
        |vfall AS MATERIALIZED ($vfall),
        |p AS MATERIALIZED (
        |  SELECT c.id, v.t, ${q("SUM(c.cv * v.vv)")} AS pc
-       |  FROM c JOIN vfall v USING (idx) GROUP BY c.id, v.t)
+       |  FROM c JOIN vfall v USING (idx) GROUP BY c.id, v.t)""".stripMargin
+  }
+
+  /** Oracle for [[transform]]: pivot the shared deflated projections
+    * into pc1..pcm columns. */
+  def transformOracleSql(dim: Int, iters: Int, m: Int): String = {
+    val outCols = (0 until m).map { t =>
+      s"MAX(CASE WHEN t = $t THEN pc END) AS pc${t + 1}"
+    }.mkString(",\n  ")
+    s"""WITH ${deflatedCtes(dim, iters, m)}
        |SELECT id AS vec_id,
        |  $outCols
        |FROM p GROUP BY id ORDER BY vec_id""".stripMargin
+  }
+
+  /** Oracle for the SUBSPACE Mahalanobis outlier score
+    * (q_embed_outliers_pca): projections from the shared deflated
+    * trajectory move onto the integer micro lattice
+    * (`pcm = FLOOR(pc·1e6+0.5)`), per-component eigenvalues in micro
+    * units by exact integer arithmetic
+    * (`lam_micro = Σpcm² // ((n−1)·1e6)`), and the score decomposes as
+    * z2_micro = Σ_t pcm_t²//lam_t (standardized in-subspace energy) +
+    * resid_micro = e2m − Σ_t pcm_t²//1e6 (off-subspace residual) —
+    * every division on nonnegative integers, so DuckDB `//` and Spark
+    * `div` agree exactly.
+    */
+  def outlierOracleSql(dim: Int, iters: Int, m: Int): String =
+    s"""WITH ${deflatedCtes(dim, iters, m)},
+       |pm AS MATERIALIZED (
+       |  SELECT id, t, CAST(FLOOR(pc*1000000+0.5) AS BIGINT) AS pcm FROM p),
+       |nn AS (SELECT COUNT(*) AS n FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+       |lam AS (
+       |  SELECT t, CAST(SUM(pcm*pcm)
+       |    // (((SELECT n FROM nn) - 1) * 1000000) AS BIGINT) AS lam_micro
+       |  FROM pm GROUP BY t),
+       |e2 AS (
+       |  SELECT id, CAST(FLOOR(SUM(cv*cv)*1000000+0.5) AS BIGINT) AS e2m
+       |  FROM c GROUP BY id),
+       |z AS (
+       |  SELECT pm.id,
+       |    CAST(SUM((pcm*pcm) // lam_micro) AS BIGINT) AS z2_micro,
+       |    CAST(SUM((pcm*pcm) // 1000000) AS BIGINT) AS spent
+       |  FROM pm JOIN lam USING (t) GROUP BY pm.id)
+       |SELECT z.id AS vec_id, z2_micro,
+       |  e2m - spent AS resid_micro,
+       |  z2_micro + e2m - spent AS score_micro
+       |FROM z JOIN e2 ON e2.id = z.id ORDER BY vec_id""".stripMargin
+
+  /** SUBSPACE Mahalanobis outlier scoring (round-8 verdict item 3):
+    * T185's diagonal z-scores are blind to CORRELATED corruption — a
+    * degenerate embedding that moves along a principal direction looks
+    * normal per-dim. Here each vector is projected onto the certified
+    * deflated top-m basis ([[topComponents]]), standardized by the
+    * PER-COMPONENT eigenvalue, and scored as in-subspace ‖z‖² PLUS the
+    * off-subspace residual energy (‖c‖² − Σs²) — correlated outliers
+    * light up the z-terms, rank-deficient/garbage vectors light up the
+    * residual. Determinism: projections and per-vector energy move onto
+    * the integer micro lattice (`FLOOR(x·1e6+0.5)` as long) BEFORE any
+    * aggregation, eigenvalues are exact integer `Σpcm² div ((n−1)·1e6)`,
+    * and all divisions are nonnegative-integer `div` — bit-identical to
+    * the oracle's `//`. Scale: the fit is m·iters map-only passes
+    * (the [[topComponents]] posture); scoring is ONE map-only pass plus
+    * one m-value single-row aggregate for the eigenvalues.
+    */
+  def subspaceOutliers(
+      emb: DataFrame, idCol: String, vecCol: String,
+      dim: Int, iters: Int, m: Int): DataFrame = {
+    val (mu, comps) = topComponents(emb, idCol, vecCol, dim, iters, m)
+    val x = emb
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("x"))
+    val c = centered(x, array(mu.map(lit).toIndexedSeq: _*))
+    val withVs = comps.zipWithIndex.foldLeft(c) { case (df, (v, t)) =>
+      df.withColumn("v" + t, array(v.map(lit).toIndexedSeq: _*))
+    }
+    val pcm = withVs.select(
+      col("id") +:
+        floor(expr("dot_product(c, c)") * 1000000 + 0.5)
+          .cast("long").as("e2m") +:
+        comps.indices.map(t =>
+          floor(expr(s"dot_product(c, v$t)") * 1000000 + 0.5)
+            .cast("long").as(s"pcm$t")).toIndexedSeq: _*)
+    // two consumers (eigenvalue aggregate + scoring pass) — materialize
+    // once; released by the engine's between-queries cache sweep
+    val pcmC = Reuse.materialized(pcm)
+    val aggRow = pcmC.agg(count(lit(1)),
+      comps.indices.map(t => sum(col(s"pcm$t") * col(s"pcm$t"))): _*).head()
+    val n = aggRow.getLong(0)
+    require(n > 1, s"outlier scoring needs at least 2 vectors, got $n")
+    val lamMicro = comps.indices.map(t =>
+      aggRow.getLong(1 + t) / ((n - 1) * 1000000L))
+    lamMicro.zipWithIndex.foreach { case (l, t) =>
+      require(l > 0, s"component ${t + 1} eigenvalue is 0 in micro units — " +
+        "subspace standardization undefined (corpus variance below 1e-6)")
+    }
+    val z2 = comps.indices
+      .map(t => expr(s"(pcm$t * pcm$t) div ${lamMicro(t)}")).reduce(_ + _)
+    val spent = comps.indices
+      .map(t => expr(s"(pcm$t * pcm$t) div 1000000")).reduce(_ + _)
+    pcmC.select(col("id").as("vec_id"),
+      z2.as("z2_micro"),
+      (col("e2m") - spent).as("resid_micro"),
+      (z2 + col("e2m") - spent).as("score_micro"))
   }
 
   /** The power trajectory re-derived from MERGED RAW MOMENTS
@@ -272,10 +381,20 @@ object PcaOps {
     * the SAME determinism class the engine/oracle pair already rides —
     * so the moments-derived component certifies against the identical
     * DuckDB oracle as the batch trajectory.
+    *
+    * BOUNDARY-PROXIMITY ASSUMPTION (probabilistic, not structural): the
+    * absorption above holds unless an iterate component lands within
+    * ~1e-13 of a round-half-up 1e-6 grid boundary, where the two
+    * associations could quantize to ADJACENT grid points and the
+    * trajectories diverge. PcaOpsSpec pins the merged-moments
+    * trajectory exactly equal to the batch trajectory on the bench
+    * corpus (the certified fixture is known-safe); arbitrary corpora
+    * carry the measure-zero caveat.
     */
   def componentFromMoments(
       n: Long, sx: Array[Double], sxx: Array[Array[Double]],
       dim: Int, iters: Int): (Array[Double], Array[Double]) = {
+    require(n > 1, s"moments-derived component needs n > 1 vectors, got $n")
     val mu = sx.map(s => quant(s / n.toDouble))
     val cp = Array.tabulate(dim, dim) { (j, k) =>
       sxx(j)(k) - mu(j) * sx(k) - mu(k) * sx(j) + n.toDouble * mu(j) * mu(k)
@@ -285,6 +404,9 @@ object PcaOps {
       val w = Array.tabulate(dim)(j =>
         (0 until dim).foldLeft(0.0)((acc, k) => acc + cp(j)(k) * v(k)))
       val norm = math.sqrt(w.map(wj => wj * wj).sum)
+      require(norm > 0,
+        "moments-derived power iterate collapsed to zero norm — the " +
+          "merged moments describe an all-zero/constant corpus")
       v = w.map(wj => quant(wj / norm))
     }
     (mu, v)

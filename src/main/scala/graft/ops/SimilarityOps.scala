@@ -651,6 +651,60 @@ object SimilarityOps {
         col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Full-corpus kNN GRAPH by LSH-band blocking — the 100 TB recipe
+    * behind q_knn_graph certified over the WHOLE vector table instead
+    * of a query-broadcast slice: every node's candidates are the
+    * corpus vectors sharing ANY hyperplane band-bucket with it
+    * (OR-amplification, the [[lshNearDupPairs]] banding algebra but
+    * keeping BOTH directions — a kNN edge list is per-node, not
+    * per-pair), exact cosine reranks the candidates, and a per-node
+    * window keeps the top-k. Every join is a shuffled EQUI-join on
+    * (band, bucket) or on the id — no crossJoin, no corpus broadcast
+    * hint anywhere (plan-asserted in PlanSpec), so the shape survives
+    * when both sides are the full 100 TB corpus: candidate volume is
+    * Σ_buckets |bucket|² per band (controlled by bandBits), never
+    * |corpus|². Nodes whose buckets hold no other vector produce no
+    * edges — the honest LSH recall contract, same as near-dup.
+    */
+  def lshKnnGraph(
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+      bands: Int, bandBits: Int, dim: Int): DataFrame = {
+    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
+      s"bands*bandBits must fit one 64-bit signature, got $bands*$bandBits")
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val sig = hyperplaneSignature(vectors, idCol, vecCol, bands * bandBits, dim)
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("sig"), j * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
+    }
+    val buckets = sig
+      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") =!= col("y.id"))
+      .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"))
+      .distinct()
+    val v = vectors.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vd"))
+      .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
+    val scored = cand
+      .join(v.select(col("id").as("query_id"), col("vd").as("qv"),
+        col("nrm").as("qn")), "query_id")
+      .join(v.select(col("id").as("neighbor_id"), col("vd").as("cv"),
+        col("nrm").as("cn")), "neighbor_id")
+      .filter(col("qn") > 0 && col("cn") > 0)
+      .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** LSH-bucketed near-duplicate candidates with OR-amplification:
     * the `bands * bandBits` hyperplane bits are split into `bands`
     * independent tables; a pair becomes a candidate if it collides in

@@ -312,7 +312,7 @@ object DqQueries {
       |  SELECT event_type,
       |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
       |    CAST(FLOOR(value / 50) AS BIGINT) AS value_tier,
-      |    LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 2500, 19) AS b
+      |    GREATEST(LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // 2500, 19), 0) AS b
       |  FROM events),
       |cls AS (SELECT event_type, day, value_tier,
       |    CAST(COUNT(*) AS BIGINT) AS nc
@@ -356,8 +356,12 @@ object DqQueries {
       Tables.events(spark, dir).select(col("event_type"),
         date_trunc("day", col("ts")).cast("date").as("day"),
         floor(col("value") / 50).cast("long").as("value_tier"),
-        least(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div 2500"),
-          lit(19L)).as("b")))
+        // GREATEST clamp: Spark `div` truncates toward zero while the
+        // oracle's `//` floors — they diverge on negative values (e.g.
+        // -9999 div 2500 = -3 vs // = -4). Pinning the bucket to [0, 19]
+        // on BOTH sides makes the lattice identical for any input sign.
+        greatest(least(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT) div 2500"),
+          lit(19L)), lit(0L)).as("b")))
     val cls = ev.groupBy(col("event_type"), col("day"), col("value_tier"))
       .agg(count(lit(1)).as("nc"))
     val cell = ev.groupBy(col("event_type"), col("day"), col("value_tier"),

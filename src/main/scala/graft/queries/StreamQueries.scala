@@ -965,11 +965,28 @@ object StreamQueries {
     val seen = scala.collection.mutable.Set[String]()
     val base = System.currentTimeMillis()
     for (a <- 0 to 3) {
-      rows.filter(col("arrival") === a).select("user_id", "ts", "cents")
-        .coalesce(1).write.mode("append").parquet(src)
-      new java.io.File(src).listFiles()
+      // the oracle's arrival→batch-id correspondence needs every slice
+      // non-empty and exactly one new part file per slice with a
+      // successfully spaced mtime; a silent violation would shift
+      // Spark's batch numbering vs the oracle nondeterministically, so
+      // fail LOUDLY here instead
+      val slice = rows.filter(col("arrival") === a)
+        .select("user_id", "ts", "cents")
+      require(!slice.isEmpty,
+        s"lateFixture: arrival slice $a is empty — batch ids would shift " +
+          "relative to the oracle's arrival numbering")
+      slice.coalesce(1).write.mode("append").parquet(src)
+      val fresh = new java.io.File(src).listFiles()
         .filter(f => f.getName.startsWith("part-") && !seen(f.getName))
-        .foreach { f => f.setLastModified(base + a * 2000); seen += f.getName }
+      require(fresh.length == 1,
+        s"lateFixture: arrival slice $a produced ${fresh.length} part " +
+          "files, expected exactly 1 (coalesce(1) contract)")
+      fresh.foreach { f =>
+        require(f.setLastModified(base + a * 2000),
+          s"lateFixture: setLastModified failed for ${f.getName} — " +
+            "FileStreamSource order would not match arrival order")
+        seen += f.getName
+      }
     }
     src
   }
@@ -983,6 +1000,32 @@ object StreamQueries {
       .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
       .select(col("window.start").cast("date").as("day"),
         col("n_events"), col("sum_cents"))
+
+  /** Per-process memo of the 4-batch late-data drain, keyed on the SF
+    * dir (round-8 verdict item 8): [[q_stream_late]] certifies the
+    * SURVIVING OUTPUT and [[q_stream_late_audit]] the engine's internal
+    * drop counters of the SAME drain, so running it twice per process
+    * buys nothing — the first caller drains, the second reads the memo.
+    * Both queries stay independently runnable (either one populates the
+    * entry); the value is plain data (sink path + schema DDL + progress
+    * events), valid for any session in this JVM.
+    */
+  private val lateDrains = new java.util.concurrent.ConcurrentHashMap[
+    String,
+    (String, String, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])]()
+
+  private def drainedLate(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (String, String, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
+    lateDrains.computeIfAbsent(dir, { _ =>
+      val src = lateFixture(spark, dir)
+      val sink = StreamingOps.tempSinkDir("graft_stream_late_sink_")
+      val agg = lateAgg(spark, src)
+      val (out, progress) = StreamingOps.withShufflePartitions(spark, 8) {
+        StreamingOps.drainToParquetSinkWithProgress(agg, sink)
+      }
+      out.count() // force the read path once so a broken drain fails HERE
+      (s"$sink/out", agg.schema.toDDL, progress)
+    })
 
   /** Late-data accounting, output side: daily counts from an
     * Append-mode watermarked aggregation over a deliberately
@@ -1003,11 +1046,11 @@ object StreamQueries {
        |  CAST(SUM(cents) AS BIGINT) AS sum_cents
        |FROM kept WHERE wend <= (SELECT wm FROM gwm)
        |GROUP BY d ORDER BY day""".stripMargin) { (spark, dir) =>
-    val src = lateFixture(spark, dir)
-    StreamingOps.withShufflePartitions(spark, 8) {
-      StreamingOps.drainToParquetSink(lateAgg(spark, src),
-        StreamingOps.tempSinkDir("graft_stream_late_sink_"))
-    }.orderBy(col("day"))
+    val (out, schemaDdl, _) = drainedLate(spark, dir)
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+      .parquet(out)
+      .orderBy(col("day"))
   }
 
   /** Late-data accounting, engine-internals side: per micro-batch
@@ -1033,11 +1076,7 @@ object StreamQueries {
        |FROM r JOIN fw USING (arrival)
        |GROUP BY r.arrival ORDER BY batch_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val src = lateFixture(spark, dir)
-    val (_, progress) = StreamingOps.withShufflePartitions(spark, 8) {
-      StreamingOps.drainToParquetSinkWithProgress(lateAgg(spark, src),
-        StreamingOps.tempSinkDir("graft_stream_late_audit_"))
-    }
+    val (_, _, progress) = drainedLate(spark, dir)
     progress.filter(_.numInputRows > 0)
       .map(p => (p.batchId, p.numInputRows,
         p.stateOperators.headOption.map(_.numRowsDroppedByWatermark).getOrElse(0L)))

@@ -63,4 +63,54 @@ class PcaOpsSpec extends AnyFunSuite {
     val n = PcaOps.project(ragged, "vec_id", "embedding", dim, 2).count()
     assert(n === 200L)
   }
+
+  /** ADVICE round-8: componentFromMoments' float re-association vs the
+    * batch per-row fold is absorbed by the 1e-6 quantization only while
+    * no iterate component lands within ~1e-13 of a .5 grid boundary —
+    * a probabilistic, not structural, guarantee. This pins the merged-
+    * moments trajectory EXACTLY equal to the batch trajectory on the
+    * bench corpus, so the certified fixture is known-safe (the caveat
+    * stays documented in PcaOps for arbitrary corpora).
+    */
+  test("moments-derived trajectory equals the batch trajectory on the bench corpus") {
+    val d = 64
+    val emb = Tables.embeddings(spark, sf)
+    val (muB, vB) = PcaOps.topComponent(emb, "vec_id", "embedding", d, 8)
+    val m = emb
+      .filter(col("embedding").isNotNull && size(col("embedding")) === d)
+      .select(col("embedding").cast("array<double>").as("x"))
+      .agg(graft.functions.VectorMoments(col("x"), d).as("m"))
+      .head().getSeq[Double](0)
+    val n = m(0).toLong
+    val sx = Array.tabulate(d)(j => m(1 + j))
+    val sxx = Array.tabulate(d, d)((j, k) => m(1 + d + j * d + k))
+    val (muM, vM) = PcaOps.componentFromMoments(n, sx, sxx, d, 8)
+    assert(muM.sameElements(muB), "quantized means diverge between paths")
+    assert(vM.sameElements(vB),
+      "merged-moments trajectory diverged from the batch trajectory — " +
+        "an iterate landed on a 1e-6 grid boundary (see PcaOps scaladoc)")
+  }
+
+  test("degenerate inputs fail loudly, not with NaN/Infinity") {
+    import spark.implicits._
+    val constant = (0 until 10).map(i =>
+      (i.toLong, Array.fill(dim)(0.5f))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      PcaOps.topComponent(constant, "vec_id", "embedding", dim, 2)
+    }
+    assert(e1.getMessage.contains("zero norm"))
+    // a single vector centers to zero, so the trajectory guard fires
+    // before the variance n>1 guard can — either way it's loud
+    val single = Seq((1L, Array.fill(dim)(0.5f))).toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      PcaOps.varianceSummary(single, "vec_id", "embedding", dim, 1)
+    }
+    assert(e2.getMessage.contains("zero norm") ||
+      e2.getMessage.contains("at least 2"))
+    val e3 = intercept[IllegalArgumentException] {
+      PcaOps.componentFromMoments(1L, Array.fill(dim)(0.0),
+        Array.fill(dim, dim)(0.0), dim, 1)
+    }
+    assert(e3.getMessage.contains("n > 1"))
+  }
 }
