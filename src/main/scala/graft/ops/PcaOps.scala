@@ -331,6 +331,18 @@ object PcaOps {
       emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, iters: Int, m: Int): DataFrame = {
     val (mu, comps) = topComponents(emb, idCol, vecCol, dim, iters, m)
+    scoreSubspace(emb, idCol, vecCol, dim, mu, comps)
+  }
+
+  /** The scoring tail of [[subspaceOutliers]] against a KNOWN
+    * (mean, basis) — shared with the streaming-moments path
+    * (q_stream_outliers_pca), which derives the identical quantized
+    * basis from merged micro-batch moments instead of data passes.
+    */
+  def scoreSubspace(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      mu: Array[Double], comps: Array[Array[Double]]): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val x = emb
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(idCol).cast("long").as("id"),
@@ -367,6 +379,49 @@ object PcaOps {
       z2.as("z2_micro"),
       (col("e2m") - spent).as("resid_micro"),
       (z2 + col("e2m") - spent).as("score_micro"))
+  }
+
+  /** Top-m deflated basis re-derived from MERGED RAW MOMENTS — the
+    * multi-component generalization of [[componentFromMoments]]: the
+    * same centered second-moment regrouping `C'·v`, with the parallel
+    * Gram–Schmidt correction applied to the RAW iterate each round in
+    * EXACTLY [[topComponents]]' driver arithmetic (projections against
+    * all found components first, subtractions folded left-to-right in
+    * component order) — so the moments-derived basis matches the batch
+    * basis under the same 1e-6 absorption class, and the streaming
+    * outlier scorer certifies against the identical oracle as the
+    * batch one. Same boundary-proximity caveat as
+    * [[componentFromMoments]]; PcaOpsSpec pins equality on the bench
+    * corpus.
+    */
+  def componentsFromMoments(
+      n: Long, sx: Array[Double], sxx: Array[Array[Double]],
+      dim: Int, iters: Int, m: Int): (Array[Double], Array[Array[Double]]) = {
+    require(n > 1, s"moments-derived basis needs n > 1 vectors, got $n")
+    val mu = sx.map(s => quant(s / n.toDouble))
+    val cp = Array.tabulate(dim, dim) { (j, k) =>
+      sxx(j)(k) - mu(j) * sx(k) - mu(k) * sx(j) + n.toDouble * mu(j) * mu(k)
+    }
+    val comps = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    for (_ <- 0 until m) {
+      var v = Array.fill(dim)(quant(1.0 / math.sqrt(dim.toDouble)))
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(dim)(j =>
+          (0 until dim).foldLeft(0.0)((acc, k) => acc + cp(j)(k) * v(k)))
+        val dots = comps.map(p => (0 until dim).map(j => w(j) * p(j)).sum)
+        val wo = Array.tabulate(dim) { j =>
+          comps.zip(dots).foldLeft(w(j)) { case (acc, (p, d)) => acc - d * p(j) }
+        }
+        val norm = math.sqrt(wo.map(wj => wj * wj).sum)
+        require(norm > 0,
+          s"moments-derived deflated iterate collapsed to zero norm at " +
+            s"component ${comps.size + 1} — moments describe a corpus of " +
+            s"rank below the requested m")
+        v = wo.map(wj => quant(wj / norm))
+      }
+      comps += v
+    }
+    (mu, comps.toArray)
   }
 
   /** The power trajectory re-derived from MERGED RAW MOMENTS

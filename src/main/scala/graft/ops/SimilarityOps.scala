@@ -668,31 +668,47 @@ object SimilarityOps {
     */
   def lshKnnGraph(
       vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+      bands: Int, bandBits: Int, dim: Int): DataFrame =
+    lshKnnGraphBetween(vectors, vectors, idCol, vecCol, k,
+      bands, bandBits, dim)
+
+  /** Asymmetric form of [[lshKnnGraph]] — edges from `queries` nodes
+    * into `corpus` (self-pairs excluded by id). This is the O(Δ)
+    * MAINTENANCE path for a kNN graph under ingest: a delta batch's
+    * edges are `lshKnnGraphBetween(delta, base ∪ delta)` — the delta's
+    * band buckets equi-join the corpus buckets, so work scales with
+    * |delta|·bucket-occupancy, never |corpus|²; no side is broadcast
+    * by hint (stats may still elect a broadcast at toy sizes).
+    */
+  def lshKnnGraphBetween(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
       bands: Int, bandBits: Int, dim: Int): DataFrame = {
     require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
       s"bands*bandBits must fit one 64-bit signature, got $bands*$bandBits")
-    graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val sig = hyperplaneSignature(vectors, idCol, vecCol, bands * bandBits, dim)
-    val bandCols = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("sig"), j * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    def bucketed(df: DataFrame): DataFrame = {
+      val sig = hyperplaneSignature(df, idCol, vecCol, bands * bandBits, dim)
+      val bandCols = (0 until bands).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("sig"), j * bandBits)
+            .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
+      }
+      sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("id"), col("bb.band"), col("bb.bucket"))
     }
-    val buckets = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val cand = buckets.as("x").join(buckets.as("y"),
+    val cand = bucketed(queries).as("x").join(bucketed(corpus).as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") =!= col("y.id"))
       .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"))
       .distinct()
-    val v = vectors.select(col(idCol).as("id"),
+    def v(df: DataFrame) = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vd"))
       .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
     val scored = cand
-      .join(v.select(col("id").as("query_id"), col("vd").as("qv"),
+      .join(v(queries).select(col("id").as("query_id"), col("vd").as("qv"),
         col("nrm").as("qn")), "query_id")
-      .join(v.select(col("id").as("neighbor_id"), col("vd").as("cv"),
+      .join(v(corpus).select(col("id").as("neighbor_id"), col("vd").as("cv"),
         col("nrm").as("cn")), "neighbor_id")
       .filter(col("qn") > 0 && col("cn") > 0)
       .withColumn("cos", expr("dot_product(qv, cv)") / (col("qn") * col("cn")))

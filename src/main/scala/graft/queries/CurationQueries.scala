@@ -1233,7 +1233,76 @@ object CurationQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Temperature-tempered source mixing with EXACT budget allocation —
+    * the T5/Pile-style α=0.5 multinomial re-weighting that upsamples
+    * small sources without letting any source dominate: per-source
+    * weight ∝ count^α, here α=1/2 so the tempering is `sqrt` — the one
+    * transcendental that IEEE 754 requires correctly rounded, hence
+    * bit-identical across Spark and DuckDB (no lookup-table workaround
+    * needed). Weights move onto the integer micro lattice immediately
+    * (`FLOOR(sqrt(n)·1e6+0.5)`), the 100k-document budget is allocated
+    * by LARGEST-REMAINDER rounding (base = ⌊w·B/Σw⌋, the leftover units
+    * go to the largest remainders, ties to source name) so the
+    * allocations sum to the budget EXACTLY — the property a sampler
+    * needs and naive per-source rounding loses — and per-source epochs
+    * (allocation/count, in ppm — >1e6 means the source repeats) fall
+    * out on the same lattice. Scale: one groupBy(source) aggregate;
+    * everything after runs on the |sources|-row table (the single-
+    * partition window is bounded by construction).
+    */
+  val q_mix_temperature = QueryDef(
+    "q_mix_temperature",
+    """WITH s AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY source),
+      |w AS (
+      |  SELECT source, n,
+      |    CAST(FLOOR(sqrt(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS wm
+      |  FROM s),
+      |t AS (SELECT CAST(SUM(wm) AS BIGINT) AS tot FROM w),
+      |b AS (
+      |  SELECT source, n, wm,
+      |    CAST(wm * 1000000 // tot AS BIGINT) AS weight_ppm,
+      |    CAST(wm * 100000 // tot AS BIGINT) AS base,
+      |    CAST(wm * 100000 % tot AS BIGINT) AS rem
+      |  FROM w CROSS JOIN t),
+      |l AS (SELECT 100000 - CAST(SUM(base) AS BIGINT) AS leftover FROM b),
+      |r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM b)
+      |SELECT source, n AS n_docs, weight_ppm,
+      |  CAST(base + CASE WHEN rk <= (SELECT leftover FROM l)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+      |  CAST((base + CASE WHEN rk <= (SELECT leftover FROM l)
+      |    THEN 1 ELSE 0 END) * 1000000 // n AS BIGINT) AS epochs_ppm
+      |FROM r ORDER BY source""".stripMargin) { (spark, dir) =>
+    val budget = 100000L
+    val s = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("wm",
+        floor(sqrt(col("n").cast("double")) * 1000000 + 0.5).cast("long"))
+    val tot = broadcast(s.agg(sum(col("wm")).as("tot")))
+    val b = s.crossJoin(tot)
+      .select(col("source"), col("n"), col("wm"),
+        expr("wm * 1000000 div tot").as("weight_ppm"),
+        expr(s"wm * $budget div tot").as("base"),
+        expr(s"wm * $budget % tot").as("rem"))
+    val leftover = broadcast(b.agg((lit(budget) - sum(col("base"))).as("leftover")))
+    // single-partition window is bounded: it runs on the per-source
+    // aggregate (|sources| rows), never on document rows
+    val rk = row_number().over(Window.orderBy(col("rem").desc, col("source")))
+    val alloc = col("base") +
+      when(col("rk") <= col("leftover"), lit(1L)).otherwise(lit(0L))
+    b.withColumn("rk", rk).crossJoin(leftover)
+      .withColumn("alloc", alloc)
+      // exact integer div (not double `/` + cast: a quotient rounding
+      // up to an integer would cross the floor the oracle computes)
+      .select(col("source"), col("n").as("n_docs"), col("weight_ppm"),
+        col("alloc"), expr("alloc * 1000000 div n").as("epochs_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    q_mix_temperature,
     q_target_encode,
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_pack_greedy, q_contamination, q_mix_rates,

@@ -1225,6 +1225,115 @@ object VectorQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** O(Δ) kNN-graph MAINTENANCE — the ingest story for
+    * [[q_knn_graph_lsh]], mirroring what q_ann_index_delta certifies
+    * for the stored search index: a delta batch (every 10th vector)
+    * arrives and ONLY its outgoing edges are computed
+    * ([[SimilarityOps.lshKnnGraphBetween]]: the delta's band buckets
+    * equi-join the full corpus's buckets — work is |Δ|·bucket-occupancy,
+    * never a graph rebuild). Certified invariant: the delta edges are
+    * INDISTINGUISHABLE from the full-rebuild graph restricted to delta
+    * sources — the oracle is the full LSH-graph oracle with the source
+    * filter pushed into candidate generation. (Incoming edges to Δ are
+    * the same computation with sides swapped plus a bounded per-node
+    * top-k merge — same plan shape, so certifying the outgoing side
+    * pins the machinery.)
+    */
+  val q_knn_graph_delta = QueryDef(
+    "q_knn_graph_delta", {
+      s"""WITH ${lshOracleCtes(LshBands, LshBandBits)},
+         |cand AS (
+         |  SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id <> y.id
+         |  WHERE x.id % 10 = 0),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos
+         |  FROM cand c
+         |  JOIN n a ON a.id = c.query_id JOIN n b ON b.id = c.neighbor_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0)
+         |SELECT query_id AS node_id, rank, neighbor_id,
+         |  ROUND(cos, 6) AS cos_sim
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 5
+         |ORDER BY node_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.lshKnnGraphBetween(
+      emb.filter(pmod(col("vec_id"), lit(10)) === 0), emb,
+      "vec_id", "embedding", 5,
+      bands = LshBands, bandBits = LshBandBits, dim = LshDim)
+      .withColumnRenamed("query_id", "node_id")
+      .orderBy(col("node_id"), col("rank"))
+  }
+
+  /** Semantic clusters over the FULL-corpus LSH kNN graph — the
+    * [[q_knn_clusters]] recipe (mutual-kNN filter → min-label connected
+    * components → cluster profile) composed on [[q_knn_graph_lsh]]'s
+    * certified edge list instead of the 300-node slice: with this row
+    * green, the whole clustering pipeline (candidate blocking → rerank
+    * → top-k → mutual filter → components) is certified corpus-wide as
+    * ONE query, no composition argument left. Oracle: the shared
+    * hyperplane/banding CTEs, the ranked candidate rerank, the mutual
+    * join, and a recursive-CTE transitive closure — chained clusters
+    * certified identical, which pairwise checks cannot do.
+    */
+  val q_knn_clusters_lsh = QueryDef(
+    "q_knn_clusters_lsh", {
+      s"""WITH RECURSIVE ${lshOracleCtes(LshBands, LshBandBits)},
+         |cand AS (
+         |  SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id <> y.id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos
+         |  FROM cand c
+         |  JOIN n a ON a.id = c.query_id JOIN n b ON b.id = c.neighbor_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0),
+         |sk AS (
+         |  SELECT * FROM (
+         |    SELECT query_id, neighbor_id, cos,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) t WHERE rank <= 5),
+         |mut AS (
+         |  SELECT a.query_id AS src, a.neighbor_id AS dst
+         |  FROM sk a JOIN sk b
+         |    ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id
+         |  WHERE ROUND(a.cos, 6) >= 0.4),
+         |cnodes AS (SELECT DISTINCT src AS id FROM mut),
+         |reach AS (
+         |  SELECT id, id AS rid FROM cnodes
+         |  UNION
+         |  SELECT r.id, e.dst AS rid FROM reach r JOIN mut e ON e.src = r.rid),
+         |lbl AS (SELECT id, MIN(rid) AS grp FROM reach GROUP BY id)
+         |SELECT CAST(grp AS BIGINT) AS cluster_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM lbl GROUP BY 1 ORDER BY 1""".stripMargin
+    }) { (spark, dir) =>
+    val e = SimilarityOps.lshKnnGraph(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", 5,
+      bands = LshBands, bandBits = LshBandBits, dim = LshDim)
+      .filter(col("cos_sim") >= 0.4)
+    val a = e.select(col("query_id").cast("long").as("src"),
+      col("neighbor_id").cast("long").as("dst"))
+    val b = e.select(col("query_id").cast("long").as("b_q"),
+      col("neighbor_id").cast("long").as("b_n"))
+    // both ordered directions survive the mutual join (cos is
+    // symmetric, so masking either direction selects the same pairs) —
+    // minLabelComponents' symmetric-edge-list contract
+    val mutual = a.join(b, a("src") === b("b_n") && a("dst") === b("b_q"))
+      .select(col("src"), col("dst"))
+    graft.ops.GraphOps.minLabelComponents(mutual)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Subspace Mahalanobis outlier scoring over the certified deflated
     * PCA basis ([[graft.ops.PcaOps.subspaceOutliers]]) — the round-8
     * verdict's item 3: [[q_embed_outliers]]' diagonal z-scores cannot
@@ -1253,5 +1362,6 @@ object VectorQueries {
     q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_graph_lsh,
     q_knn_mutual, q_link_predict,
     q_knn_clusters, q_array_hof, q_ann_dim_recall, q_pca_project, q_pca_variance,
-    q_pca_transform, q_embed_outliers, q_embed_outliers_pca)
+    q_pca_transform, q_embed_outliers, q_embed_outliers_pca,
+    q_knn_clusters_lsh, q_knn_graph_delta)
 }

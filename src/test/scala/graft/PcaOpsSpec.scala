@@ -89,6 +89,15 @@ class PcaOpsSpec extends AnyFunSuite {
     assert(vM.sameElements(vB),
       "merged-moments trajectory diverged from the batch trajectory — " +
         "an iterate landed on a 1e-6 grid boundary (see PcaOps scaladoc)")
+    // the deflated multi-component basis rides the same absorption
+    // class — pin the full m=4 basis too (q_stream_outliers_pca's
+    // certified fixture)
+    val (muB4, compsB) = PcaOps.topComponents(emb, "vec_id", "embedding", d, 6, 4)
+    val (muM4, compsM) = PcaOps.componentsFromMoments(n, sx, sxx, d, 6, 4)
+    assert(muM4.sameElements(muB4))
+    compsB.zip(compsM).zipWithIndex.foreach { case ((b, mm), t) =>
+      assert(mm.sameElements(b), s"deflated component ${t + 1} diverged")
+    }
   }
 
   test("degenerate inputs fail loudly, not with NaN/Infinity") {
