@@ -100,6 +100,49 @@ class PcaOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** The WHY of q_embed_outliers_pca: a correlation-breaking outlier —
+    * per-dim deviations all inside the marginal ranges, but moving
+    * ORTHOGONALLY to the planted axis in the correlated 0-1 plane — is
+    * invisible to diagonal z-scores (every dim looks ordinary) while
+    * the subspace scorer's residual energy flags it decisively.
+    */
+  test("subspace scorer catches a correlated outlier the diagonal scorer misses") {
+    import spark.implicits._
+    // outlier: mu + 5·(0.8, −0.6) — orthogonal to u in the 0-1 plane;
+    // dim-0 dev 4.0 vs marginal sd ≈ 6.0, dim-1 dev 3.0 vs sd ≈ 8.0
+    val out = Array.tabulate(dim)(j =>
+      (0.5 + (if (j == 0) 4.0 else if (j == 1) -3.0 else 0.0)).toFloat)
+    val corpus = planted.union(Seq((999L, out)).toDF("vec_id", "embedding"))
+
+    // diagonal scorer (the q_embed_outliers construction, inline)
+    def quant(v: Double): Double = graft.ops.Reuse.quantMicro(v)
+    graft.functions.GraftFunctions.register(spark)
+    val x = corpus.select(col("vec_id").cast("long").as("id"),
+      col("embedding").cast("array<double>").as("x"))
+    val st = x.agg(avg(element_at(col("x"), 1)),
+      ((2 to dim).map(j => avg(element_at(col("x"), j))) ++
+        (1 to dim).map(j => stddev_samp(element_at(col("x"), j)))): _*).head()
+    val mu = Array.tabulate(dim)(j => quant(st.getDouble(j)))
+    val sd = Array.tabulate(dim) { j =>
+      val q = quant(st.getDouble(dim + j)); if (q > 0) q else 1.0
+    }
+    val diag = x.withColumn("z", zip_with(
+        zip_with(col("x"), array(mu.map(lit).toIndexedSeq: _*), (a, b) => a - b),
+        array(sd.map(lit).toIndexedSeq: _*), (c, s) => c / s))
+      .select(col("id"), expr("dot_product(z, z)").as("m2"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val diagRank = diag.values.count(_ > diag(999L))
+    assert(diagRank > 20,
+      s"diagonal score should NOT flag the correlated outlier decisively " +
+        s"(score ${diag(999L)}, only $diagRank points above it)")
+
+    val sub = PcaOps.subspaceOutliers(corpus, "vec_id", "embedding", dim, 8, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val subMax = sub.removed(999L).values.max
+    assert(sub(999L) > 5 * subMax,
+      s"subspace score must flag it decisively: ${sub(999L)} vs max-other $subMax")
+  }
+
   test("degenerate inputs fail loudly, not with NaN/Infinity") {
     import spark.implicits._
     val constant = (0 until 10).map(i =>
