@@ -683,6 +683,20 @@ object SimilarityOps {
   def lshKnnGraphBetween(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
+      bands: Int, bandBits: Int, dim: Int): DataFrame =
+    lshKnnGraphRaw(queries, corpus, idCol, vecCol, k, bands, bandBits, dim)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+
+  /** [[lshKnnGraphBetween]] with the UNROUNDED cosine kept — the form
+    * incremental top-k merges need: re-ranking a merged edge list on
+    * the 6-dp rounded score could reorder near-ties differently from a
+    * full rebuild (which ranks on raw cos), so merge on raw, round at
+    * the output boundary only.
+    */
+  def lshKnnGraphRaw(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
       bands: Int, bandBits: Int, dim: Int): DataFrame = {
     require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
       s"bands*bandBits must fit one 64-bit signature, got $bands*$bandBits")
@@ -718,7 +732,7 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
-        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+        col("neighbor_id"), col("cos"))
   }
 
   /** LSH-bucketed near-duplicate candidates with OR-amplification:

@@ -1301,8 +1301,53 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** Cross-source quantile calibration — the selection fix for mixing
+    * heterogeneous sources: a RAW quality threshold lets the source
+    * with the most generous score distribution dominate the kept set,
+    * so instead each document's score (token count here — any
+    * deterministic quality works) is converted to its WITHIN-SOURCE
+    * quantile rank on the exact integer lattice
+    * (`(rank−1)·1e6 // (n_source−1)` ppm, rank ties broken by doc_id),
+    * and one global cut (top 20%) then keeps the same FRACTION of
+    * every source by construction. Scale: one per-source window rank —
+    * a single shuffle partitioned by source; the lattice keeps both
+    * engines integer-exact (nonneg `div`/`//`).
+    */
+  val q_quality_calibrate = QueryDef(
+    "q_quality_calibrate", {
+      val ws = TextOps.wordsSql("text")
+      s"""WITH s AS (
+         |  SELECT doc_id, source, CAST(len($ws) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY n_tokens, doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY source) AS ns
+         |  FROM s)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST((rn - 1) * 1000000 // (ns - 1) AS BIGINT) AS calib_ppm
+         |FROM r
+         |WHERE ns > 1 AND (rn - 1) * 1000000 // (ns - 1) >= 800000
+         |ORDER BY doc_id""".stripMargin
+    }) { (spark, dir) =>
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val cnt = Window.partitionBy(col("source"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(TextOps.words(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("ns", count(lit(1)).over(cnt))
+      .filter(col("ns") > 1)
+      .withColumn("calib_ppm", expr("(rn - 1) * 1000000 div (ns - 1)"))
+      .filter(col("calib_ppm") >= 800000L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("calib_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q_mix_temperature,
+    q_mix_temperature, q_quality_calibrate,
     q_target_encode,
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_pack_greedy, q_contamination, q_mix_rates,

@@ -1270,6 +1270,67 @@ object VectorQueries {
       .orderBy(col("node_id"), col("rank"))
   }
 
+  /** INCREMENTAL top-k MERGE for kNN-graph maintenance — the other
+    * half of [[q_knn_graph_delta]]: when a delta batch lands, EXISTING
+    * nodes' neighbor lists must absorb the new vectors without a
+    * rebuild. The engine merges the OLD top-5 edge list (built on the
+    * base corpus only) with the base→delta candidate edges and
+    * re-ranks per node — correct by the k-bounded merge property:
+    * every edge of top-k(A ∪ B) is in top-k(A) ∪ B, so merging the
+    * kept top-k with the delta edges loses nothing. The certified
+    * invariant is exactly that theorem: the merged list is
+    * INDISTINGUISHABLE from the full rebuild over base ∪ delta
+    * restricted to base sources (the oracle — the full-corpus LSH
+    * graph oracle with the source filter). Work: O(Δ) candidate
+    * generation + a re-rank over k·|base| + |Δ-edges| rows.
+    */
+  val q_knn_graph_merge = QueryDef(
+    "q_knn_graph_merge", {
+      s"""WITH ${lshOracleCtes(LshBands, LshBandBits)},
+         |cand AS (
+         |  SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id <> y.id
+         |  WHERE x.id % 10 <> 0),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos
+         |  FROM cand c
+         |  JOIN n a ON a.id = c.query_id JOIN n b ON b.id = c.neighbor_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0)
+         |SELECT query_id AS node_id, rank, neighbor_id,
+         |  ROUND(cos, 6) AS cos_sim
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 5
+         |ORDER BY node_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    // RAW scores through the merge: re-ranking on the rounded score
+    // could reorder near-ties differently from the full rebuild (which
+    // ranks on raw cos); round only at the output boundary
+    val old = SimilarityOps.lshKnnGraphRaw(base, base,
+      "vec_id", "embedding", 5,
+      bands = LshBands, bandBits = LshBandBits, dim = LshDim)
+      .drop("rank")
+    val fresh = SimilarityOps.lshKnnGraphRaw(base, delta,
+      "vec_id", "embedding", 5,
+      bands = LshBands, bandBits = LshBandBits, dim = LshDim)
+      .drop("rank")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    old.unionByName(fresh)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id").as("node_id"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("node_id"), col("rank"))
+  }
+
   /** Semantic clusters over the FULL-corpus LSH kNN graph — the
     * [[q_knn_clusters]] recipe (mutual-kNN filter → min-label connected
     * components → cluster profile) composed on [[q_knn_graph_lsh]]'s
@@ -1363,5 +1424,5 @@ object VectorQueries {
     q_knn_mutual, q_link_predict,
     q_knn_clusters, q_array_hof, q_ann_dim_recall, q_pca_project, q_pca_variance,
     q_pca_transform, q_embed_outliers, q_embed_outliers_pca,
-    q_knn_clusters_lsh, q_knn_graph_delta)
+    q_knn_clusters_lsh, q_knn_graph_delta, q_knn_graph_merge)
 }
