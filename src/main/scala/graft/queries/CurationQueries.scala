@@ -1325,10 +1325,11 @@ object CurationQueries {
          |      ORDER BY n_tokens, doc_id) AS rn,
          |    COUNT(*) OVER (PARTITION BY source) AS ns
          |  FROM s)
-         |SELECT doc_id, source, n_tokens,
-         |  CAST((rn - 1) * 1000000 // (ns - 1) AS BIGINT) AS calib_ppm
-         |FROM r
-         |WHERE ns > 1 AND (rn - 1) * 1000000 // (ns - 1) >= 800000
+         |SELECT doc_id, source, n_tokens, calib_ppm FROM (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST((rn - 1) * 1000000 // (ns - 1) AS BIGINT) AS calib_ppm
+         |  FROM r WHERE ns > 1) t
+         |WHERE calib_ppm >= 800000
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
     val w = Window.partitionBy(col("source"))
