@@ -1347,8 +1347,93 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Dedup threshold-sensitivity curve — the knob-tuning readout run
+    * BEFORE committing a near-dup threshold corpus-wide: pairs scored
+    * once at a low floor (0.3, the same certified MinHash→LSH→exact-
+    * Jaccard pipeline), then a broadcast threshold grid counts, per
+    * candidate cut, the surviving pairs and the documents involved —
+    * "how much of the corpus does a 0.7 cut touch vs 0.8" as one scan
+    * of the scored pairs, not one dedup run per threshold. Jaccard
+    * moves to integer basis points before the comparison so the grid
+    * filter is lattice-exact in both engines. Thresholds with zero
+    * surviving pairs drop from the curve (inner join, both engines).
+    */
+  val q_dedup_threshold_curve = QueryDef(
+    "q_dedup_threshold_curve", {
+      val grid = (3 to 9).map(t => s"(${t * 1000})").mkString(", ")
+      s"""WITH ${DedupOps.minhashScoredPairsSqlCtes(0.3)},
+         |pb AS (
+         |  SELECT doc_a, doc_b,
+         |    CAST(FLOOR(jaccard * 10000 + 0.5) AS BIGINT) AS jbp
+         |  FROM pairs),
+         |grid(t) AS (VALUES $grid),
+         |sel AS (SELECT t, doc_a, doc_b FROM grid JOIN pb ON jbp >= t),
+         |np AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM sel GROUP BY t),
+         |nd AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+         |    SELECT DISTINCT t, d FROM (
+         |      SELECT t, doc_a AS d FROM sel
+         |      UNION ALL SELECT t, doc_b FROM sel) u) v
+         |  GROUP BY t)
+         |SELECT CAST(np.t AS BIGINT) AS threshold_bp, n_pairs, n_docs
+         |FROM np JOIN nd ON nd.t = np.t ORDER BY threshold_bp""".stripMargin
+    }) { (spark, dir) =>
+    import spark.implicits._
+    val pairs = DedupOps.minhashNearDuplicates(
+        Tables.documents(spark, dir), "doc_id", "text", 0.3)
+      .withColumn("jbp", floor(col("jaccard") * 10000 + 0.5).cast("long"))
+    val grid = broadcast(
+      (3 to 9).map(t => t * 1000L).toDF("threshold_bp"))
+    val sel = pairs.crossJoin(grid)
+      .filter(col("jbp") >= col("threshold_bp"))
+    val np = sel.groupBy(col("threshold_bp"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val nd = sel.select(col("threshold_bp"), col("doc_a").as("d"))
+      .unionByName(sel.select(col("threshold_bp"), col("doc_b").as("d")))
+      .distinct()
+      .groupBy(col("threshold_bp")).agg(count(lit(1)).as("n_docs"))
+    np.join(nd, "threshold_bp").orderBy(col("threshold_bp"))
+  }
+
+  /** Deterministic per-epoch data ordering — training-reproducibility
+    * as a certified operator: epoch e's permutation is the rank of the
+    * scrambled hash h(doc_id, e) (Mersenne-mod multiply, reduced
+    * BEFORE the multiply so both engines stay inside exact BIGINT),
+    * so any worker can recompute any epoch's order with no stored
+    * state and no RNG. The certified rank is the verification readout
+    * of what is, at deploy scale, a distributed SORT by (h, doc_id)
+    * (range-partitioned write order), not a single window — the
+    * per-epoch window here runs at certification scale only.
+    */
+  val q_epoch_shuffle = QueryDef(
+    "q_epoch_shuffle",
+    """WITH e(epoch) AS (VALUES (0), (1), (2)),
+      |h AS (
+      |  SELECT epoch, doc_id,
+      |    (((doc_id % 2147483647) * 2654435761) % 2147483647
+      |      + epoch * 2246822519) % 2147483647 AS hv
+      |  FROM documents CROSS JOIN e)
+      |SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch
+      |    ORDER BY hv, doc_id) AS BIGINT) AS pos
+      |FROM h ORDER BY epoch, pos""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val epochs = broadcast(Seq(0L, 1L, 2L).toDF("epoch"))
+    val w = Window.partitionBy(col("epoch")).orderBy(col("hv"), col("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .crossJoin(epochs)
+      .withColumn("hv",
+        (pmod(pmod(col("doc_id"), lit(2147483647L)) * lit(2654435761L),
+          lit(2147483647L)) + col("epoch") * lit(2246822519L))
+          % lit(2147483647L))
+      .select(col("epoch"), col("doc_id"),
+        row_number().over(w).cast("long").as("pos"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_mix_temperature, q_quality_calibrate,
+    q_dedup_threshold_curve, q_epoch_shuffle,
     q_target_encode,
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_pack_greedy, q_contamination, q_mix_rates,

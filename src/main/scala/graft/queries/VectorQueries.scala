@@ -1395,6 +1395,58 @@ object VectorQueries {
       .orderBy(col("cluster_id"))
   }
 
+  /** Hubness audit of the full-corpus kNN graph — the embedding-QA
+    * diagnostic run before trusting any kNN-derived structure: in
+    * high-dimensional or degenerate embedding spaces a few "hub"
+    * vectors appear in everyone's top-k while many "anti-hubs" appear
+    * in nobody's, and clustering/retrieval quality collapses along
+    * that skew. Output is the IN-DEGREE histogram of
+    * [[q_knn_graph_lsh]]'s edge list, including the in_degree=0 row
+    * (corpus vectors never retrieved — an anti-join against the
+    * neighbor set). One groupBy over k·|corpus| edges plus one
+    * id-level anti-join; the histogram itself is ≤ k·|nodes| rows of
+    * bounded domain.
+    */
+  val q_knn_hubness = QueryDef(
+    "q_knn_hubness", {
+      s"""WITH ${lshOracleCtes(LshBands, LshBandBits)},
+         |cand AS (
+         |  SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id <> y.id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos
+         |  FROM cand c
+         |  JOIN n a ON a.id = c.query_id JOIN n b ON b.id = c.neighbor_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0),
+         |sk AS (
+         |  SELECT * FROM (
+         |    SELECT query_id, neighbor_id, cos,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) t WHERE rank <= 5),
+         |indeg AS (
+         |  SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM sk GROUP BY neighbor_id),
+         |alldeg AS (
+         |  SELECT COALESCE(i.d, 0) AS in_degree
+         |  FROM (SELECT vec_id AS id FROM embeddings) v
+         |  LEFT JOIN indeg i ON i.neighbor_id = v.id)
+         |SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+         |FROM alldeg GROUP BY in_degree ORDER BY in_degree""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val e = SimilarityOps.lshKnnGraph(emb, "vec_id", "embedding", 5,
+      bands = LshBands, bandBits = LshBandBits, dim = LshDim)
+    val indeg = e.groupBy(col("neighbor_id")).agg(count(lit(1)).as("d"))
+    emb.select(col("vec_id").as("id"))
+      .join(indeg, col("id") === col("neighbor_id"), "left")
+      .select(coalesce(col("d"), lit(0L)).as("in_degree"))
+      .groupBy(col("in_degree")).agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("in_degree"))
+  }
+
   /** Subspace Mahalanobis outlier scoring over the certified deflated
     * PCA basis ([[graft.ops.PcaOps.subspaceOutliers]]) — the round-8
     * verdict's item 3: [[q_embed_outliers]]' diagonal z-scores cannot
@@ -1424,5 +1476,6 @@ object VectorQueries {
     q_knn_mutual, q_link_predict,
     q_knn_clusters, q_array_hof, q_ann_dim_recall, q_pca_project, q_pca_variance,
     q_pca_transform, q_embed_outliers, q_embed_outliers_pca,
-    q_knn_clusters_lsh, q_knn_graph_delta, q_knn_graph_merge)
+    q_knn_clusters_lsh, q_knn_graph_delta, q_knn_graph_merge,
+    q_knn_hubness)
 }
