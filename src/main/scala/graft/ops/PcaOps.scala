@@ -107,9 +107,18 @@ object PcaOps {
   def varianceSummary(
       emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, iters: Int): DataFrame = {
+    val (mu, v) = topComponent(emb, idCol, vecCol, dim, iters)
+    varianceWith(emb, idCol, vecCol, dim, mu, v)
+  }
+
+  /** The one-pass tail of [[varianceSummary]] against a KNOWN
+    * (mean, component) — shares a memoized fit with [[projectWith]]. */
+  def varianceWith(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      mu: Array[Double], v: Array[Double]): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val (mu, v) = topComponent(emb, idCol, vecCol, dim, iters)
+    graft.functions.GraftFunctions.register(spark)
     val x = emb
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(idCol).cast("long").as("id"),
@@ -195,6 +204,17 @@ object PcaOps {
       emb: DataFrame, idCol: String, vecCol: String,
       dim: Int, iters: Int, m: Int): DataFrame = {
     val (mu, comps) = topComponents(emb, idCol, vecCol, dim, iters, m)
+    transformWith(emb, idCol, vecCol, dim, mu, comps)
+  }
+
+  /** The map-only tail of [[transform]] against a KNOWN (mean, basis) —
+    * lets one fitted basis serve every downstream consumer (the
+    * transform, the outlier scorer, a whitening pass) without refitting.
+    */
+  def transformWith(
+      emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+      mu: Array[Double], comps: Array[Array[Double]]): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val x = emb
       .filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(col(idCol).cast("long").as("id"),
