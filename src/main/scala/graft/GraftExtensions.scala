@@ -69,6 +69,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Catalyst carry left-side predicates through the custom node
     e.injectPlannerStrategy(_ => plans.AsofJoinStrategy)
     e.injectOptimizerRule(_ => plans.AsofJoinPushdown)
+    // transparent aggregate-over-MV rewrite (no-op until a view is
+    // registered via graft.plans.MvRewrite.register)
+    e.injectOptimizerRule(_ => plans.MvRewriteRule)
     e.injectOptimizerRule(_ => plans.AsofJoinPruning)
     // re-run Catalyst's own pruning after ours so projections inserted
     // by AsofJoinPruning keep propagating through aggregate/join

@@ -514,6 +514,62 @@ object ScaleQueries {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** Transparent aggregate-over-MV rewrite
+    * ([[graft.plans.MvRewrite]]) — the OPTIMIZER half of the MV story
+    * ([[q_mv_incremental]] is the maintenance half): the rollup is
+    * stored once as a catalog table and REGISTERED, and the certified
+    * query is the plain user aggregate over the BASE lineitem scan —
+    * Catalyst answers it from the MV (the executed plan scans
+    * `graft_mv_lineitem_rollup`, not lineitem — plan-asserted in
+    * MvRewriteSpec and PlanSpec) while the DuckDB oracle computes the
+    * same aggregate from the base table, certifying the rewrite
+    * changes the plan and not the answer. At 100 TB this is a
+    * dashboard refresh reading a bounded rollup instead of re-scanning
+    * the fact table, with zero query changes.
+    */
+  val q_mv_rewrite = QueryDef(
+    "q_mv_rewrite",
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(sum_qty, 2) AS sum_qty,
+      |  ROUND(sum_price, 2) AS sum_price,
+      |  cnt
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus,
+      |    SUM(l_quantity) AS sum_qty,
+      |    SUM(l_extendedprice) AS sum_price,
+      |    COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1, 2) t
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    import graft.plans.MvRewrite
+    val mvName = "graft_mv_lineitem_rollup"
+    def rollup = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_price"),
+        count(lit(1)).as("cnt"))
+    // maintenance side: store + register the rollup (in production
+    // written once and incrementally maintained; rebuilt here so the
+    // certified surface includes the build). Deregister FIRST: on a
+    // re-run in the same session the registered mapping would rewrite
+    // the rebuild itself into a read of the existing MV — an
+    // overwrite-from-self the writer correctly rejects.
+    MvRewrite.deregister(s"$dir/lineitem.parquet")
+    graft.sinks.Sinks.replaceTable(rollup, mvName)
+    MvRewrite.register(s"$dir/lineitem.parquet",
+      MvRewrite.MvDef(mvName, Seq("l_returnflag", "l_linestatus"),
+        Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
+        Some("cnt")))
+    MvRewrite.install(spark)
+    // the USER query: an aggregate over the BASE table, transparently
+    // answered from the MV by the injected rule
+    rollup
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("sum_qty"), 2).as("sum_qty"),
+        round(col("sum_price"), 2).as("sum_price"),
+        col("cnt"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** Skyline (Pareto frontier) over parts — cheapest-for-the-size
     * frontier: minimize price, maximize size, keep every point no
     * other point beats on both axes (ties on one axis allowed). The
@@ -621,5 +677,6 @@ object ScaleQueries {
   val all: Seq[QueryDef] = Seq(
     q_bloom_join, q_quantile_sketch, q_zorder_tiles, q_table_profile,
     q_table_profile_sketch, q_interval_join, q_table_checksum, q_global_bins,
-    q_interval_overlap, q_mv_incremental, q_skyline, q_band_join)
+    q_interval_overlap, q_mv_incremental, q_mv_rewrite, q_skyline,
+    q_band_join)
 }

@@ -106,6 +106,22 @@ object Sinks {
     * `saveAsTable` fails location validation (LOCATION_ALREADY_EXISTS)
     * even in overwrite mode.
     */
+  /** Replace an UNBUCKETED managed catalog table — drop + clear any
+    * stale warehouse location first (a leftover directory from a
+    * previous JVM fails CTAS with LOCATION_ALREADY_EXISTS even in
+    * overwrite mode, because the fresh in-memory catalog has no table
+    * to overwrite).
+    */
+  def replaceTable(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.saveAsTable(table)
+  }
+
   def replaceBucketedTable(
       df: DataFrame, table: String, keys: Seq[String], nBuckets: Int): Unit = {
     val spark = df.sparkSession

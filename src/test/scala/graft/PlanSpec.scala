@@ -65,7 +65,10 @@ class PlanSpec extends AnyFunSuite {
       "q_dedup_groups", "q_bm25", "q_hybrid_search", "q_contamination",
       "q_dbscan_profile", "q_minhash_lsh", "q_ngram_jaccard",
       "q_clean_corpus", "q_dedup_decisions", "q_ann_ivf", "q_kmeans_sizes",
-      "q_forecast_hw", "q_forecast_alerts")
+      "q_forecast_hw", "q_forecast_alerts",
+      // building the frame writes + registers the MV (eager catalog
+      // work); its plan shape is asserted in its dedicated test below
+      "q_mv_rewrite")
     // Collect per-query analysis errors separately from the cartesian
     // list: a data-encoding drift that breaks analysis should name
     // every broken query ("q_asof_join: DATATYPE_MISMATCH…"), not die
@@ -249,6 +252,14 @@ class PlanSpec extends AnyFunSuite {
       s"label filter not pushed into the index scan:\n${p.take(1500)}")
     // still the index path: bucketed scan carries the stored sketch
     assert(p.contains("graft_ann_index_meta") && p.contains("csk"), p.take(1200))
+  }
+
+  test("MV rewrite answers the certified query from the stored rollup") {
+    val p = plan("q_mv_rewrite")
+    assert(p.contains("graft_mv_lineitem_rollup"),
+      s"q_mv_rewrite must scan the MV, not the base:\n${p.take(1500)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"base lineitem scan survived the MV rewrite:\n${p.take(1500)}")
   }
 
   test("full-corpus kNN graph blocks by LSH bands: no crossJoin, no corpus broadcast") {
