@@ -1,11 +1,12 @@
 package graft.plans
 
+import java.util.Locale
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -22,22 +23,45 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   * via `GraftColumnBridge.installRule` or at session build via
   * `GraftExtensions`.
   *
+  * Two provable grains (round-10 extends the exact-grain rule of
+  * round 9 with the re-aggregation half the MvOps scaladoc promised):
+  *   - EXACT grain — grouping keys equal the MV's keys: each output is
+  *     answered by a bare MV column (a Project over the MV scan);
+  *   - COARSER grain — grouping keys a non-empty STRICT SUBSET of the
+  *     MV's keys: SUM re-aggregates as SUM-of-sums and COUNT(*) as
+  *     SUM(count) over the rollup (both exact: per-group partial sums
+  *     are a commutative monoid, and SQL SUM's null-skipping matches —
+  *     a group-sum is NULL iff every base measure in it was NULL, so
+  *     re-summing skips exactly the rows the base SUM skipped). The
+  *     EMPTY grouping set (global aggregate) is deliberately refused:
+  *     over an empty base, COUNT(*) must return one row with 0 while
+  *     SUM(cnt) over the empty MV returns NULL — the one spot where
+  *     re-aggregation and the base aggregate disagree.
+  *
   * Soundness contract (deliberately strict — a rewrite that fires on a
   * pattern it cannot prove is a WRONG-ANSWER bug, not a missed
   * optimization):
-  *   - the query's grouping keys must equal the MV's keys EXACTLY
-  *     (same grain; coarser grains would need re-aggregation of
-  *     mergeable state — [[graft.ops.MvOps]] is that other half);
-  *   - every output must be a bare grouping key, `SUM(col)` for a
-  *     registered measure, or `COUNT(*)` with a registered count
+  *   - grouping keys must be exactly / a non-empty strict subset of the
+  *     MV's keys as above (duplicate grouping names bail);
+  *   - every output must be built from bare grouping keys, `SUM(col)`
+  *     for a registered measure, or `COUNT(*)` with a registered count
   *     column — no DISTINCT, no FILTER clauses, no other functions;
+  *     mapped replacements must preserve the output's dataType exactly
+  *     (a DECIMAL sum whose re-sum would widen precision bails);
   *   - the aggregate's child must be the registered base scan (bare, or
   *     under pure column-pruning Projects);
   *   - output attribute ids/names/types are preserved via aliases onto
   *     the MV columns, so parent operators are untouched;
-  *   - FRESHNESS is the registrant's contract: register (or refresh)
-  *     the MV before querying, deregister when it goes stale — the
-  *     rule cannot see base-table mutations.
+  *   - name matching honors `spark.sql.caseSensitive` (insensitive by
+  *     default, same as analysis), and base locations are normalized
+  *     through `java.net.URI` so `file:/x`, `file:///x` and `/x` all
+  *     name the same registration;
+  *   - FRESHNESS: the rule cannot see base-table mutations, so every
+  *     graft sink that writes a path calls [[invalidate]] and every
+  *     catalog-table writer calls [[deregisterTable]] — a write through
+  *     the engine's own sinks can never leave a stale rollup answering.
+  *     Out-of-band writers remain the registrant's contract: register
+  *     (or refresh) before querying, deregister when stale.
   */
 object MvRewrite {
 
@@ -52,15 +76,71 @@ object MvRewrite {
 
   private[plans] val registry = new ConcurrentHashMap[String, MvDef]()
 
-  /** Root-path normalization: scheme + trailing slashes stripped, so
-    * `file:/x/y` (location root) matches the `/x/y` the reader used. */
-  private[plans] def normalize(p: String): String =
-    p.stripPrefix("file:").replaceAll("/+$", "")
+  /** Root-path normalization through `java.net.URI`: the `file` scheme
+    * (any slash count) collapses to the bare path, other schemes keep
+    * scheme + authority (hdfs://nn1/x and hdfs://nn2/x are different
+    * tables), trailing slashes are stripped. Unparseable strings fall
+    * back to the raw value — a registration and a scan that both fail
+    * URI parsing still match each other verbatim.
+    */
+  private[plans] def normalize(p: String): String = {
+    val viaUri =
+      try {
+        val u = new java.net.URI(p)
+        Option(u.getScheme).map { s =>
+          val scheme = s.toLowerCase(Locale.ROOT)
+          if (scheme == "file") u.getPath
+          else {
+            val auth = Option(u.getAuthority).filter(_.nonEmpty)
+              .map("//" + _).getOrElse("")
+            s"$scheme:$auth${u.getPath}"
+          }
+        }
+      } catch { case _: Exception => None }
+    viaUri.getOrElse(p).replaceAll("/+$", "")
+  }
 
   def register(basePath: String, d: MvDef): Unit =
     registry.put(normalize(basePath), d)
 
   def deregister(basePath: String): Unit = registry.remove(normalize(basePath))
+
+  /** The live registration for a base path, if any. */
+  def registered(basePath: String): Option[MvDef] =
+    Option(registry.get(normalize(basePath)))
+
+  /** Remove EVERY registration whose MvDef serves from `mvTable`
+    * (case-insensitive — catalog table names are). The invariant behind
+    * it: overwriting an MV table invalidates every mapping that reads
+    * it, not just the one the writer had in mind — a prior SF dir's
+    * registration pointing at a table just overwritten with another
+    * dir's data is a silent wrong answer (round-9 advice). Called by
+    * the engine's own catalog-table writers ([[graft.sinks.Sinks]]).
+    */
+  def deregisterTable(mvTable: String): Unit = {
+    val it = registry.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getValue.mvTable.equalsIgnoreCase(mvTable)) it.remove()
+    }
+  }
+
+  /** A write landed at `path`: drop every registration whose base is
+    * that path, a parent of it (a write INTO a registered directory
+    * stales the rollup), or a child of it (overwriting a parent
+    * directory replaces the registered base wholesale). Prefix matches
+    * only at '/' boundaries — `/data/events` does not invalidate
+    * `/data/events_v2`. Called by every path-writing sink.
+    */
+  def invalidate(path: String): Unit = {
+    val p = normalize(path)
+    def covers(a: String, b: String): Boolean =
+      a == b || b.startsWith(a + "/")
+    val it = registry.keySet().iterator()
+    while (it.hasNext) {
+      val reg = it.next()
+      if (covers(reg, p) || covers(p, reg)) it.remove()
+    }
+  }
 
   /** Idempotently install [[MvRewriteRule]] on an existing session. */
   def install(spark: SparkSession): Unit =
@@ -92,24 +172,44 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] =
+  private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    // name matching per spark.sql.caseSensitive — Spark's own analysis
+    // resolved these names case-insensitively (by default), so an
+    // exact-case match would silently never fire on `L_RETURNFLAG`
+    val ci = !spark.sessionState.conf.caseSensitiveAnalysis
+    def canon(s: String): String = if (ci) s.toLowerCase(Locale.ROOT) else s
     for {
       d <- baseDef(agg.child)
       groupNames <- attributeNames(agg.groupingExpressions)
-      if groupNames.sorted == d.keys.sorted
-      spark = SparkSession.active
+      cGroup = groupNames.map(canon)
+      if cGroup.distinct.size == cGroup.size
+      cKeys = d.keys.map(canon)
+      exact = cGroup.sorted == cKeys.sorted
+      // coarser grain: non-empty strict subset (empty = global
+      // aggregate, refused — COUNT(*) over an empty base is 0, but
+      // SUM(cnt) over the empty MV is NULL)
+      if exact || (cGroup.nonEmpty && cGroup.toSet.subsetOf(cKeys.toSet))
       if spark.catalog.tableExists(d.mvTable)
       mv = EliminateSubqueryAliases(
         spark.table(d.mvTable).queryExecution.analyzed)
-      mvOut = mv.output.map(a => a.name -> a).toMap
+      mvOut = mv.output.map(a => canon(a.name) -> a).toMap
+      sums = d.sums.map { case (k, v) => canon(k) -> v }
+      countCol = d.countCol
+      aggMapper = if (exact) exactAggMapper(sums, countCol, mvOut, canon) _
+                  else reaggAggMapper(sums, countCol, mvOut, canon) _
       mappedOpts = agg.aggregateExpressions
-        .map(mapOutput(_, groupNames.toSet, d, mvOut))
+        .map(mapOutput(_, cGroup.toSet, mvOut, canon, aggMapper))
       if mappedOpts.forall(_.isDefined)
-    } yield Project(mappedOpts.map(_.get), mv)
+      outs = mappedOpts.map(_.get)
+    } yield {
+      if (exact) Project(outs, mv)
+      else Aggregate(cGroup.flatMap(mvOut.get), outs, mv)
+    }
+  }
 
   private def attributeNames(
-      es: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Option[Seq[String]] = {
+      es: Seq[Expression]): Option[Seq[String]] = {
     val names = es.map {
       case a: AttributeReference => Some(a.name)
       case _ => None
@@ -117,47 +217,83 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     if (names.forall(_.isDefined)) Some(names.map(_.get)) else None
   }
 
-  /** The MV column answering ONE AggregateExpression (plain SUM of a
-    * registered measure / COUNT(*)), type-checked — None bails the
-    * whole rewrite. */
-  private def mapAgg(
-      ae: AggregateExpression, d: MvDef,
-      mvOut: Map[String, Attribute]): Option[Attribute] = {
+  /** The registered MV column name answering ONE plain (no DISTINCT /
+    * FILTER) SUM-of-measure or COUNT(*) — None bails the rewrite. */
+  private def measureCol(
+      ae: AggregateExpression, sums: Map[String, String],
+      countCol: Option[String], canon: String => String): Option[String] = {
     if (ae.isDistinct || ae.filter.nonEmpty) return None
-    val srcName = ae.aggregateFunction match {
+    ae.aggregateFunction match {
       case s: Sum => s.child match {
-        case c: AttributeReference => d.sums.get(c.name)
+        case c: AttributeReference => sums.get(canon(c.name))
         case _ => None
       }
-      case c: Count if c.children == Seq(Literal(1)) => d.countCol
+      case c: Count if c.children == Seq(Literal(1)) => countCol
       case _ => None
     }
-    srcName.flatMap(mvOut.get).filter(_.dataType == ae.dataType)
   }
+
+  /** EXACT grain: the AggregateExpression is answered by the bare MV
+    * column (same value, one row per group already). Type-checked. */
+  private def exactAggMapper(
+      sums: Map[String, String], countCol: Option[String],
+      mvOut: Map[String, Attribute], canon: String => String)(
+      ae: AggregateExpression): Option[Expression] =
+    measureCol(ae, sums, countCol, canon)
+      .flatMap(n => mvOut.get(canon(n)))
+      .filter(_.dataType == ae.dataType)
+
+  /** COARSER grain: SUM(x) → SUM(mv_sum_x), COUNT(*) → SUM(mv_cnt) —
+    * a fresh Complete AggregateExpression over the MV column. The
+    * dataType must round-trip exactly (Sum over LongType stays
+    * LongType, so COUNT(*)'s type is preserved; Sum over a DECIMAL sum
+    * column would widen precision — that case bails here). */
+  private def reaggAggMapper(
+      sums: Map[String, String], countCol: Option[String],
+      mvOut: Map[String, Attribute], canon: String => String)(
+      ae: AggregateExpression): Option[Expression] =
+    for {
+      n <- measureCol(ae, sums, countCol, canon)
+      attr <- mvOut.get(canon(n))
+      resum = AggregateExpression(Sum(attr), Complete, isDistinct = false)
+      if resum.dataType == ae.dataType
+    } yield resum
 
   /** Map ONE aggregate output onto MV columns, preserving the output's
     * name, exprId, and type. Outputs are arbitrary expressions over
     * aggregates and grouping keys (the optimizer's CollapseProject
     * folds parent projections like `round(sum(x), 2)` INTO the
     * aggregate's output list before extra rules run), so this
-    * substitutes every inner AggregateExpression / grouping attribute
-    * with its MV column and then proves nothing unmapped is left —
-    * any surviving AggregateExpression or non-MV attribute bails.
+    * substitutes every inner AggregateExpression (via `aggMapper`) and
+    * grouping attribute with its MV form and then proves nothing
+    * unmapped is left — any original AggregateExpression that failed to
+    * map, or any surviving non-MV attribute, bails. Replacements the
+    * mapper CONSTRUCTED (the coarser grain's re-sums) are tracked by
+    * identity so they don't read as "unmapped".
     */
   private def mapOutput(
-      ne: NamedExpression, groupNames: Set[String], d: MvDef,
-      mvOut: Map[String, Attribute]): Option[NamedExpression] = {
+      ne: NamedExpression, groupNames: Set[String],
+      mvOut: Map[String, Attribute], canon: String => String,
+      aggMapper: AggregateExpression => Option[Expression])
+      : Option[NamedExpression] = {
+    val constructed =
+      java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[Expression, java.lang.Boolean]())
     val aggsMapped = ne.transformDown {
-      case ae: AggregateExpression => mapAgg(ae, d, mvOut).getOrElse(ae)
+      case ae: AggregateExpression =>
+        aggMapper(ae) match {
+          case Some(e) => constructed.add(e); e
+          case None => ae
+        }
     }
     val keysMapped = aggsMapped.transformUp {
       case a: AttributeReference
-          if groupNames.contains(a.name) &&
-            mvOut.get(a.name).exists(_.dataType == a.dataType) =>
-        mvOut(a.name)
+          if groupNames.contains(canon(a.name)) &&
+            mvOut.get(canon(a.name)).exists(_.dataType == a.dataType) =>
+        mvOut(canon(a.name))
     }
     val unmappedAgg = keysMapped.collectFirst {
-      case ae: AggregateExpression => ae
+      case ae: AggregateExpression if !constructed.contains(ae) => ae
     }.isDefined
     val mvAttrs = mvOut.values.map(_.exprId).toSet
     val foreignAttr = keysMapped.references.exists(r => !mvAttrs.contains(r.exprId))

@@ -527,6 +527,35 @@ object ScaleQueries {
     * dashboard refresh reading a bounded rollup instead of re-scanning
     * the fact table, with zero query changes.
     */
+  /** Maintenance side shared by the MV-rewrite family: store + register
+    * the lineitem rollup (in production written once and incrementally
+    * maintained; rebuilt here so the certified surface includes the
+    * build). `replaceTable` deregisters EVERY registration served from
+    * the table first (round-9 advice: a prior SF dir's mapping onto the
+    * just-overwritten table is a silent wrong answer — and a surviving
+    * same-dir mapping would rewrite the rebuild itself into a read of
+    * the MV it is about to overwrite).
+    */
+  private val mvRollupName = "graft_mv_lineitem_rollup"
+
+  private def registeredLineitemRollup(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import graft.plans.MvRewrite
+    val rollup = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_price"),
+        count(lit(1)).as("cnt"))
+    graft.sinks.Sinks.replaceTable(rollup, mvRollupName)
+    MvRewrite.register(s"$dir/lineitem.parquet",
+      MvRewrite.MvDef(mvRollupName, Seq("l_returnflag", "l_linestatus"),
+        Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
+        Some("cnt")))
+    MvRewrite.install(spark)
+    rollup
+  }
+
   val q_mv_rewrite = QueryDef(
     "q_mv_rewrite",
     """SELECT l_returnflag, l_linestatus,
@@ -540,26 +569,7 @@ object ScaleQueries {
       |    COUNT(*) AS cnt
       |  FROM lineitem GROUP BY 1, 2) t
       |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
-    import graft.plans.MvRewrite
-    val mvName = "graft_mv_lineitem_rollup"
-    def rollup = Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(sum("l_quantity").as("sum_qty"),
-        sum("l_extendedprice").as("sum_price"),
-        count(lit(1)).as("cnt"))
-    // maintenance side: store + register the rollup (in production
-    // written once and incrementally maintained; rebuilt here so the
-    // certified surface includes the build). Deregister FIRST: on a
-    // re-run in the same session the registered mapping would rewrite
-    // the rebuild itself into a read of the existing MV — an
-    // overwrite-from-self the writer correctly rejects.
-    MvRewrite.deregister(s"$dir/lineitem.parquet")
-    graft.sinks.Sinks.replaceTable(rollup, mvName)
-    MvRewrite.register(s"$dir/lineitem.parquet",
-      MvRewrite.MvDef(mvName, Seq("l_returnflag", "l_linestatus"),
-        Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
-        Some("cnt")))
-    MvRewrite.install(spark)
+    val rollup = registeredLineitemRollup(spark, dir)
     // the USER query: an aggregate over the BASE table, transparently
     // answered from the MV by the injected rule
     rollup
@@ -568,6 +578,45 @@ object ScaleQueries {
         round(col("sum_price"), 2).as("sum_price"),
         col("cnt"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** COARSER-grain MV rewrite ([[graft.plans.MvRewrite]] round-10): the
+    * user aggregate groups by a strict SUBSET of the rollup's keys
+    * (l_returnflag alone vs the stored (l_returnflag, l_linestatus)
+    * grain), and the rule answers it by RE-AGGREGATING the rollup —
+    * SUM-of-sums, SUM(cnt) for COUNT(*) — instead of scanning lineitem
+    * (plan-asserted in MvRewriteSpec/PlanSpec). The DuckDB oracle
+    * computes the same aggregate from the base table, so the certificate
+    * is exactly "re-aggregating mergeable state equals the base
+    * aggregate". At 100 TB this is every coarser dashboard cut (by
+    * flag, by day, by region) answered from ONE stored rollup at the
+    * finest shared grain.
+    */
+  val q_mv_rewrite_grain = QueryDef(
+    "q_mv_rewrite_grain",
+    """SELECT l_returnflag,
+      |  ROUND(sum_qty, 2) AS sum_qty,
+      |  ROUND(sum_price, 2) AS sum_price,
+      |  cnt
+      |FROM (
+      |  SELECT l_returnflag,
+      |    SUM(l_quantity) AS sum_qty,
+      |    SUM(l_extendedprice) AS sum_price,
+      |    COUNT(*) AS cnt
+      |  FROM lineitem GROUP BY 1) t
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    registeredLineitemRollup(spark, dir)
+    // the USER query at the coarser grain, over the BASE table
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_price"),
+        count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        round(col("sum_qty"), 2).as("sum_qty"),
+        round(col("sum_price"), 2).as("sum_price"),
+        col("cnt"))
+      .orderBy(col("l_returnflag"))
   }
 
   /** Skyline (Pareto frontier) over parts — cheapest-for-the-size
@@ -677,6 +726,6 @@ object ScaleQueries {
   val all: Seq[QueryDef] = Seq(
     q_bloom_join, q_quantile_sketch, q_zorder_tiles, q_table_profile,
     q_table_profile_sketch, q_interval_join, q_table_checksum, q_global_bins,
-    q_interval_overlap, q_mv_incremental, q_mv_rewrite, q_skyline,
-    q_band_join)
+    q_interval_overlap, q_mv_incremental, q_mv_rewrite, q_mv_rewrite_grain,
+    q_skyline, q_band_join)
 }

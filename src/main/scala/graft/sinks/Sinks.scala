@@ -14,14 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object Sinks {
 
+  /** MV-freshness hook (round-9 verdict item 4): every sink that lands
+    * bytes at a path must drop any [[graft.plans.MvRewrite]]
+    * registration covering that path BEFORE writing — otherwise a write
+    * through the engine's own sinks leaves a registered stale rollup
+    * silently answering aggregates over the just-changed base. Called
+    * pre-write so even a failed half-write cannot be served from the MV.
+    */
+  private def invalidateMv(path: String): Unit =
+    graft.plans.MvRewrite.invalidate(path)
+
   /** Write the canonical event table partitioned by day (S9 layout). */
-  def writeEventTable(events: DataFrame, path: String): Unit =
+  def writeEventTable(events: DataFrame, path: String): Unit = {
+    invalidateMv(path)
     events
       .withColumn("event_date", to_date(col("ts")))
       .write
       .partitionBy("event_date")
       .mode("overwrite")
       .parquet(path)
+  }
 
   /** Upsert semantics of the reference's `INSERT ... ON CONFLICT
     * (id, timestamp) DO UPDATE` with keep-last-in-batch
@@ -71,6 +83,8 @@ object Sinks {
   def splitJson(
       df: DataFrame, predicate: org.apache.spark.sql.Column,
       acceptDir: String, rejectDir: String): Unit = {
+    invalidateMv(acceptDir)
+    invalidateMv(rejectDir)
     val accept = coalesce(predicate, lit(false))
     val cached = df.persist()
     cached.filter(accept).write.mode("overwrite").json(acceptDir)
@@ -80,8 +94,10 @@ object Sinks {
   }
 
   /** CSV report sink with header (S8). */
-  def writeCsv(df: DataFrame, path: String): Unit =
+  def writeCsv(df: DataFrame, path: String): Unit = {
+    invalidateMv(path)
     df.write.option("header", "true").mode("overwrite").csv(path)
+  }
 
   /** Bucketed table write: pre-shuffles data into `nBuckets` by
     * `keys` at write time so later equi-joins/aggregations on those
@@ -90,12 +106,18 @@ object Sinks {
     * catalog table (bucket metadata lives in the metastore).
     */
   def writeBucketed(
-      df: DataFrame, table: String, keys: Seq[String], nBuckets: Int): Unit =
+      df: DataFrame, table: String, keys: Seq[String], nBuckets: Int): Unit = {
+    // overwriting a catalog table invalidates EVERY MV registration
+    // served from it, whichever base dir registered it (round-9 advice:
+    // a prior SF dir's registration over a table rebuilt with another
+    // dir's data is a silent wrong answer)
+    graft.plans.MvRewrite.deregisterTable(table)
     df.write
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .saveAsTable(table)
+  }
 
   /** [[writeBucketed]] preceded by a FULL drop of the managed table
     * AND its warehouse directory — the rebuild entry point every
@@ -114,6 +136,12 @@ object Sinks {
     */
   def replaceTable(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
+    // see writeBucketed: a rebuilt table must not be served through any
+    // surviving registration (including another SF dir's). Deregister
+    // BEFORE executing df: were a mapping onto this very table still
+    // live, the rebuild aggregate itself would rewrite into a read of
+    // the table it is about to overwrite.
+    graft.plans.MvRewrite.deregisterTable(table)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.conf.warehousePath, table.toLowerCase)
@@ -125,6 +153,7 @@ object Sinks {
   def replaceBucketedTable(
       df: DataFrame, table: String, keys: Seq[String], nBuckets: Int): Unit = {
     val spark = df.sparkSession
+    graft.plans.MvRewrite.deregisterTable(table)
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.conf.warehousePath, table.toLowerCase)
@@ -153,6 +182,7 @@ object Sinks {
     val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val totalBytes = fs.getContentSummary(src).getLength
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    invalidateMv(destPath)
     spark.read.parquet(srcPath)
       // repartition (round-robin), not coalesce: coalesce glues input
       // splits task-locally and inherits their skew — compaction's
@@ -166,10 +196,12 @@ object Sinks {
     * job overwrites on refresh; dashboards read the parquet instead of
     * re-aggregating the fact table.
     */
-  def refreshDailySummary(events: DataFrame, path: String): Unit =
+  def refreshDailySummary(events: DataFrame, path: String): Unit = {
+    invalidateMv(path)
     events
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("value")), 4).as("avg_value"))
       .write.mode("overwrite").parquet(path)
+  }
 }

@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The aggregate-over-MV rewrite's two obligations: it FIRES on the
-  * registered pattern (plan scans the MV, not the base; answer
-  * identical to the direct aggregate), and it REFUSES everything it
-  * cannot prove (different grain, extra aggregates, filters,
-  * DISTINCT) — a rewrite firing on an unproven pattern is a
-  * wrong-answer bug, not a missed optimization.
+  * provable patterns (exact grain → MV projection; coarser grain →
+  * re-aggregation of the rollup; plan scans the MV, not the base;
+  * answer identical to the direct aggregate), and it REFUSES everything
+  * it cannot prove (non-subset keys, global aggregates, extra
+  * aggregate functions, filters, DISTINCT) — a rewrite firing on an
+  * unproven pattern is a wrong-answer bug, not a missed optimization.
+  * Round-10 adds the freshness integration: a write through the
+  * engine's own sinks must deregister the covering MV.
   */
 class MvRewriteSpec extends AnyFunSuite {
   import TestSpark._
@@ -53,14 +56,57 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("coarser grain re-aggregates the rollup, result-identical") {
+    MvRewrite.deregister(basePath)
+    def coarser = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+    val direct = coarser.orderBy(col("l_returnflag")).collect().toSeq
+    withMv { mv =>
+      val plan = coarser.queryExecution.executedPlan.toString
+      assert(plan.contains(mv),
+        s"coarser-grain rewrite did not fire:\n${plan.take(1500)}")
+      assert(!plan.contains("lineitem.parquet"),
+        s"base scan survived the coarser-grain rewrite:\n${plan.take(1500)}")
+      val rewritten = coarser.orderBy(col("l_returnflag")).collect().toSeq
+      assert(rewritten == direct,
+        "re-aggregated rollup must be bit-identical to the base aggregate")
+    }
+  }
+
+  test("case-insensitive names and file: URI registrations still fire") {
+    MvRewrite.deregister(basePath)
+    withMv { mv =>
+      // re-register under the scheme-qualified form of the same path —
+      // normalize must collapse it onto the scan's root
+      MvRewrite.deregister(basePath)
+      MvRewrite.register(s"file://$sf/lineitem.parquet", MvRewrite.MvDef(
+        mv, Seq("l_returnflag", "l_linestatus"),
+        Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
+        Some("cnt")))
+      val upper = Tables.lineitem(spark, sf)
+        .groupBy(col("L_RETURNFLAG"), col("L_LINESTATUS"))
+        .agg(sum("L_QUANTITY").as("sum_qty"))
+      val plan = upper.queryExecution.executedPlan.toString
+      assert(plan.contains(mv),
+        s"file:// registration + upper-case names must still rewrite:\n${plan.take(1500)}")
+    }
+  }
+
   test("unprovable shapes refuse to rewrite") {
     withMv { mv =>
       val cases = Seq(
-        "coarser grain" -> Tables.lineitem(spark, sf)
-          .groupBy(col("l_returnflag"))
+        "non-subset key (l_suppkey not in MV keys)" -> Tables.lineitem(spark, sf)
+          .groupBy(col("l_returnflag"), col("l_suppkey"))
           .agg(sum("l_quantity").as("sum_qty")),
+        "global aggregate (empty grouping — COUNT(*) over an empty base is 0, SUM(cnt) NULL)" ->
+          Tables.lineitem(spark, sf)
+            .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt")),
         "unregistered aggregate (avg)" -> Tables.lineitem(spark, sf)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(avg("l_quantity").as("avg_qty")),
+        "unregistered aggregate at coarser grain (avg)" -> Tables.lineitem(spark, sf)
+          .groupBy(col("l_returnflag"))
           .agg(avg("l_quantity").as("avg_qty")),
         "filter below the aggregate" -> Tables.lineitem(spark, sf)
           .filter(col("l_quantity") > 10)
@@ -68,6 +114,9 @@ class MvRewriteSpec extends AnyFunSuite {
           .agg(sum("l_quantity").as("sum_qty")),
         "distinct sum" -> Tables.lineitem(spark, sf)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum_distinct(col("l_quantity")).as("sum_qty")),
+        "distinct sum at coarser grain" -> Tables.lineitem(spark, sf)
+          .groupBy(col("l_returnflag"))
           .agg(sum_distinct(col("l_quantity")).as("sum_qty")))
       cases.foreach { case (label, df) =>
         val plan = df.queryExecution.executedPlan.toString
@@ -84,5 +133,55 @@ class MvRewriteSpec extends AnyFunSuite {
     val plan = userAgg.queryExecution.executedPlan.toString
     assert(plan.contains("lineitem"),
       s"after deregister the base scan must return:\n${plan.take(1200)}")
+  }
+
+  test("a sink write to the base path deregisters the MV (freshness)") {
+    withMv { mv =>
+      // stand-in base under tmp: register an MV over it, prove the
+      // rewrite fires, then write to the base THROUGH a graft sink and
+      // prove the very same query scans the base again
+      val baseDir = graft.streaming.StreamingOps.tempSinkDir("graft_mv_fresh_")
+      Tables.lineitem(spark, sf).limit(500)
+        .write.mode("overwrite").parquet(baseDir)
+      def agg = spark.read.parquet(baseDir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_price"),
+          count(lit(1)).as("cnt"))
+      MvRewrite.register(baseDir, MvRewrite.MvDef(
+        mv, Seq("l_returnflag", "l_linestatus"),
+        Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
+        Some("cnt")))
+      try {
+        val before = agg.queryExecution.executedPlan.toString
+        assert(before.contains(mv), s"precondition — rewrite fires:\n${before.take(1200)}")
+        // the write: compaction INTO the registered base directory
+        graft.sinks.Sinks.compactParquet(spark, baseDir, s"$baseDir/part_out")
+        val after = agg.queryExecution.executedPlan.toString
+        assert(!after.contains(mv),
+          s"stale MV still answers after a sink write to its base:\n${after.take(1200)}")
+      } finally MvRewrite.deregister(baseDir)
+    }
+  }
+
+  test("overwriting the MV table drops every registration served from it") {
+    MvRewrite.deregister(basePath)
+    val mv = "graft_mv_spec_rollup2"
+    graft.sinks.Sinks.replaceTable(userAgg, mv)
+    MvRewrite.register(basePath, MvRewrite.MvDef(
+      mv, Seq("l_returnflag", "l_linestatus"),
+      Map("l_quantity" -> "sum_qty"), Some("cnt")))
+    // ANOTHER dir's registration onto the same table (the round-9
+    // advice scenario: Bench warms at sf0.001 then times at sf0.1)
+    MvRewrite.register("/some/other/dir/lineitem.parquet", MvRewrite.MvDef(
+      mv, Seq("l_returnflag", "l_linestatus"),
+      Map("l_quantity" -> "sum_qty"), Some("cnt")))
+    // rebuilding the table must clear BOTH
+    graft.sinks.Sinks.replaceTable(userAgg, mv)
+    val plan = userAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("lineitem"),
+      s"registration survived the table overwrite:\n${plan.take(1200)}")
+    assert(MvRewrite.registered("/some/other/dir/lineitem.parquet").isEmpty,
+      "the OTHER dir's registration onto the overwritten table survived")
   }
 }

@@ -67,8 +67,8 @@ class PlanSpec extends AnyFunSuite {
       "q_clean_corpus", "q_dedup_decisions", "q_ann_ivf", "q_kmeans_sizes",
       "q_forecast_hw", "q_forecast_alerts",
       // building the frame writes + registers the MV (eager catalog
-      // work); its plan shape is asserted in its dedicated test below
-      "q_mv_rewrite")
+      // work); their plan shapes are asserted in dedicated tests below
+      "q_mv_rewrite", "q_mv_rewrite_grain")
     // Collect per-query analysis errors separately from the cartesian
     // list: a data-encoding drift that breaks analysis should name
     // every broken query ("q_asof_join: DATATYPE_MISMATCH…"), not die
@@ -260,6 +260,16 @@ class PlanSpec extends AnyFunSuite {
       s"q_mv_rewrite must scan the MV, not the base:\n${p.take(1500)}")
     assert(!p.contains("lineitem.parquet"),
       s"base lineitem scan survived the MV rewrite:\n${p.take(1500)}")
+  }
+
+  test("coarser-grain MV rewrite re-aggregates the rollup, never the base") {
+    val p = plan("q_mv_rewrite_grain")
+    assert(p.contains("graft_mv_lineitem_rollup"),
+      s"q_mv_rewrite_grain must scan the MV:\n${p.take(1500)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"base lineitem scan survived the coarser-grain rewrite:\n${p.take(1500)}")
+    assert(p.contains("HashAggregate"),
+      s"coarser grain must RE-AGGREGATE the rollup (sum-of-sums):\n${p.take(1500)}")
   }
 
   test("full-corpus kNN graph blocks by LSH bands: no crossJoin, no corpus broadcast") {
