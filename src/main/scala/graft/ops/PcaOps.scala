@@ -381,12 +381,39 @@ object PcaOps {
     // two consumers (eigenvalue aggregate + scoring pass) — materialize
     // once; released by the engine's between-queries cache sweep
     val pcmC = Reuse.materialized(pcm)
+    // Σpcm² accumulates as DECIMAL(38,0), not LongType (round-9 advice):
+    // a long sum wraps SILENTLY under non-ANSI mode once n·pcm² passes
+    // 2⁶³ (pcm is ~1e6–1e8 per component on unit-norm embeddings, so a
+    // ~1e9-row corpus is enough), while the DuckDB oracle raises —
+    // silent wrong eigenvalues where the oracle errors. decimal(19,0)
+    // holds any long exactly; the product is decimal(38,0) (≤8.5e37,
+    // exact for any pcm pair) and the sum has 1e38 of headroom. Below
+    // the old bound the BigInteger division is bit-identical to the
+    // long division, so certified results are unchanged.
     val aggRow = pcmC.agg(count(lit(1)),
-      comps.indices.map(t => sum(col(s"pcm$t") * col(s"pcm$t"))): _*).head()
+      comps.indices.map(t =>
+        sum(col(s"pcm$t").cast("decimal(19,0)") *
+          col(s"pcm$t").cast("decimal(19,0)"))) ++
+        // per-row overflow guard for the scoring pass below: z2/spent
+        // square pcm in LongType per ROW (oracle parity — DuckDB's
+        // per-row BIGINT does the same), sound only while pcm² < 2⁶³
+        comps.indices.map(t => max(abs(col(s"pcm$t")))): _*).head()
     val n = aggRow.getLong(0)
     require(n > 1, s"outlier scoring needs at least 2 vectors, got $n")
-    val lamMicro = comps.indices.map(t =>
-      aggRow.getLong(1 + t) / ((n - 1) * 1000000L))
+    val maxAbsPcm = comps.indices
+      .map(t => aggRow.getLong(1 + comps.length + t)).max
+    require(maxAbsPcm <= 3037000499L, // floor(sqrt(2^63 - 1))
+      s"per-row pcm² would overflow Int64 (max |pcm| = $maxAbsPcm): " +
+        "rescale the embeddings before outlier scoring")
+    val denom = java.math.BigInteger.valueOf(n - 1)
+      .multiply(java.math.BigInteger.valueOf(1000000L))
+    val lamMicro = comps.indices.map { t =>
+      val lam = aggRow.getDecimal(1 + t).toBigInteger.divide(denom)
+      require(lam.bitLength < 63,
+        s"component ${t + 1} eigenvalue overflows Int64 in micro units " +
+          s"($lam): rescale the embeddings before outlier scoring")
+      lam.longValueExact
+    }
     lamMicro.zipWithIndex.foreach { case (l, t) =>
       require(l > 0, s"component ${t + 1} eigenvalue is 0 in micro units — " +
         "subspace standardization undefined (corpus variance below 1e-6)")

@@ -668,9 +668,9 @@ object SimilarityOps {
     */
   def lshKnnGraph(
       vectors: DataFrame, idCol: String, vecCol: String, k: Int,
-      bands: Int, bandBits: Int, dim: Int): DataFrame =
+      bands: Int, bandBits: Int, dim: Int, bucketCap: Int = 0): DataFrame =
     lshKnnGraphBetween(vectors, vectors, idCol, vecCol, k,
-      bands, bandBits, dim)
+      bands, bandBits, dim, bucketCap)
 
   /** Asymmetric form of [[lshKnnGraph]] — edges from `queries` nodes
     * into `corpus` (self-pairs excluded by id). This is the O(Δ)
@@ -683,21 +683,80 @@ object SimilarityOps {
   def lshKnnGraphBetween(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bands: Int, bandBits: Int, dim: Int): DataFrame =
-    lshKnnGraphRaw(queries, corpus, idCol, vecCol, k, bands, bandBits, dim)
+      bands: Int, bandBits: Int, dim: Int, bucketCap: Int = 0): DataFrame =
+    lshKnnGraphRaw(queries, corpus, idCol, vecCol, k, bands, bandBits, dim,
+      bucketCap)
       .select(col("query_id"), col("rank"),
         col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+
+  /** Deterministic per-(band,bucket) occupancy cap — the vector-side
+    * analog of the text kernels' df-capped shingles
+    * ([[DedupOps.discriminativeShingles]], round-9 verdict item 1):
+    * candidate volume in every banded-LSH join is Σ_buckets |bucket|²
+    * per band, so ONE mega-bucket (a dedup-heavy or degenerate corpus
+    * concentrating near-identical vectors — exactly what the hubness
+    * audit exists to detect) goes quadratic no matter what bandBits is;
+    * AQE can split the skewed shuffle partition but cannot shrink the
+    * pair fan-out. The cap keeps, per (band, bucket), the `cap` members
+    * with the smallest scrambled id-hash
+    * `((id % M + band·c₂ + bucket·c₃) % M · c₁) % M` (M = 2³¹−1;
+    * reduced BEFORE the multiply so both engines stay inside exact
+    * BIGINT — the epoch-shuffle hash family), ties broken by id — a
+    * stateless, recomputable sample any worker and the DuckDB oracle
+    * replay independently: the survivor set varies per band (the
+    * offsets mix through the multiply), so a member dropped from one
+    * band's mega-bucket still competes in its other bands. Recall
+    * contract: pairs between two dropped members of the same bucket are
+    * lost in that band — the identical trade the df-cap makes for
+    * shingles, bounded by OR-amplification across bands and measured in
+    * ProbeKnn's planted-mega-bucket run. Ids are assumed nonnegative
+    * (every id column in the engine is), keeping `%` = pmod in both
+    * engines.
+    */
+  def capBandBuckets(buckets: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 2, s"bucket-occupancy cap must allow pairs, got $cap")
+    val M = 2147483647L
+    val hv = ((col("id") % M + col("band") * 2246822519L +
+      col("bucket") * 3266489917L) % M * 2654435761L) % M
+    val w = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(hv.asc, col("id").asc)
+    buckets
+      .withColumn("occ_rank", row_number().over(w))
+      .filter(col("occ_rank") <= cap)
+      .drop("occ_rank")
+  }
+
+  /** Oracle CTE replaying [[capBandBuckets]] over a `buckets(id, band,
+    * bucket)` CTE (the shared `lshOracleCtes` shape). */
+  def capBandBucketsSqlCte(cap: Int, src: String = "buckets"): String =
+    s"""SELECT id, band, bucket FROM (
+       |  SELECT id, band, bucket, ROW_NUMBER() OVER (
+       |    PARTITION BY band, bucket
+       |    ORDER BY ((id % 2147483647 + band * 2246822519
+       |      + bucket * 3266489917) % 2147483647 * 2654435761)
+       |      % 2147483647, id) AS occ_rank
+       |  FROM $src) t WHERE occ_rank <= $cap""".stripMargin
 
   /** [[lshKnnGraphBetween]] with the UNROUNDED cosine kept — the form
     * incremental top-k merges need: re-ranking a merged edge list on
     * the 6-dp rounded score could reorder near-ties differently from a
     * full rebuild (which ranks on raw cos), so merge on raw, round at
     * the output boundary only.
+    *
+    * `bucketCap` > 0 bounds CORPUS-side bucket occupancy via
+    * [[capBandBuckets]] — candidate volume per band drops from
+    * Σ|bucket|² to Σ|bucket|·min(|bucket|, cap), linear in the corpus
+    * for any fixed cap. Only the corpus (neighbor) side is capped:
+    * every query node keeps its buckets and therefore its shot at
+    * edges — a capped QUERY side would instead delete dropped nodes
+    * from the output graph entirely. 0 (the default) preserves the
+    * uncapped round-9 behavior bit-for-bit.
     */
   def lshKnnGraphRaw(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      bands: Int, bandBits: Int, dim: Int): DataFrame = {
+      bands: Int, bandBits: Int, dim: Int,
+      bucketCap: Int = 0): DataFrame = {
     require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
       s"bands*bandBits must fit one 64-bit signature, got $bands*$bandBits")
     graft.functions.GraftFunctions.register(queries.sparkSession)
@@ -711,7 +770,10 @@ object SimilarityOps {
       sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
         .select(col("id"), col("bb.band"), col("bb.bucket"))
     }
-    val cand = bucketed(queries).as("x").join(bucketed(corpus).as("y"),
+    val corpusBuckets =
+      if (bucketCap > 0) capBandBuckets(bucketed(corpus), bucketCap)
+      else bucketed(corpus)
+    val cand = bucketed(queries).as("x").join(corpusBuckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") =!= col("y.id"))
       .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"))
@@ -748,7 +810,8 @@ object SimilarityOps {
     */
   def lshNearDupPairs(
       vectors: DataFrame, idCol: String, vecCol: String,
-      bands: Int, bandBits: Int, dim: Int, threshold: Double): DataFrame = {
+      bands: Int, bandBits: Int, dim: Int, threshold: Double,
+      bucketCap: Int = 0): DataFrame = {
     require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
       s"bands*bandBits must fit one 64-bit signature, got $bands*$bandBits")
     graft.functions.GraftFunctions.register(vectors.sparkSession)
@@ -758,9 +821,15 @@ object SimilarityOps {
         shiftright(col("sig"), j * bandBits)
           .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
     }
-    val buckets = sig
+    val rawBuckets = sig
       .select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+    // pair enumeration is symmetric — capping the ONE shared bucket
+    // table bounds per-bucket pairs at C(cap, 2); members dropped from
+    // a band's mega-bucket lose that band's pairs (the df-cap trade),
+    // not their membership in other bands
+    val buckets =
+      if (bucketCap > 0) capBandBuckets(rawBuckets, bucketCap) else rawBuckets
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))

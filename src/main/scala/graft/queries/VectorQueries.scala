@@ -182,6 +182,55 @@ object VectorQueries {
       .orderBy(col("node_id"), col("rank"))
   }
 
+  /** Occupancy cap on the certification grid. With 2⁶ buckets per band
+    * the sf corpora concentrate well past 16 per bucket, so the cap
+    * BINDS here — the certificate covers the capped path's survivor
+    * selection, not just a no-op passthrough. */
+  private val LshBucketCap = 16
+
+  /** [[q_knn_graph_lsh]] under the per-(band,bucket) occupancy cap
+    * ([[SimilarityOps.capBandBuckets]], round-9 verdict item 1): the
+    * corpus side of every band bucket keeps only the `cap = 16`
+    * members with the smallest scrambled id-hash, so candidate volume
+    * per band is Σ|bucket|·min(|bucket|, cap) — LINEAR in the corpus
+    * regardless of how degenerate it is, where the uncapped kernel
+    * goes Σ|bucket|² quadratic on one mega-bucket. The DuckDB oracle
+    * replays the identical cap rule (same Mersenne-mod hash, same
+    * ROW_NUMBER tie-break), so the recall contract "top-k OF THE
+    * CAPPED CANDIDATE SET" is itself certified; the recall delta and
+    * the mega-bucket wall numbers are measured in ProbeKnn (PERF.md).
+    */
+  val q_knn_graph_capped = QueryDef(
+    "q_knn_graph_capped", {
+      s"""WITH ${lshOracleCtes(LshBands, LshBandBits)},
+         |capped AS (
+         |  ${SimilarityOps.capBandBucketsSqlCte(LshBucketCap)}),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
+         |  FROM buckets x JOIN capped y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id <> y.id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos
+         |  FROM cand c
+         |  JOIN n a ON a.id = c.query_id JOIN n b ON b.id = c.neighbor_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0)
+         |SELECT query_id AS node_id, rank, neighbor_id,
+         |  ROUND(cos, 6) AS cos_sim
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 5
+         |ORDER BY node_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    SimilarityOps.lshKnnGraph(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", 5,
+      bands = LshBands, bandBits = LshBandBits, dim = LshDim,
+      bucketCap = LshBucketCap)
+      .withColumnRenamed("query_id", "node_id")
+      .orderBy(col("node_id"), col("rank"))
+  }
+
   /** Unrolled deterministic Lloyd's rounds for the IVF centroid table
     * (mirror of [[SimilarityOps.learnedCentroids]]): assignment by
     * cosine (ROW_NUMBER, ties to lowest cell), update = element-wise
@@ -1496,6 +1545,7 @@ object VectorQueries {
     q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
     q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_graph_lsh,
+    q_knn_graph_capped,
     q_knn_mutual, q_link_predict,
     q_knn_clusters, q_array_hof, q_ann_dim_recall, q_pca_project, q_pca_variance,
     q_pca_transform, q_embed_outliers, q_embed_outliers_pca,

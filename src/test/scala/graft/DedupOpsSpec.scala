@@ -224,6 +224,50 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(brute.isEmpty || lsh.size.toDouble / brute.size > 0.2)
   }
 
+  test("bucket-occupancy cap bounds a planted mega-bucket's pair volume") {
+    // the degenerate corpus the cap exists for: identical vectors all
+    // land in ONE bucket per band, so uncapped candidate volume is
+    // C(n,2) regardless of bandBits — with the cap it is at most
+    // bands * C(cap,2)
+    val mega = spark.range(200).select(col("id").as("vec_id"),
+      array((0 until 64).map(i => lit((i % 7 + 1).toFloat)): _*).as("embedding"))
+    val uncapped = SimilarityOps.lshNearDupPairs(
+      mega, "vec_id", "embedding", bands = 6, bandBits = 6, dim = 64,
+      threshold = 0.9).count()
+    assert(uncapped === 200L * 199 / 2,
+      s"identical vectors must all pair uncapped, got $uncapped")
+    val capped = SimilarityOps.lshNearDupPairs(
+      mega, "vec_id", "embedding", bands = 6, bandBits = 6, dim = 64,
+      threshold = 0.9, bucketCap = 8)
+    val cappedRows = capped.collect()
+    assert(cappedRows.nonEmpty, "cap must keep survivor pairs, not drop the bucket")
+    assert(cappedRows.length <= 6 * 8 * 7 / 2,
+      s"capped pair volume must be <= bands * C(cap,2), got ${cappedRows.length}")
+    // deterministic: the stateless hash-rank sample reproduces exactly
+    val again = SimilarityOps.lshNearDupPairs(
+      mega, "vec_id", "embedding", bands = 6, bandBits = 6, dim = 64,
+      threshold = 0.9, bucketCap = 8).collect()
+    assert(cappedRows.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+    // graph form: only the CORPUS side is capped, so every query node
+    // keeps edges (dropped members lose candidacy, not their output row)
+    val g = SimilarityOps.lshKnnGraph(mega, "vec_id", "embedding", 3,
+      bands = 6, bandBits = 6, dim = 64, bucketCap = 8)
+    assert(g.select("query_id").distinct().count() === 200,
+      "capping the corpus side must not delete query nodes from the graph")
+  }
+
+  test("occupancy cap above max occupancy is bit-identical to uncapped") {
+    val plain = SimilarityOps.lshKnnGraph(emb, "vec_id", "embedding", 5,
+      bands = 6, bandBits = 6, dim = 64)
+      .collect().map(_.toString).sorted.toSeq
+    val wide = SimilarityOps.lshKnnGraph(emb, "vec_id", "embedding", 5,
+      bands = 6, bandBits = 6, dim = 64, bucketCap = 1000000)
+      .collect().map(_.toString).sorted.toSeq
+    assert(wide === plain,
+      "a non-binding cap must preserve the round-9 graph bit-for-bit")
+  }
+
   test("hyperplane signatures are non-degenerate (hyperplanes independent)") {
     // a broken sign derivation (e.g. the low bit of odd*x) makes every
     // hyperplane identical for even dim: all mass lands in 2 buckets
