@@ -1431,9 +1431,28 @@ object CurationQueries {
       .orderBy(col("epoch"), col("pos"))
   }
 
+  /** [[q_epoch_shuffle]] in its DEPLOY-SCALE formulation — round-9
+    * verdict item 6, closing the in-code caveat on T195: the per-epoch
+    * window rank is replaced by [[graft.ops.EpochOps.epochOrderDistributed]]'s
+    * range-partitioned sort + partition-offset splice (sampled
+    * boundaries, no single-partition window anywhere; one bounded
+    * ≤ partitions·epochs offsets collect). Certified against the SAME
+    * window-rank oracle as q_epoch_shuffle, so the partitioning-
+    * invariance of the positions — any worker count yields the exact
+    * global permutation — is itself the certified contract.
+    */
+  val q_epoch_shuffle_dist = QueryDef(
+    "q_epoch_shuffle_dist", q_epoch_shuffle.oracle.get) { (spark, dir) =>
+    graft.ops.EpochOps.epochOrderDistributed(
+      spark, Tables.documents(spark, dir).select(col("doc_id")),
+      "doc_id", Seq(0L, 1L, 2L), numPartitions = 8)
+      .select(col("epoch"), col("doc_id"), col("pos"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q_mix_temperature, q_quality_calibrate,
-    q_dedup_threshold_curve, q_epoch_shuffle,
+    q_dedup_threshold_curve, q_epoch_shuffle, q_epoch_shuffle_dist,
     q_target_encode,
     q_dedup_groups, q_dedup_groups_dist, q_stratified_sample, q_vocab_coverage,
     q_text_normalize, q_sequence_pack, q_pack_greedy, q_contamination, q_mix_rates,

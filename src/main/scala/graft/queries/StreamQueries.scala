@@ -846,6 +846,96 @@ object StreamQueries {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** STREAMING kNN-graph maintenance — the continuous-ingest
+    * composition of q_knn_graph_delta (O(Δ) outgoing edges) and
+    * q_knn_graph_merge (incoming-edge top-k merge), round-9 verdict
+    * item 7: the graph state starts as the full LSH graph over the
+    * BASE corpus (vec_id % 10 ≠ 0), delta vectors (every 10th) arrive
+    * in three genuine micro-batches (`maxFilesPerTrigger=1` over a
+    * 3-file split), and per batch foreachBatch does the O(Δ) upkeep:
+    *
+    *   out = lshKnnGraphRaw(Δ, corpus-so-far)        — Δ's new edges
+    *   in  = lshKnnGraphRaw(corpus-so-far ∪ Δ, Δ)    — everyone absorbs Δ
+    *   state' = per-node top-k of (state ∪ out ∪ in) — RAW-cosine merge
+    *
+    * Both kernels equi-join band buckets, so per-trigger work is
+    * |Δ|·bucket-occupancy, never a rebuild. Correctness is the
+    * k-bounded merge theorem applied inductively over batches — LSH
+    * candidates are bucket-collision pairs, a property of the VECTORS,
+    * not of arrival order, so every pair is scored in exactly the
+    * batch where its later side lands and the maintained top-k equals
+    * the full rebuild's. Certified against the IDENTICAL DuckDB oracle
+    * as q_knn_graph_lsh (the full-corpus rebuild): no batch boundary
+    * may leak into the final graph — batch-cut invariance as a
+    * cross-engine certificate, not a spec assertion. State is written
+    * per-batch to an overwrite directory keyed by batch id (replayed
+    * micro-batches replace their own state — the q_stream_mv replay
+    * contract), raw cosines ride the merge end to end, rounding
+    * happens once at the output boundary.
+    */
+  val q_stream_knn_graph = QueryDef(
+    "q_stream_knn_graph",
+    graft.queries.VectorQueries.q_knn_graph_lsh.oracle.get) { (spark, dir) =>
+    import graft.ops.SimilarityOps
+    val k = 5
+    val bands = VectorQueries.LshBands
+    val bandBits = VectorQueries.LshBandBits
+    val dim = VectorQueries.LshDim
+    val emb = Tables.embeddings(spark, dir)
+    val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val work = StreamingOps.tempSinkDir("graft_stream_knng_")
+    def graph(q: org.apache.spark.sql.DataFrame,
+        c: org.apache.spark.sql.DataFrame) =
+      SimilarityOps.lshKnnGraphRaw(q, c, "vec_id", "embedding", k,
+        bands, bandBits, dim)
+    // seed: the certified full graph over the base corpus, raw cosines
+    graph(base, base).write.parquet(s"$work/state/seed")
+    base.write.parquet(s"$work/corpus/seed")
+    val src = s"$work/src"
+    delta.repartition(3).write.parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    StreamingOps.withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val prevState = spark.read.parquet(
+            if (id == 0L) s"$work/state/seed" else s"$work/state/b${id - 1}")
+          // corpus BEFORE this batch: explicit path list (never "list
+          // the dir" — a replayed batch must not see its own vectors
+          // from the failed attempt)
+          val corpusPrev = spark.read.parquet(
+            (s"$work/corpus/seed" +: (0L until id).map(i => s"$work/corpus/b$i")): _*)
+          val out = graph(batch, corpusPrev).drop("rank")
+          val in = graph(corpusPrev.unionByName(batch), batch).drop("rank")
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("neighbor_id"))
+          prevState.drop("rank").unionByName(out).unionByName(in)
+            .withColumn("rank", row_number().over(w).cast("long"))
+            .filter(col("rank") <= k)
+            .write.mode("overwrite").parquet(s"$work/state/b$id")
+          batch.write.mode("overwrite").parquet(s"$work/corpus/b$id")
+          ()
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    val lastBatch = new java.io.File(s"$work/state").listFiles()
+      .map(_.getName).filter(_.startsWith("b")).map(_.drop(1).toLong).max
+    require(lastBatch >= 1,
+      s"need >= 2 delta micro-batches for cross-batch maintenance evidence, got ${lastBatch + 1}")
+    spark.read.parquet(s"$work/state/b$lastBatch")
+      .select(col("query_id").as("node_id"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("node_id"), col("rank"))
+  }
+
   /** Streaming KS drift monitor: the per-cents (a, b) distribution
     * accumulates as a stateful streaming count over micro-batches
     * (plain SUMs — the mergeable state), drains, and the SAME
@@ -1014,9 +1104,13 @@ object StreamQueries {
     String,
     (String, String, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])]()
 
+  graft.ops.Memos.register(() => lateDrains.clear(),
+    "q_stream_late", "q_stream_late_audit")
+
   private def drainedLate(spark: org.apache.spark.sql.SparkSession, dir: String)
       : (String, String, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) =
-    lateDrains.computeIfAbsent(dir, { _ =>
+    lateDrains.computeIfAbsent(
+      s"$dir#${graft.ops.Memos.dirFingerprint(s"$dir/events.parquet")}", { _ =>
       val src = lateFixture(spark, dir)
       val sink = StreamingOps.tempSinkDir("graft_stream_late_sink_")
       val agg = lateAgg(spark, src)
@@ -1115,10 +1209,15 @@ object StreamQueries {
   private val momentDrains = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, Array[Double], Array[Array[Double]])]()
 
+  graft.ops.Memos.register(() => momentDrains.clear(),
+    "q_stream_pca", "q_stream_outliers_pca")
+
   private def streamedMoments(
       spark: org.apache.spark.sql.SparkSession, dir: String, dim: Int)
       : (Long, Array[Double], Array[Array[Double]]) =
-    momentDrains.computeIfAbsent(s"$dir#$dim", { _ =>
+    momentDrains.computeIfAbsent(
+      s"$dir#${graft.ops.Memos.dirFingerprint(s"$dir/embeddings.parquet")}#$dim",
+      { _ =>
       val emb = Tables.embeddings(spark, dir)
       val work = StreamingOps.tempSinkDir("graft_stream_pca_")
       val src = s"$work/src"
@@ -1205,5 +1304,5 @@ object StreamQueries {
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
     q_stream_hll, q_stream_cms, q_stream_incremental_dedup, q_stream_hopping,
     q_stream_topk, q_stream_cdc, q_stream_asof, q_stream_ann,
-    q_stream_index_append, q_stream_mv)
+    q_stream_index_append, q_stream_mv, q_stream_knn_graph)
 }

@@ -78,9 +78,9 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
-  private val LshBands = 6
-  private val LshBandBits = 6
-  private val LshDim = 64
+  private[queries] val LshBands = 6
+  private[queries] val LshBandBits = 6
+  private[queries] val LshDim = 64
 
   /** LSH-bucketed near-dup variant — the 100 TB path (deterministic
     * hyperplane signatures with banded OR-amplification). Oracle: the
@@ -1196,13 +1196,22 @@ object VectorQueries {
   private val basisCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Array[Double], Array[Array[Double]])]()
 
+  graft.ops.Memos.register(() => basisCache.clear(),
+    "q_pca_project", "q_pca_variance", "q_pca_transform",
+    "q_embed_outliers_pca")
+
   private def fittedBasis(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      dim: Int, iters: Int, m: Int): (Array[Double], Array[Array[Double]]) =
-    basisCache.computeIfAbsent(s"$dir#$dim#$iters#$m", { _ =>
+      dim: Int, iters: Int, m: Int): (Array[Double], Array[Array[Double]]) = {
+    // key on the fixture's CONTENT fingerprint, not the bare dir path:
+    // a rewrite under the same path must be a cache miss, not a silent
+    // stale basis (round-9 verdict item 3)
+    val fp = graft.ops.Memos.dirFingerprint(s"$dir/embeddings.parquet")
+    basisCache.computeIfAbsent(s"$dir#$fp#$dim#$iters#$m", { _ =>
       graft.ops.PcaOps.topComponents(
         Tables.embeddings(spark, dir), "vec_id", "embedding", dim, iters, m)
     })
+  }
 
   val q_pca_project = QueryDef(
     "q_pca_project", graft.ops.PcaOps.projectOracleSql(64, 8)) { (spark, dir) =>

@@ -1,0 +1,172 @@
+package graft.tools
+
+import graft.ops.SimilarityOps
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-N wall evidence for the hyperplane-LSH vector family
+  * (round-9 verdict item 2: ProbeDedup covers text MinHash at 1M/5M
+  * docs; the vector kernels behind q_knn_graph_lsh / q_knn_graph_capped
+  * had no equivalent). Three experiments, numbers land in PERF.md:
+  *
+  *  1. BANDBITS SWEEP at N vectors: candidate volume per (bands,
+  *     bandBits) config — the Σ_buckets |bucket|² law made concrete:
+  *     with 2^bandBits buckets per band, candidates grow ~N²/2^bandBits
+  *     per band, so bucket count must SCALE WITH N (bandBits ≈
+  *     log2(N/occupancy)); the sweep shows the knee where a config
+  *     stops being runnable. Feasible configs also time the full graph
+  *     build and measure recall@5 against brute-force cosine on a
+  *     100-query slice (planted 8-vector clusters give recall real
+  *     signal to find).
+  *  2. CAP RESCUE: the config the sweep proved infeasible uncapped is
+  *     re-run with capBandBuckets — candidate volume drops to
+  *     ≤ N·cap·bands (linear) and the graph build completes; recall is
+  *     measured against the same brute slice, pricing the cap's
+  *     recall trade honestly.
+  *  3. PLANTED MEGA-BUCKET (round-9 verdict item 1's "done" evidence):
+  *     a block of B identical vectors plus random mass — uncapped
+  *     candidates grow as C(B,2)·bands (quadratic in B, bandBits
+  *     can't help: identical vectors share every band bucket), capped
+  *     as ≤ B·cap·bands (linear). Counted at two block sizes so the
+  *     4×-block → 16×-vs-4× growth split is in the numbers, not argued.
+  *
+  * Re-runnable: `runMain graft.tools.ProbeKnn [nVectors]`.
+  */
+object ProbeKnn {
+  private val M = 2147483647L
+  private val Dim = 64
+
+  /** Deterministic uniform in [-1, 1] from (seed, j) — the repo's
+    * Mersenne-mod multiply family, reduced before the multiply.
+    */
+  private def u(seed: Column, j: Column): Column =
+    (pmod(pmod(seed, lit(M)) * lit(2654435761L) + j * lit(40503L), lit(M))
+      .cast("double") / M) * 2 - 1
+
+  /** Corpus: first 20% in planted clusters of 8 (shared base direction
+    * + 5% noise — near-neighbors an ANN structure must find), rest
+    * hash-random mass.
+    */
+  private def corpus(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame = {
+    val nClustered = n / 5
+    val g = (col("id") / 8).cast("long")
+    val vec = transform(sequence(lit(1), lit(Dim)), j => {
+      val base = u(g * lit(1000003L) + lit(7L), j)
+      val noise = u(col("id") * lit(31L) + lit(13L), j)
+      when(col("id") < nClustered, base + noise * 0.05).otherwise(noise)
+    })
+    spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
+  }
+
+  /** Candidate-pair volume for a banding config — the bucket self-join
+    * count BEFORE rerank (the number the Σ|bucket|² law governs).
+    */
+  private def candidateCount(vecs: DataFrame, bands: Int, bandBits: Int,
+      cap: Int): Long = {
+    val sig = SimilarityOps.hyperplaneSignature(
+      vecs, "vec_id", "embedding", bands * bandBits, Dim)
+    val bandCols = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col("sig"), j * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
+    }
+    val raw = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val b = if (cap > 0) SimilarityOps.capBandBuckets(raw, cap) else raw
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .count()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val spark = graft.GraftSession.local("32", "ERROR")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val vecs = graft.ops.Reuse.materialized(corpus(spark, n))
+    println(s"knn probe: N=$n dim=$Dim (20% in planted 8-clusters)")
+
+    // brute-force top-5 on a ~100-query slice (broadcast queries, one
+    // corpus scan, per-query window): the recall oracle
+    val step = math.max(1L, n / 100L)
+    val queries = vecs.filter(pmod(col("vec_id"), lit(step)) === 0)
+    graft.functions.GraftFunctions.register(spark)
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"))
+      .withColumn("qn", sqrt(expr("dot_product(qv, qv)"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val t0 = System.nanoTime()
+    val brute = vecs
+      .withColumn("cn", sqrt(expr("dot_product(embedding, embedding)")))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", expr("dot_product(qv, embedding)") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("nid"))
+    val bruteSet = brute.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(f"  brute top-5 over ${queries.count()} queries: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+
+    def recallOf(edges: DataFrame): Double = {
+      val got = edges.select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(bruteSet.contains).toDouble / bruteSet.size
+    }
+
+    // 1. bandBits sweep: candidate volume; full graph + recall where
+    // runnable (budget: skip the build when candidates exceed ~2e8)
+    val configs = Seq((4, 16), (4, 12), (4, 10))
+    val feasible = 200000000L
+    for ((bands, bits) <- configs) {
+      val tc = System.nanoTime()
+      val cand = candidateCount(vecs, bands, bits, cap = 0)
+      val candWall = (System.nanoTime() - tc) / 1e9
+      if (cand <= feasible) {
+        val tg = System.nanoTime()
+        val graph = SimilarityOps.lshKnnGraphBetween(
+          vecs, vecs, "vec_id", "embedding", 5, bands, bits, Dim)
+        val edges = graph.count()
+        val wall = (System.nanoTime() - tg) / 1e9
+        val rec = recallOf(SimilarityOps.lshKnnGraphBetween(
+          queries, vecs, "vec_id", "embedding", 5, bands, bits, Dim))
+        println(f"  bands=$bands bits=$bits: candidates=$cand%,d (count wall $candWall%.1fs) graph=$edges%,d edges in $wall%.1fs recall@5=$rec%.3f")
+      } else {
+        println(f"  bands=$bands bits=$bits: candidates=$cand%,d (count wall $candWall%.1fs) — INFEASIBLE uncapped, graph build skipped")
+        // 2. cap rescue on the infeasible config
+        val cap = 16
+        val tg = System.nanoTime()
+        val capped = candidateCount(vecs, bands, bits, cap)
+        val capWall = (System.nanoTime() - tg) / 1e9
+        val tb = System.nanoTime()
+        SimilarityOps.lshKnnGraphBetween(
+          vecs, vecs, "vec_id", "embedding", 5, bands, bits, Dim,
+          bucketCap = cap).count()
+        val bw = (System.nanoTime() - tb) / 1e9
+        val rec = recallOf(SimilarityOps.lshKnnGraphBetween(
+          queries, vecs, "vec_id", "embedding", 5, bands, bits, Dim,
+          bucketCap = cap))
+        println(f"    cap=$cap rescue: candidates=$capped%,d (count $capWall%.1fs) graph built in $bw%.1fs recall@5=$rec%.3f")
+      }
+    }
+
+    // 3. planted mega-bucket: B identical vectors + 100k random mass.
+    // identical vectors share EVERY band bucket — bandBits is powerless;
+    // only the cap bounds the fan-out. Two block sizes pin the growth
+    // law (4x block: uncapped ~16x, capped ~4x).
+    val fixed = transform(sequence(lit(1), lit(Dim)), j => u(lit(99L), j))
+    for (block <- Seq(5000L, 20000L)) {
+      val mega = spark.range(block + 100000L).select(col("id").as("vec_id"),
+        when(col("id") < block, fixed)
+          .otherwise(transform(sequence(lit(1), lit(Dim)),
+            j => u(col("id") * lit(31L) + lit(13L), j))).as("embedding"))
+      val mv = graft.ops.Reuse.materialized(mega)
+      val un = candidateCount(mv, 4, 16, cap = 0)
+      val cp = candidateCount(mv, 4, 16, cap = 16)
+      println(f"  mega-bucket block=$block%,d (+100k random): uncapped candidates=$un%,d capped(16)=$cp%,d")
+      graft.ops.Reuse.releaseAllCaches(spark)
+    }
+    spark.stop()
+  }
+}

@@ -68,7 +68,10 @@ class PlanSpec extends AnyFunSuite {
       "q_forecast_hw", "q_forecast_alerts",
       // building the frame writes + registers the MV (eager catalog
       // work); their plan shapes are asserted in dedicated tests below
-      "q_mv_rewrite", "q_mv_rewrite_grain")
+      "q_mv_rewrite", "q_mv_rewrite_grain",
+      // eager range shuffle + bounded offsets collect at build time;
+      // deploy shape asserted in its dedicated test below
+      "q_epoch_shuffle_dist")
     // Collect per-query analysis errors separately from the cartesian
     // list: a data-encoding drift that breaks analysis should name
     // every broken query ("q_asof_join: DATATYPE_MISMATCH…"), not die
@@ -299,6 +302,27 @@ class PlanSpec extends AnyFunSuite {
       s"bitmap filter not below the as-of exec:\n${p.take(1500)}")
   }
 
+  test("deploy-scale epoch shuffle: range-partitioned sort, no per-epoch window") {
+    // the deploy form must shuffle by RANGE on the full (epoch, hv, id)
+    // sort key and splice positions via partition offsets — a Window
+    // node anywhere means the single-partition-per-epoch rank the
+    // distributed formulation exists to eliminate snuck back in
+    val runs = graft.ops.EpochOps.orderedRuns(
+      spark,
+      Tables.documents(spark, sf).select(org.apache.spark.sql.functions.col("doc_id")),
+      "doc_id", Seq(0L, 1L, 2L), numPartitions = 8)
+    val rp = runs.queryExecution.executedPlan.toString
+    assert(rp.contains("rangepartitioning"),
+      s"epoch-shuffle runs must RANGE-partition on the sort key:\n${rp.take(1200)}")
+    assert(!rp.contains("Window"),
+      s"no window in the partitioned runs:\n${rp.take(1200)}")
+    val p = plan("q_epoch_shuffle_dist")
+    assert(!p.contains("Window"),
+      s"deploy-scale epoch shuffle must not rank through a window:\n${p.take(1200)}")
+    assert(p.contains("MapPartitions"),
+      s"positions should come from the partition-offset mapPartitions pass:\n${p.take(1200)}")
+  }
+
   // ---- golden plan-shape snapshots -----------------------------------
 
   /** Normalized plan fingerprint: preorder walk of the physical plan,
@@ -386,7 +410,21 @@ class PlanSpec extends AnyFunSuite {
     // sf0.001 stats sit under the auto-broadcast threshold — at scale
     // the same logical plan SMJs; the load-bearing absence is
     // BNLJ/CartesianProduct, separately asserted above)
-    "q_knn_graph_lsh" -> "Sort>ShuffleExchange>Window>WindowGroupLimit>Sort>ShuffleExchange>WindowGroupLimit>Sort>BroadcastHashJoin>BroadcastHashJoin>HashAggregate>ShuffleExchange>HashAggregate>BroadcastHashJoin>Generate>FileSourceScan>BroadcastExchange>Generate>FileSourceScan>BroadcastExchange>FileSourceScan>BroadcastExchange>FileSourceScan")
+    "q_knn_graph_lsh" -> "Sort>ShuffleExchange>Window>WindowGroupLimit>Sort>ShuffleExchange>WindowGroupLimit>Sort>BroadcastHashJoin>BroadcastHashJoin>HashAggregate>ShuffleExchange>HashAggregate>BroadcastHashJoin>Generate>FileSourceScan>BroadcastExchange>Generate>FileSourceScan>BroadcastExchange>FileSourceScan>BroadcastExchange>FileSourceScan",
+    // round-10 flagship pins (verdict item 8). q_knn_clusters_lsh's
+    // edge/candidate stages run eagerly (component iteration
+    // localCheckpoints), so the visible shape is the cluster-profile
+    // re-aggregation over the checkpointed labels — a FileSourceScan or
+    // extra exchange appearing here means the components result stopped
+    // being served from the truncated lineage. q_mv_rewrite MUST stay
+    // one scan of the rollup file + output sort (any aggregate/base
+    // scan = the rewrite stopped firing). q_embed_outliers_pca is the
+    // map-only scorer over fitted literals (eigen fit eager at build):
+    // an aggregate/exchange beyond the output sort means scoring work
+    // leaked out of the projection map.
+    "q_knn_clusters_lsh" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>RDDScan",
+    "q_mv_rewrite" -> "Sort>ShuffleExchange>FileSourceScan",
+    "q_embed_outliers_pca" -> "Sort>ShuffleExchange>RDDScan")
 
   test("golden plan shapes: top-10 most expensive batch queries don't drift") {
     val drifted = goldenShapes.toSeq.sortBy(_._1).flatMap { case (name, want) =>
