@@ -5,11 +5,12 @@ import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, EvalMode, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Transparent AGGREGATE-OVER-MATERIALIZED-VIEW rewrite — the lakehouse
   * optimization that makes stored rollups useful without query changes:
@@ -44,9 +45,14 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *   - grouping keys must be exactly / a non-empty strict subset of the
   *     MV's keys as above (duplicate grouping names bail);
   *   - every output must be built from bare grouping keys, `SUM(col)`
-  *     for a registered measure, or `COUNT(*)` with a registered count
-  *     column — no DISTINCT, no FILTER clauses, no other functions;
-  *     mapped replacements must preserve the output's dataType exactly
+  *     for a registered measure, `COUNT(*)` with a registered count
+  *     column, `COUNT(col)` with a registered per-measure count, or
+  *     `AVG(col)` with BOTH a registered sum and per-measure count
+  *     (derived as sum/count with COUNT(measure) — never COUNT(*) — as
+  *     the divisor, the exact division Average itself evaluates; double
+  *     measures only, a DECIMAL average widens scale and bails) — no
+  *     DISTINCT, no FILTER clauses, no other functions; mapped
+  *     replacements must preserve the output's dataType exactly
   *     (a DECIMAL sum whose re-sum would widen precision bails);
   *   - the aggregate's child must be the registered base scan (bare, or
   *     under pure column-pruning Projects);
@@ -66,13 +72,20 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 object MvRewrite {
 
   /** One registered view: MV catalog-table name, the exact grouping
-    * keys, base-measure→MV-column names for SUMs, and the MV column
-    * holding COUNT(*). */
+    * keys, base-measure→MV-column names for SUMs, the MV column holding
+    * COUNT(*), and base-measure→MV-column names for per-measure
+    * NON-NULL counts (`COUNT(measure)` stored next to its sum). The
+    * last map is what makes AVG derivable soundly: `AVG(x)` skips NULL
+    * x rows, so its divisor is COUNT(x), never COUNT(*) — a measure
+    * without a registered count column simply cannot answer AVG and
+    * the rewrite bails (round-10 extension).
+    */
   final case class MvDef(
       mvTable: String,
       keys: Seq[String],
       sums: Map[String, String],
-      countCol: Option[String])
+      countCol: Option[String],
+      avgCounts: Map[String, String] = Map.empty)
 
   private[plans] val registry = new ConcurrentHashMap[String, MvDef]()
 
@@ -195,9 +208,10 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         spark.table(d.mvTable).queryExecution.analyzed)
       mvOut = mv.output.map(a => canon(a.name) -> a).toMap
       sums = d.sums.map { case (k, v) => canon(k) -> v }
+      avgCounts = d.avgCounts.map { case (k, v) => canon(k) -> v }
       countCol = d.countCol
-      aggMapper = if (exact) exactAggMapper(sums, countCol, mvOut, canon) _
-                  else reaggAggMapper(sums, countCol, mvOut, canon) _
+      aggMapper = if (exact) exactAggMapper(sums, avgCounts, countCol, mvOut, canon) _
+                  else reaggAggMapper(sums, avgCounts, countCol, mvOut, canon) _
       mappedOpts = agg.aggregateExpressions
         .map(mapOutput(_, cGroup.toSet, mvOut, canon, aggMapper))
       if mappedOpts.forall(_.isDefined)
@@ -218,10 +232,14 @@ object MvRewriteRule extends Rule[LogicalPlan] {
   }
 
   /** The registered MV column name answering ONE plain (no DISTINCT /
-    * FILTER) SUM-of-measure or COUNT(*) — None bails the rewrite. */
+    * FILTER) SUM-of-measure, COUNT(*), or COUNT(measure) — None bails
+    * the rewrite. COUNT(measure) is served by the same per-measure
+    * non-null count column that backs AVG (both re-aggregate as
+    * SUM(cnt_x), both LongType). */
   private def measureCol(
       ae: AggregateExpression, sums: Map[String, String],
-      countCol: Option[String], canon: String => String): Option[String] = {
+      avgCounts: Map[String, String], countCol: Option[String],
+      canon: String => String): Option[String] = {
     if (ae.isDistinct || ae.filter.nonEmpty) return None
     ae.aggregateFunction match {
       case s: Sum => s.child match {
@@ -229,35 +247,83 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         case _ => None
       }
       case c: Count if c.children == Seq(Literal(1)) => countCol
+      case c: Count => c.children match {
+        case Seq(a: AttributeReference) => avgCounts.get(canon(a.name))
+        case _ => None
+      }
       case _ => None
     }
   }
 
-  /** EXACT grain: the AggregateExpression is answered by the bare MV
-    * column (same value, one row per group already). Type-checked. */
+  /** The (sum, non-null-count) MV column pair answering ONE plain
+    * AVG-of-measure — None bails. Restricted to DoubleType measures
+    * whose MV pair is (DoubleType sum, LongType count): Average's
+    * result type for doubles is DoubleType and its final step is
+    * `Divide(sum, count cast double, LEGACY)`, which the derivation
+    * reproduces operation-for-operation; a DECIMAL average widens
+    * scale and bails.
+    */
+  private def avgCols(
+      ae: AggregateExpression, sums: Map[String, String],
+      avgCounts: Map[String, String], mvOut: Map[String, Attribute],
+      canon: String => String): Option[(Attribute, Attribute)] = {
+    if (ae.isDistinct || ae.filter.nonEmpty) return None
+    ae.aggregateFunction match {
+      case a: Average if ae.dataType == DoubleType => a.child match {
+        case c: AttributeReference =>
+          for {
+            s <- sums.get(canon(c.name))
+            n <- avgCounts.get(canon(c.name))
+            sa <- mvOut.get(canon(s))
+            na <- mvOut.get(canon(n))
+            if sa.dataType == DoubleType && na.dataType == LongType
+          } yield (sa, na)
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
+  /** EXACT grain: SUM/COUNT(*) are answered by the bare MV column
+    * (same value, one row per group already); AVG(x) by
+    * `mv_sum_x / CAST(mv_cnt_x AS DOUBLE)` — the IDENTICAL final
+    * division Average itself evaluates (LEGACY mode: NULL on the
+    * all-NULL group's 0 divisor, matching AVG's NULL). Type-checked.
+    */
   private def exactAggMapper(
-      sums: Map[String, String], countCol: Option[String],
+      sums: Map[String, String], avgCounts: Map[String, String],
+      countCol: Option[String],
       mvOut: Map[String, Attribute], canon: String => String)(
       ae: AggregateExpression): Option[Expression] =
-    measureCol(ae, sums, countCol, canon)
+    measureCol(ae, sums, avgCounts, countCol, canon)
       .flatMap(n => mvOut.get(canon(n)))
       .filter(_.dataType == ae.dataType)
+      .orElse(avgCols(ae, sums, avgCounts, mvOut, canon).map {
+        case (sa, na) => Divide(sa, Cast(na, DoubleType), EvalMode.LEGACY)
+      })
 
-  /** COARSER grain: SUM(x) → SUM(mv_sum_x), COUNT(*) → SUM(mv_cnt) —
-    * a fresh Complete AggregateExpression over the MV column. The
-    * dataType must round-trip exactly (Sum over LongType stays
-    * LongType, so COUNT(*)'s type is preserved; Sum over a DECIMAL sum
-    * column would widen precision — that case bails here). */
+  /** COARSER grain: SUM(x) → SUM(mv_sum_x), COUNT(*) → SUM(mv_cnt),
+    * AVG(x) → SUM(mv_sum_x) / CAST(SUM(mv_cnt_x) AS DOUBLE) — fresh
+    * Complete AggregateExpressions over the MV columns. The dataType
+    * must round-trip exactly (Sum over LongType stays LongType, so
+    * COUNT(*)'s type is preserved; Sum over a DECIMAL sum column would
+    * widen precision — that case bails here). */
   private def reaggAggMapper(
-      sums: Map[String, String], countCol: Option[String],
+      sums: Map[String, String], avgCounts: Map[String, String],
+      countCol: Option[String],
       mvOut: Map[String, Attribute], canon: String => String)(
-      ae: AggregateExpression): Option[Expression] =
-    for {
-      n <- measureCol(ae, sums, countCol, canon)
-      attr <- mvOut.get(canon(n))
-      resum = AggregateExpression(Sum(attr), Complete, isDistinct = false)
-      if resum.dataType == ae.dataType
-    } yield resum
+      ae: AggregateExpression): Option[Expression] = {
+    def resum(attr: Attribute): AggregateExpression =
+      AggregateExpression(Sum(attr), Complete, isDistinct = false)
+    measureCol(ae, sums, avgCounts, countCol, canon)
+      .flatMap(n => mvOut.get(canon(n)))
+      .map(resum)
+      .filter(_.dataType == ae.dataType)
+      .orElse(avgCols(ae, sums, avgCounts, mvOut, canon).map {
+        case (sa, na) =>
+          Divide(resum(sa), Cast(resum(na), DoubleType), EvalMode.LEGACY)
+      })
+  }
 
   /** Map ONE aggregate output onto MV columns, preserving the output's
     * name, exprId, and type. Outputs are arbitrary expressions over
@@ -282,7 +348,16 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val aggsMapped = ne.transformDown {
       case ae: AggregateExpression =>
         aggMapper(ae) match {
-          case Some(e) => constructed.add(e); e
+          case Some(e) =>
+            // mark EVERY AggregateExpression inside the replacement
+            // (the AVG derivation nests two re-sums under a Divide),
+            // not just the root, or they'd read as "unmapped" below
+            e.foreach {
+              case inner: AggregateExpression => constructed.add(inner); ()
+              case _ => ()
+            }
+            constructed.add(e)
+            e
           case None => ae
         }
     }

@@ -546,12 +546,19 @@ object ScaleQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum("l_quantity").as("sum_qty"),
         sum("l_extendedprice").as("sum_price"),
-        count(lit(1)).as("cnt"))
+        count(lit(1)).as("cnt"),
+        // per-measure NON-NULL counts: AVG(x)'s divisor is COUNT(x),
+        // never COUNT(*) — storing them next to the sums is what makes
+        // AVG derivable from the rollup (MvDef.avgCounts)
+        count(col("l_quantity")).as("cnt_qty"),
+        count(col("l_extendedprice")).as("cnt_price"))
     graft.sinks.Sinks.replaceTable(rollup, mvRollupName)
     MvRewrite.register(s"$dir/lineitem.parquet",
       MvRewrite.MvDef(mvRollupName, Seq("l_returnflag", "l_linestatus"),
         Map("l_quantity" -> "sum_qty", "l_extendedprice" -> "sum_price"),
-        Some("cnt")))
+        Some("cnt"),
+        avgCounts = Map("l_quantity" -> "cnt_qty",
+          "l_extendedprice" -> "cnt_price")))
     MvRewrite.install(spark)
     rollup
   }
@@ -616,6 +623,41 @@ object ScaleQueries {
         round(col("sum_qty"), 2).as("sum_qty"),
         round(col("sum_price"), 2).as("sum_price"),
         col("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** AVG over the MV rewrite ([[graft.plans.MvRewrite]] round-10): the
+    * user asks `AVG(l_quantity), COUNT(l_quantity)` at the coarser
+    * flag grain over the BASE table, and the rule derives the average
+    * from the rollup's mergeable state — SUM(sum_qty) /
+    * CAST(SUM(cnt_qty) AS DOUBLE), the IDENTICAL final division
+    * Average itself evaluates, with COUNT(measure) (not COUNT(*)) as
+    * the divisor so NULL-measure semantics are exact. The DuckDB
+    * oracle computes the same aggregate from the base with the explicit
+    * SUM/COUNT division, so the certificate is "the derived average
+    * equals the base average" cross-engine; the executed plan scans
+    * the rollup, never lineitem (PlanSpec). Output floor-quantized to
+    * 1e-4 (ratio contract — the sums here are integer-valued doubles,
+    * so the division inputs are bit-identical in both engines).
+    */
+  val q_mv_rewrite_avg = QueryDef(
+    "q_mv_rewrite_avg",
+    """SELECT l_returnflag,
+      |  FLOOR((SUM(l_quantity) / COUNT(l_quantity)) * 10000 + 0.5)
+      |    / 10000.0 AS avg_qty,
+      |  CAST(COUNT(l_quantity) AS BIGINT) AS cnt_qty
+      |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin) {
+    (spark, dir) =>
+    registeredLineitemRollup(spark, dir)
+    // the USER query: AVG + COUNT(measure) over the BASE table at the
+    // coarser grain, transparently answered from the rollup
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(avg("l_quantity").as("avg_raw"),
+        count(col("l_quantity")).as("cnt_qty"))
+      .select(col("l_returnflag"),
+        (floor(col("avg_raw") * 10000 + 0.5) / 10000.0).as("avg_qty"),
+        col("cnt_qty"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -727,5 +769,5 @@ object ScaleQueries {
     q_bloom_join, q_quantile_sketch, q_zorder_tiles, q_table_profile,
     q_table_profile_sketch, q_interval_join, q_table_checksum, q_global_bins,
     q_interval_overlap, q_mv_incremental, q_mv_rewrite, q_mv_rewrite_grain,
-    q_skyline, q_band_join)
+    q_mv_rewrite_avg, q_skyline, q_band_join)
 }

@@ -37,10 +37,16 @@ object ProbeKnn {
   private val Dim = 64
 
   /** Deterministic uniform in [-1, 1] from (seed, j) — the repo's
-    * Mersenne-mod multiply family, reduced before the multiply.
+    * Mersenne-mod multiply family, reduced before the multiply. The
+    * coordinate index MUST enter BEFORE the multiply: an additive
+    * `... * c1 + j * c2` varies only linearly with j, which makes every
+    * generated vector an arithmetic ramp — the whole corpus collapses
+    * onto one line in R^dim and every LSH band onto ~bits buckets (the
+    * first draft of this probe did exactly that and manufactured a
+    * corpus-wide mega-bucket by accident: Σ|bucket|² ≈ N²/40 per band).
     */
   private def u(seed: Column, j: Column): Column =
-    (pmod(pmod(seed, lit(M)) * lit(2654435761L) + j * lit(40503L), lit(M))
+    (pmod(pmod(seed + j * lit(40503L), lit(M)) * lit(2654435761L), lit(M))
       .cast("double") / M) * 2 - 1
 
   /** Corpus: first 20% in planted clusters of 8 (shared base direction
@@ -81,6 +87,11 @@ object ProbeKnn {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
+    // configs as "bandsxbits" csv, e.g. "4x16,2x32" — at 5M the 64-bit
+    // signature budget forces either 2 bands of 32-bit buckets or the cap
+    val argConfigs = args.drop(1).headOption.map(_.split(",").toSeq.map { s =>
+      val Array(b, k) = s.split("x"); (b.toInt, k.toInt)
+    })
     val spark = graft.GraftSession.local("32", "ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
@@ -117,7 +128,7 @@ object ProbeKnn {
 
     // 1. bandBits sweep: candidate volume; full graph + recall where
     // runnable (budget: skip the build when candidates exceed ~2e8)
-    val configs = Seq((4, 16), (4, 12), (4, 10))
+    val configs = argConfigs.getOrElse(Seq((4, 16), (4, 12), (4, 10)))
     val feasible = 200000000L
     for ((bands, bits) <- configs) {
       val tc = System.nanoTime()

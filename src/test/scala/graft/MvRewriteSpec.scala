@@ -128,6 +128,60 @@ class MvRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("AVG and COUNT(measure) derive from the rollup when a per-measure count is registered") {
+    MvRewrite.deregister(basePath)
+    def exactQ = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(avg("l_quantity").as("avg_qty"),
+        count(col("l_quantity")).as("cnt_q"))
+    def coarseQ = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(avg("l_quantity").as("avg_qty"))
+    // direct answers first, with no registration live (l_quantity is
+    // integer-valued, so partial sums are exact and the derived
+    // division must be BIT-identical, both grains)
+    val directExact = exactQ.orderBy(col("l_returnflag"), col("l_linestatus"))
+      .collect().toSeq
+    val directCoarse = coarseQ.orderBy(col("l_returnflag")).collect().toSeq
+    val mv = "graft_mv_spec_avg"
+    val rollup = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"),
+        count(col("l_quantity")).as("cnt_qty"))
+    graft.sinks.Sinks.replaceTable(rollup, mv)
+    MvRewrite.register(basePath, MvRewrite.MvDef(
+      mv, Seq("l_returnflag", "l_linestatus"),
+      Map("l_quantity" -> "sum_qty"), Some("cnt"),
+      avgCounts = Map("l_quantity" -> "cnt_qty")))
+    MvRewrite.install(spark)
+    try {
+      val pe = exactQ.queryExecution.executedPlan.toString
+      assert(pe.contains(mv) && !pe.contains("lineitem.parquet"),
+        s"exact-grain AVG must answer from the MV:\n${pe.take(1200)}")
+      assert(exactQ.orderBy(col("l_returnflag"), col("l_linestatus"))
+        .collect().toSeq == directExact,
+        "derived exact-grain AVG must be bit-identical")
+      val pc = coarseQ.queryExecution.executedPlan.toString
+      assert(pc.contains(mv) && !pc.contains("lineitem.parquet"),
+        s"coarser-grain AVG must re-aggregate the MV:\n${pc.take(1200)}")
+      assert(coarseQ.orderBy(col("l_returnflag")).collect().toSeq == directCoarse,
+        "derived coarser-grain AVG must be bit-identical")
+      // refusals hold even WITH avgCounts registered: a measure without
+      // a count column, and DISTINCT
+      Seq(
+        "avg of a measure with no registered count" -> Tables.lineitem(spark, sf)
+          .groupBy(col("l_returnflag"))
+          .agg(avg("l_extendedprice").as("a")),
+        "distinct avg" -> Tables.lineitem(spark, sf)
+          .groupBy(col("l_returnflag"))
+          .agg(expr("avg(DISTINCT l_quantity)").as("a"))
+      ).foreach { case (label, df) =>
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains(mv), s"$label must NOT rewrite:\n${p.take(1200)}")
+      }
+    } finally MvRewrite.deregister(basePath)
+  }
+
   test("deregistration restores the base scan") {
     withMv { _ => () } // registers then deregisters
     val plan = userAgg.queryExecution.executedPlan.toString

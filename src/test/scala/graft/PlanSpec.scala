@@ -68,7 +68,7 @@ class PlanSpec extends AnyFunSuite {
       "q_forecast_hw", "q_forecast_alerts",
       // building the frame writes + registers the MV (eager catalog
       // work); their plan shapes are asserted in dedicated tests below
-      "q_mv_rewrite", "q_mv_rewrite_grain",
+      "q_mv_rewrite", "q_mv_rewrite_grain", "q_mv_rewrite_avg",
       // eager range shuffle + bounded offsets collect at build time;
       // deploy shape asserted in its dedicated test below
       "q_epoch_shuffle_dist")
@@ -273,6 +273,14 @@ class PlanSpec extends AnyFunSuite {
       s"base lineitem scan survived the coarser-grain rewrite:\n${p.take(1500)}")
     assert(p.contains("HashAggregate"),
       s"coarser grain must RE-AGGREGATE the rollup (sum-of-sums):\n${p.take(1500)}")
+  }
+
+  test("AVG over the MV rewrite derives from the rollup, never the base") {
+    val p = plan("q_mv_rewrite_avg")
+    assert(p.contains("graft_mv_lineitem_rollup"),
+      s"q_mv_rewrite_avg must scan the MV:\n${p.take(1500)}")
+    assert(!p.contains("lineitem.parquet"),
+      s"base lineitem scan survived the AVG derivation:\n${p.take(1500)}")
   }
 
   test("full-corpus kNN graph blocks by LSH bands: no crossJoin, no corpus broadcast") {
