@@ -716,8 +716,14 @@ object SimilarityOps {
   def capBandBuckets(buckets: DataFrame, cap: Int): DataFrame = {
     require(cap >= 2, s"bucket-occupancy cap must allow pairs, got $cap")
     val M = 2147483647L
+    // bucket reduced mod M BEFORE its multiply: a 32-bit bucket id
+    // (bandBits > 31) times the mixing constant overflows Long —
+    // ProbeKnn's 2x32 config found this as an ANSI ARITHMETIC_OVERFLOW
+    // where DuckDB's HUGEINT would have silently diverged instead.
+    // For bucket < M (every certified config: 6-bit buckets) the
+    // reduction is the identity, so existing oracles are unchanged.
     val hv = ((col("id") % M + col("band") * 2246822519L +
-      col("bucket") * 3266489917L) % M * 2654435761L) % M
+      (col("bucket") % M) * 3266489917L) % M * 2654435761L) % M
     val w = Window.partitionBy(col("band"), col("bucket"))
       .orderBy(hv.asc, col("id").asc)
     buckets
@@ -733,8 +739,8 @@ object SimilarityOps {
        |  SELECT id, band, bucket, ROW_NUMBER() OVER (
        |    PARTITION BY band, bucket
        |    ORDER BY ((id % 2147483647 + band * 2246822519
-       |      + bucket * 3266489917) % 2147483647 * 2654435761)
-       |      % 2147483647, id) AS occ_rank
+       |      + (bucket % 2147483647) * 3266489917) % 2147483647
+       |      * 2654435761) % 2147483647, id) AS occ_rank
        |  FROM $src) t WHERE occ_rank <= $cap""".stripMargin
 
   /** [[lshKnnGraphBetween]] with the UNROUNDED cosine kept — the form

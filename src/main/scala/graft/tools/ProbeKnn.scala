@@ -36,18 +36,23 @@ object ProbeKnn {
   private val M = 2147483647L
   private val Dim = 64
 
-  /** Deterministic uniform in [-1, 1] from (seed, j) — the repo's
-    * Mersenne-mod multiply family, reduced before the multiply. The
-    * coordinate index MUST enter BEFORE the multiply: an additive
-    * `... * c1 + j * c2` varies only linearly with j, which makes every
-    * generated vector an arithmetic ramp — the whole corpus collapses
-    * onto one line in R^dim and every LSH band onto ~bits buckets (the
-    * first draft of this probe did exactly that and manufactured a
-    * corpus-wide mega-bucket by accident: Σ|bucket|² ≈ N²/40 per band).
+  /** Deterministic uniform in [-1, 1] from (seed, j). The mix MUST be
+    * NONLINEAR in (seed, j): any affine scramble `(a·seed + b·j) mod M`
+    * — however the constants are arranged — leaves the corpus a
+    * one-parameter affine/Weyl family in R^dim (vectors differ only by
+    * an offset along a shared curve), which collapses every LSH band
+    * onto a few dozen sign-pattern buckets. Two earlier drafts of this
+    * probe did exactly that and accidentally manufactured corpus-wide
+    * mega-buckets (measured: Σ|bucket|² ≈ N²/65 per band at (4,16) on
+    * 1M vectors — 6.1e10 candidates where a spread corpus yields ~1e7).
+    * The square term breaks the affine structure: t² mod M decorrelates
+    * coordinates across both j and id (verified by the (4,16) candidate
+    * count dropping 4 orders of magnitude).
     */
-  private def u(seed: Column, j: Column): Column =
-    (pmod(pmod(seed + j * lit(40503L), lit(M)) * lit(2654435761L), lit(M))
-      .cast("double") / M) * 2 - 1
+  private def u(seed: Column, j: Column): Column = {
+    val t = pmod(pmod(seed, lit(M)) * lit(2654435761L) + j * lit(40503L), lit(M))
+    (pmod(t * t + t, lit(M)).cast("double") / M) * 2 - 1
+  }
 
   /** Corpus: first 20% in planted clusters of 8 (shared base direction
     * + 5% noise — near-neighbors an ANN structure must find), rest
@@ -64,8 +69,13 @@ object ProbeKnn {
     spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
   }
 
-  /** Candidate-pair volume for a banding config — the bucket self-join
-    * count BEFORE rerank (the number the Σ|bucket|² law governs).
+  /** Candidate volume for a banding config — the bucket join count
+    * BEFORE rerank (the number the Σ|bucket|² law governs). `cap = 0`
+    * counts unordered pairs (x.id < y.id). `cap > 0` counts what the
+    * GRAPH kernel actually generates: uncapped QUERY buckets against
+    * capped CORPUS buckets, both directions (Σ|b_q|·min(|b_c|,cap) per
+    * band) — a both-sides-capped count looked 10× smaller than the
+    * kernel's real fan-out and let a 90 GB build through a 20 GB gate.
     */
   private def candidateCount(vecs: DataFrame, bands: Int, bandBits: Int,
       cap: Int): Long = {
@@ -78,11 +88,16 @@ object ProbeKnn {
     }
     val raw = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
-    val b = if (cap > 0) SimilarityOps.capBandBuckets(raw, cap) else raw
-    b.as("x").join(b.as("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.id") < col("y.id"))
-      .count()
+    if (cap > 0)
+      raw.as("x").join(SimilarityOps.capBandBuckets(raw, cap).as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.id") =!= col("y.id"))
+        .count()
+    else
+      raw.as("x").join(raw.as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+            col("x.id") < col("y.id"))
+        .count()
   }
 
   def main(args: Array[String]): Unit = {
@@ -145,20 +160,34 @@ object ProbeKnn {
         println(f"  bands=$bands bits=$bits: candidates=$cand%,d (count wall $candWall%.1fs) graph=$edges%,d edges in $wall%.1fs recall@5=$rec%.3f")
       } else {
         println(f"  bands=$bands bits=$bits: candidates=$cand%,d (count wall $candWall%.1fs) — INFEASIBLE uncapped, graph build skipped")
-        // 2. cap rescue on the infeasible config
+        // 2. cap rescue on the infeasible config. Recall on the
+        // 100-query slice is always cheap; the FULL graph build's
+        // rerank shuffle carries both dim-64 vectors per candidate
+        // (~1 KB/row — 1e8 capped candidates spill ~100 GB), so it
+        // only runs under a local-disk candidate budget and reports
+        // the projected spill otherwise (a cluster has the disk; this
+        // box prices the shape honestly).
         val cap = 16
         val tg = System.nanoTime()
         val capped = candidateCount(vecs, bands, bits, cap)
         val capWall = (System.nanoTime() - tg) / 1e9
-        val tb = System.nanoTime()
-        SimilarityOps.lshKnnGraphBetween(
-          vecs, vecs, "vec_id", "embedding", 5, bands, bits, Dim,
-          bucketCap = cap).count()
-        val bw = (System.nanoTime() - tb) / 1e9
         val rec = recallOf(SimilarityOps.lshKnnGraphBetween(
           queries, vecs, "vec_id", "embedding", 5, bands, bits, Dim,
           bucketCap = cap))
-        println(f"    cap=$cap rescue: candidates=$capped%,d (count $capWall%.1fs) graph built in $bw%.1fs recall@5=$rec%.3f")
+        // ~1e8 asymmetric candidates ≈ the measured edge of this box's
+        // spill headroom (the 1M builds at ~8e7 completed; the 5M
+        // (2,32) build died past 75 GB of rerank spill twice)
+        val buildBudget = 100000000L
+        if (capped <= buildBudget) {
+          val tb = System.nanoTime()
+          SimilarityOps.lshKnnGraphBetween(
+            vecs, vecs, "vec_id", "embedding", 5, bands, bits, Dim,
+            bucketCap = cap).count()
+          val bw = (System.nanoTime() - tb) / 1e9
+          println(f"    cap=$cap rescue: candidates=$capped%,d (count $capWall%.1fs) graph built in $bw%.1fs recall@5=$rec%.3f")
+        } else {
+          println(f"    cap=$cap rescue: candidates=$capped%,d (count $capWall%.1fs) recall@5=$rec%.3f — full-graph rerank ~${capped / 1000000L}%,d GB spill (~1 KB/candidate), over this box's disk; shape unchanged, run on a cluster disk budget")
+        }
       }
     }
 
