@@ -126,6 +126,11 @@ object GraftFunctions {
         HyperplaneSketch(exprs(0),
           constInt(exprs(1), "hyperplane_sketch", 1),
           constInt(exprs(2), "hyperplane_sketch", 2)) })
+    reg("hyperplane_buckets", exprs => { arity(exprs, "hyperplane_buckets", 4)
+        HyperplaneBuckets(exprs(0),
+          constInt(exprs(1), "hyperplane_buckets", 1),
+          constInt(exprs(2), "hyperplane_buckets", 2),
+          constInt(exprs(3), "hyperplane_buckets", 3)) })
     reg("hamming_dist", exprs => { arity(exprs, "hamming_dist", 2)
         HammingDist(exprs(0), exprs(1)) })
     reg("byte_stats", exprs => { arity(exprs, "byte_stats", 1)

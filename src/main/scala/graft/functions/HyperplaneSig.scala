@@ -63,6 +63,39 @@ case class HyperplaneSketch(child: Expression, bits: Int, dim: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd banded hyperplane LSH buckets — the WIDE-signature form
+  * of the banding algebra: element j of the result is band j's bucket,
+  * bit r = sign(v · h_{j·bandBits+r}) with the SAME deterministic
+  * coefficient mix ([[HyperplaneSig.coeff]]) and the same global plane
+  * order as [[HyperplaneSig]]/[[HyperplaneSketch]]. For
+  * bands·bandBits ≤ 64 the buckets are bit-identical to extracting
+  * `(sig >> j·bandBits) & mask` from `HyperplaneSig(v, bands·bandBits,
+  * dim)` (spec-pinned), so the certified ≤64-bit queries are unchanged
+  * — but the TOTAL bit budget is now unbounded (ProbeKnn law #1: past
+  * ~2M vectors at dim 64, per-band bucket count must keep scaling and
+  * one 64-bit word is structurally exhausted). Each band's bucket is
+  * its own long, so `bandBits` may go to 62 without word-spanning
+  * arithmetic anywhere.
+  */
+case class HyperplaneBuckets(child: Expression, bands: Int, bandBits: Int,
+    dim: Int) extends UnaryExpression {
+  require(bands >= 1 && bandBits >= 1 && bandBits <= 62,
+    s"need bands >= 1 and bandBits in [1, 62], got $bands x $bandBits")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSig.computeBuckets(input.asInstanceOf[ArrayData], bands, bandBits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HyperplaneSig.computeBuckets($c, $bands, $bandBits, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd Hamming distance between two packed `array<long>`
   * sketches (per-word POPCNT of the XOR) — the prefilter metric; ~8
   * integer ops for a 256-bit sketch vs 64 multiply-adds for the exact
@@ -113,6 +146,30 @@ object HyperplaneSig {
       while (d < n) { s += a.getDouble(d) * coeff(i, d, dim); d += 1 }
       if (s > 0) out(i >>> 6) |= (1L << (i & 63))
       i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Banded buckets, one long per band — global plane index
+    * i = band·bandBits + r, same coeff mix and accumulation order as
+    * [[compute]] (Java-static for codegen). */
+  def computeBuckets(a: ArrayData, bands: Int, bandBits: Int, dim: Int): ArrayData = {
+    val n = math.min(dim, a.numElements())
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var bucket = 0L
+      var r = 0
+      while (r < bandBits) {
+        val i = j * bandBits + r
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += a.getDouble(d) * coeff(i, d, dim); d += 1 }
+        if (s > 0) bucket |= (1L << r)
+        r += 1
+      }
+      out(j) = bucket
+      j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

@@ -69,11 +69,17 @@ object EpochOps {
       .collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
       .toMap
-    val offsets: Map[(Int, Long), Long] = counts.map { case ((pid, ep), _) =>
-      (pid, ep) -> counts.collect {
-        case ((p2, e2), n2) if e2 == ep && p2 < pid => n2
-      }.sum
-    }
+    // exclusive prefix sums in ONE linear scan per epoch (sort by
+    // (epoch, pid), then running sum) — the naive per-key rescan is
+    // O((partitions·epochs)²) driver time, minutes at the scaladoc's
+    // 10k-partition cluster scale (round-10 advice)
+    val offsets: Map[(Int, Long), Long] = counts.toSeq
+      .sortBy { case ((pid, ep), _) => (ep, pid) }
+      .foldLeft((Map.empty[(Int, Long), Long], Long.MinValue, 0L)) {
+        case ((acc, curEp, running), ((pid, ep), n)) =>
+          val base = if (ep == curEp) running else 0L
+          (acc + ((pid, ep) -> base), ep, base + n)
+      }._1
     val bc = spark.sparkContext.broadcast(offsets)
     mat.as[(Long, Long, Long)].mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()

@@ -45,20 +45,29 @@ object Memos {
     entries.asScala.flatMap(_.consumers).toSeq.distinct
 
   /** Cheap content fingerprint of a data directory (or single file):
-    * sorted (name, length, mtime) of the files directly under it.
-    * Parquet fixture rewrites always touch file metadata, so this
-    * catches the rewrite without reading a byte of data. Missing paths
-    * fingerprint as "absent" rather than throwing — the memo's own
-    * read path reports the real error.
+    * MD5 over the RECURSIVE sorted (relative path, length, mtime)
+    * listing. Recursion catches rewrites inside partition
+    * subdirectories (a child file's change does not bump the parent
+    * dir's mtime), and the 128-bit digest removes the 32-bit
+    * `String.hashCode` collision surface — both silent-stale-hit holes
+    * (round-10 advice). Parquet fixture rewrites always touch file
+    * metadata, so this catches the rewrite without reading a byte of
+    * data. Missing paths fingerprint as "absent" rather than throwing —
+    * the memo's own read path reports the real error.
     */
   def dirFingerprint(path: String): String = {
-    val f = new java.io.File(path)
-    if (!f.exists()) "absent"
+    val root = new java.io.File(path)
+    if (!root.exists()) "absent"
     else {
-      val files = if (f.isDirectory) f.listFiles() else Array(f)
-      files.sortBy(_.getName)
-        .map(x => s"${x.getName}:${x.length()}:${x.lastModified()}")
-        .mkString("|").hashCode.toHexString
+      def walk(f: java.io.File, rel: String): Seq[String] =
+        if (f.isDirectory)
+          f.listFiles().sortBy(_.getName)
+            .flatMap(c => walk(c, s"$rel/${c.getName}")).toSeq
+        else Seq(s"$rel:${f.length()}:${f.lastModified()}")
+      val listing = walk(root, "").mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(listing.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
     }
   }
 }

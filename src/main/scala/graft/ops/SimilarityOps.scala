@@ -556,6 +556,70 @@ object SimilarityOps {
     bruteForceTopK(q, recon, idCol, "recon", k)
   }
 
+  /** IVF × PQ composition (the FAISS IVFADC shape, round-10 verdict
+    * item 8) — the second large-N serving path next to the wide-LSH
+    * graph kernels: the learned IVF centroids ([[learnedCentroids]])
+    * prune the SEARCH (each query scores only the `nProbe` nearest
+    * cells' members — compute bound), while the PQ codebooks
+    * ([[learnedSubspaceCodebooks]]) compress the STORAGE (each corpus
+    * vector is `subspaces` one-byte codes; ranking runs against the
+    * reconstructed vectors — memory bound). At 100 TB the index is
+    * (cell, id, codes) — ~9 bytes/vector at M=8 vs 512 — plus two
+    * broadcast-sized driver tables (centroids + codebooks); cell
+    * assignment, encoding and reconstruction are all shuffle-free
+    * codegen'd projections ([[graft.functions.NearestCentroids]]), and
+    * the serve is ONE equi-join on cell. Queries stay exact
+    * (asymmetric scoring). Every stage replays CTE-by-CTE in the
+    * DuckDB oracle (q_ann_ivfpq — the composed q_ann_ivf + q_ann_pq
+    * blocks); recall vs both parents is measured in DedupOpsSpec.
+    */
+  def ivfPqTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int, nProbe: Int, ivfIters: Int,
+      subspaces: Int, codebookSize: Int, pqIters: Int, dim: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    val subDim = dim / subspaces
+    require(subDim * subspaces == dim, "dim must split evenly into subspaces")
+    val vd = col(vecCol).cast("array<double>")
+    // the two bounded driver tables a deployed index would broadcast
+    val coarse = learnedCentroids(corpus, idCol, vecCol, nCentroids, ivfIters)
+    val coarseIds = Array.tabulate(coarse.length)(_.toLong)
+    val codebooks: Seq[Array[Array[Double]]] = learnedSubspaceCodebooks(
+      corpus, idCol, vecCol, subspaces, subDim, codebookSize, pqIters).toSeq
+    val reconCol = concat((0 until subspaces).map { s =>
+      val cents = codebooks(s)
+      val ids = Array.tabulate(cents.length)(_.toLong)
+      val code = element_at(GraftColumnBridge.column(graft.functions.NearestCentroids(
+        GraftColumnBridge.expression(slice(vd, s * subDim + 1, subDim)),
+        ids, cents, 1)), 1)
+      val centLits = array(cents.map(c => array(c.map(lit): _*)): _*)
+      element_at(centLits, code.cast("int") + 1)
+    }: _*)
+    def cells(probes: Int) =
+      explode(GraftColumnBridge.column(graft.functions.NearestCentroids(
+        GraftColumnBridge.expression(vd), coarseIds, coarse, probes)))
+    // encode + assign in ONE map-side projection over the corpus —
+    // this projection IS the stored index at deploy scale
+    val corpusSide = corpus.select(col(idCol).as("neighbor_id"),
+        reconCol.as("rv"), cells(1).as("cell"))
+      .withColumn("rn", sqrt(expr("dot_product(rv, rv)")))
+    val querySide = queries.select(col(idCol).as("query_id"),
+        vd.as("qv"), cells(nProbe).as("cell"))
+      .withColumn("qn", sqrt(expr("dot_product(qv, qv)")))
+    val scored = querySide.join(corpusSide, "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", expr("dot_product(qv, rv)") / (col("qn") * col("rn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Semantic top-k over a TEXT corpus through a pluggable [[Embedder]]
     * (default: the oracle-certified [[HashedEmbedder]]; an ONNX
     * model encoder drops in as the argument — U5's plug point as an
@@ -602,6 +666,48 @@ object SimilarityOps {
       .select(col("id"), expr(s"hyperplane_sig(vd, $bits, $dim)").as("sig"))
   }
 
+  /** Shared banding projection for the hyperplane-LSH family:
+    * (id, band, bucket) rows, band j's bucket computed directly from
+    * the vector by the codegen'd [[graft.functions.HyperplaneBuckets]]
+    * kernel — no intermediate packed signature, so the total bit
+    * budget `bands · bandBits` is UNBOUNDED (the round-10 64-bit
+    * ceiling, ProbeKnn law #1). For bands·bandBits ≤ 64 the buckets
+    * are bit-identical to the retired `(sig >> j·bandBits) & mask`
+    * extraction (spec-pinned), so every certified ≤64-bit oracle is
+    * unchanged.
+    */
+  private def bandBuckets(
+      df: DataFrame, idCol: String, vecCol: String, outId: String,
+      bands: Int, bandBits: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as(outId), VectorOps.asDouble(col(vecCol)).as("vd"))
+      .select(col(outId),
+        posexplode(expr(s"hyperplane_buckets(vd, $bands, $bandBits, $dim)"))
+          .as(Seq("band", "bucket")))
+  }
+
+  /** [[bandBuckets]] keeping the vector and its norm alongside each
+    * (band, bucket) row — the substrate of the two-phase rerank, where
+    * vectors ride the bucket join once per band instead of once per
+    * candidate. Zero-norm rows are KEPT (they occupy bucket slots in
+    * the capped oracle's survivor selection) and filtered at scoring,
+    * exactly as the id-only path does.
+    */
+  private def bandBucketsWithVec(
+      df: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bandBits: Int, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vd"))
+      .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
+      .select(col("id"), col("vd"), col("nrm"),
+        posexplode(expr(s"hyperplane_buckets(vd, $bands, $bandBits, $dim)"))
+          .as(Seq("band", "bucket")))
+  }
+
+  private def requireBandConfig(bands: Int, bandBits: Int): Unit =
+    require(bands >= 1 && bandBits >= 1 && bandBits <= 62 && bands <= 1024,
+      s"need bands in [1, 1024] and bandBits in [1, 62], got $bands x $bandBits")
+
   /** LSH-bucketed approximate top-k — the third ANN path next to IVF
     * (compute-bound) and PQ (memory-bound): candidates for each query
     * are the corpus vectors sharing ANY of the `bands` hyperplane
@@ -616,19 +722,10 @@ object SimilarityOps {
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
       bands: Int, bandBits: Int, dim: Int): DataFrame = {
-    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
-      s"bands*bandBits must fit one 64-bit signature, got $bands*$bandBits")
+    requireBandConfig(bands, bandBits)
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    def bucketed(df: DataFrame, outId: String): DataFrame = {
-      val sig = hyperplaneSignature(df, idCol, vecCol, bands * bandBits, dim)
-      val bandCols = (0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          shiftright(col("sig"), j * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
-      }
-      sig.select(col("id").as(outId), explode(array(bandCols: _*)).as("bb"))
-        .select(col(outId), col("bb.band"), col("bb.bucket"))
-    }
+    def bucketed(df: DataFrame, outId: String): DataFrame =
+      bandBuckets(df, idCol, vecCol, outId, bands, bandBits, dim)
     val cand = bucketed(queries, "query_id")
       .join(bucketed(corpus, "neighbor_id"), Seq("band", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -763,19 +860,10 @@ object SimilarityOps {
       idCol: String, vecCol: String, k: Int,
       bands: Int, bandBits: Int, dim: Int,
       bucketCap: Int = 0): DataFrame = {
-    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
-      s"bands*bandBits must fit one 64-bit signature, got $bands*$bandBits")
+    requireBandConfig(bands, bandBits)
     graft.functions.GraftFunctions.register(queries.sparkSession)
-    def bucketed(df: DataFrame): DataFrame = {
-      val sig = hyperplaneSignature(df, idCol, vecCol, bands * bandBits, dim)
-      val bandCols = (0 until bands).map { j =>
-        struct(lit(j).as("band"),
-          shiftright(col("sig"), j * bandBits)
-            .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
-      }
-      sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-        .select(col("id"), col("bb.band"), col("bb.bucket"))
-    }
+    def bucketed(df: DataFrame): DataFrame =
+      bandBuckets(df, idCol, vecCol, "id", bands, bandBits, dim)
     val corpusBuckets =
       if (bucketCap > 0) capBandBuckets(bucketed(corpus), bucketCap)
       else bucketed(corpus)
@@ -803,6 +891,69 @@ object SimilarityOps {
         col("neighbor_id"), col("cos"))
   }
 
+  /** TWO-PHASE rerank form of [[lshKnnGraphRaw]] — the deploy-scale
+    * answer to the round-10 "~1 KB/candidate" wall (PERF.md: at 5M
+    * vectors the capped graph fan-out is 150.4M candidates and the
+    * single-phase rerank ships BOTH dim-64 vectors down the candidate
+    * shuffle — ≈150 GB of spill). Here the vectors ride the BUCKET
+    * join instead: each side's (band, bucket) rows carry (vd, nrm), so
+    * a vector crosses the wire once per band (bands · |corpus| · ~520 B
+    * — linear in the corpus, independent of candidate volume), the
+    * exact cosine is computed INSIDE the bucket-join output, and only
+    * (query_id, neighbor_id, cos) — 24 B — survives into the dedup and
+    * rank shuffles. A pair colliding in several bands scores its dot
+    * product once per band (same doubles, same order → identical cos;
+    * the `max` dedup is therefore value-preserving), trading bounded
+    * recompute for the candidate-payload collapse: at 5M that is
+    * ~10 GB of vector traffic vs 150 GB of spill.
+    *
+    * Bit-identical to [[lshKnnGraphRaw]] at every config (same
+    * candidate set, same double arithmetic, same tie-breaks) —
+    * certified against the SAME oracle (q_knn_graph_twophase) and
+    * spec-asserted equal to the single-phase kernel.
+    */
+  def lshKnnGraphRawTwoPhase(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      bands: Int, bandBits: Int, dim: Int,
+      bucketCap: Int = 0): DataFrame = {
+    requireBandConfig(bands, bandBits)
+    val qb = bandBucketsWithVec(queries, idCol, vecCol, bands, bandBits, dim)
+    val cbRaw = bandBucketsWithVec(corpus, idCol, vecCol, bands, bandBits, dim)
+    // the cap ranks on (id, band, bucket) only — the vector payload
+    // rides the occupancy window untouched, so the survivor set is the
+    // id-path's survivor set exactly
+    val cb = if (bucketCap > 0) capBandBuckets(cbRaw, bucketCap) else cbRaw
+    val scoredPerBand = qb.as("x").join(cb.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") =!= col("y.id"))
+      .filter(col("x.nrm") > 0 && col("y.nrm") > 0)
+      .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"),
+        (expr("dot_product(x.vd, y.vd)") / (col("x.nrm") * col("y.nrm"))).as("cos"))
+    // per-band duplicates carry the identical cos value; max() is the
+    // order-free dedup that never mixes doubles
+    val scored = scoredPerBand
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos"))
+  }
+
+  /** Rounded-output wrapper of [[lshKnnGraphRawTwoPhase]] (the
+    * [[lshKnnGraphBetween]] output contract). */
+  def lshKnnGraphTwoPhase(
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+      bands: Int, bandBits: Int, dim: Int, bucketCap: Int = 0): DataFrame =
+    lshKnnGraphRawTwoPhase(vectors, vectors, idCol, vecCol, k,
+      bands, bandBits, dim, bucketCap)
+      .select(col("query_id"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+
   /** LSH-bucketed near-duplicate candidates with OR-amplification:
     * the `bands * bandBits` hyperplane bits are split into `bands`
     * independent tables; a pair becomes a candidate if it collides in
@@ -818,18 +969,9 @@ object SimilarityOps {
       vectors: DataFrame, idCol: String, vecCol: String,
       bands: Int, bandBits: Int, dim: Int, threshold: Double,
       bucketCap: Int = 0): DataFrame = {
-    require(bands >= 1 && bandBits >= 1 && bands * bandBits <= 64,
-      s"bands*bandBits must fit one 64-bit signature, got $bands*$bandBits")
+    requireBandConfig(bands, bandBits)
     graft.functions.GraftFunctions.register(vectors.sparkSession)
-    val sig = hyperplaneSignature(vectors, idCol, vecCol, bands * bandBits, dim)
-    val bandCols = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("sig"), j * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
-    }
-    val rawBuckets = sig
-      .select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val rawBuckets = bandBuckets(vectors, idCol, vecCol, "id", bands, bandBits, dim)
     // pair enumeration is symmetric — capping the ONE shared bucket
     // table bounds per-bucket pairs at C(cap, 2); members dropped from
     // a band's mega-bucket lose that band's pairs (the df-cap trade),

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, EvalMode, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -55,7 +55,17 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *     replacements must preserve the output's dataType exactly
   *     (a DECIMAL sum whose re-sum would widen precision bails);
   *   - the aggregate's child must be the registered base scan (bare, or
-  *     under pure column-pruning Projects);
+  *     under pure column-pruning Projects and/or deterministic
+  *     subquery-free Filters);
+  *   - FILTER SUBSUMPTION (round 11): base-side predicates are rebased
+  *     onto the MV iff every attribute they reference is an MV KEY
+  *     column (identical type) — rows within one MV group share the
+  *     key tuple, so a key predicate selects whole groups and
+  *     filtering the rollup by the same predicate is exact, for ANY
+  *     deterministic predicate shape (=, IN, ranges, disjunctions).
+  *     A predicate touching a measure or unregistered column selects
+  *     rows WITHIN groups — the rollup cannot re-slice those — and
+  *     bails the whole rewrite (refusals spec-proven);
   *   - output attribute ids/names/types are preserved via aliases onto
   *     the MV columns, so parent operators are untouched;
   *   - name matching honors `spark.sql.caseSensitive` (insensitive by
@@ -169,21 +179,40 @@ object MvRewriteRule extends Rule[LogicalPlan] {
       case agg: Aggregate => tryRewrite(agg).getOrElse(agg)
     }
 
-  /** The registered MvDef of the aggregate's child, if that child is
-    * the registered single-root base scan (possibly under pure
-    * attribute-only Projects inserted by column pruning). */
-  private def baseDef(child: LogicalPlan): Option[MvDef] = child match {
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths.toSeq match {
-        case Seq(p) => Option(registry.get(normalize(p.toString)))
+  /** The registered MvDef of the aggregate's child plus every Filter
+    * condition sitting between the aggregate and the scan, if that
+    * child is the registered single-root base scan under pure
+    * attribute-only Projects (column pruning) and/or deterministic,
+    * subquery-free Filters. The FILTER-SUBSUMPTION half (round-10
+    * verdict item 4): a predicate over the base is answerable from the
+    * MV iff it references ONLY the MV's KEY columns — rows within one
+    * MV group all share the key tuple, so filtering base rows by a key
+    * predicate selects exactly the rows whose groups the same predicate
+    * selects over the rollup. Whether the references really are all
+    * keys is proven by the caller; collecting here only establishes
+    * WHERE the conditions sit (between aggregate and scan, nothing
+    * else interleaved).
+    */
+  private def baseDef(child: LogicalPlan): Option[(MvDef, Seq[Expression])] =
+    child match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.toSeq match {
+          case Seq(p) =>
+            Option(registry.get(normalize(p.toString))).map(d => (d, Nil))
+          case _ => None
+        }
         case _ => None
       }
+      case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        baseDef(p.child)
+      case f: Filter
+          if f.condition.deterministic &&
+            f.condition.find(
+              _.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+                .PlanExpression[_]]).isEmpty =>
+        baseDef(f.child).map { case (d, cs) => (d, f.condition +: cs) }
       case _ => None
     }
-    case p: Project if p.projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      baseDef(p.child)
-    case _ => None
-  }
 
   private def tryRewrite(agg: Aggregate): Option[LogicalPlan] = {
     val spark = SparkSession.active
@@ -193,7 +222,7 @@ object MvRewriteRule extends Rule[LogicalPlan] {
     val ci = !spark.sessionState.conf.caseSensitiveAnalysis
     def canon(s: String): String = if (ci) s.toLowerCase(Locale.ROOT) else s
     for {
-      d <- baseDef(agg.child)
+      (d, filters) <- baseDef(agg.child)
       groupNames <- attributeNames(agg.groupingExpressions)
       cGroup = groupNames.map(canon)
       if cGroup.distinct.size == cGroup.size
@@ -216,10 +245,40 @@ object MvRewriteRule extends Rule[LogicalPlan] {
         .map(mapOutput(_, cGroup.toSet, mvOut, canon, aggMapper))
       if mappedOpts.forall(_.isDefined)
       outs = mappedOpts.map(_.get)
+      // filter subsumption: every collected predicate must map WHOLLY
+      // onto MV KEY columns of identical type — any reference to a
+      // measure or unregistered column bails the rewrite (predicates
+      // over non-key columns select rows WITHIN groups; the rollup
+      // cannot re-slice those)
+      mappedFilterOpts = filters.map(
+        mapFilter(_, cKeys.toSet, mvOut, canon))
+      if mappedFilterOpts.forall(_.isDefined)
     } yield {
-      if (exact) Project(outs, mv)
-      else Aggregate(cGroup.flatMap(mvOut.get), outs, mv)
+      val scan = mappedFilterOpts.map(_.get)
+        .foldRight(mv)((c, p) => Filter(c, p))
+      if (exact) Project(outs, scan)
+      else Aggregate(cGroup.flatMap(mvOut.get), outs, scan)
     }
+  }
+
+  /** One base-side Filter condition rebased onto the MV scan: every
+    * attribute must be an MV KEY column with an identically-typed MV
+    * attribute, and no AggregateExpression may appear (impossible below
+    * an Aggregate, checked anyway). None bails the whole rewrite. */
+  private def mapFilter(
+      cond: Expression, keyNames: Set[String],
+      mvOut: Map[String, Attribute], canon: String => String)
+      : Option[Expression] = {
+    val mapped = cond.transformUp {
+      case a: AttributeReference
+          if keyNames.contains(canon(a.name)) &&
+            mvOut.get(canon(a.name)).exists(_.dataType == a.dataType) =>
+        mvOut(canon(a.name))
+    }
+    val mvAttrs = mvOut.values.map(_.exprId).toSet
+    val clean = mapped.references.forall(r => mvAttrs.contains(r.exprId)) &&
+      mapped.collectFirst { case ae: AggregateExpression => ae }.isEmpty
+    if (clean) Some(mapped) else None
   }
 
   private def attributeNames(

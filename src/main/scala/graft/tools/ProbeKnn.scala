@@ -30,7 +30,14 @@ import org.apache.spark.sql.functions._
   *     as ≤ B·cap·bands (linear). Counted at two block sizes so the
   *     4×-block → 16×-vs-4× growth split is in the numbers, not argued.
   *
-  * Re-runnable: `runMain graft.tools.ProbeKnn [nVectors]`.
+  * Round-11: configs may exceed 64 total bits (the wide
+  * [[graft.functions.HyperplaneBuckets]] banding), and every graph
+  * build runs the TWO-PHASE rerank ([[SimilarityOps
+  * .lshKnnGraphRawTwoPhase]]) — the ~1 KB/candidate payload that
+  * walled the round-10 5M build at 150 GB of projected spill is now a
+  * 24 B/candidate shuffle plus bands·N vector copies.
+  *
+  * Re-runnable: `runMain graft.tools.ProbeKnn [nVectors] [bandsxbits,...]`.
   */
 object ProbeKnn {
   private val M = 2147483647L
@@ -79,15 +86,14 @@ object ProbeKnn {
     */
   private def candidateCount(vecs: DataFrame, bands: Int, bandBits: Int,
       cap: Int): Long = {
-    val sig = SimilarityOps.hyperplaneSignature(
-      vecs, "vec_id", "embedding", bands * bandBits, Dim)
-    val bandCols = (0 until bands).map { j =>
-      struct(lit(j).as("band"),
-        shiftright(col("sig"), j * bandBits)
-          .bitwiseAND(lit((1L << bandBits) - 1)).as("bucket"))
-    }
-    val raw = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    // round-11: buckets via the wide-capable kernel — configs past
+    // bands*bandBits = 64 (the round-10 ceiling) count the same way
+    graft.functions.GraftFunctions.register(vecs.sparkSession)
+    val raw = vecs.select(col("vec_id").as("id"),
+        col("embedding").cast("array<double>").as("vd"))
+      .select(col("id"),
+        posexplode(expr(s"hyperplane_buckets(vd, $bands, $bandBits, $Dim)"))
+          .as(Seq("band", "bucket")))
     if (cap > 0)
       raw.as("x").join(SimilarityOps.capBandBuckets(raw, cap).as("y"),
           col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -141,52 +147,47 @@ object ProbeKnn {
       got.count(bruteSet.contains).toDouble / bruteSet.size
     }
 
-    // 1. bandBits sweep: candidate volume; full graph + recall where
-    // runnable (budget: skip the build when candidates exceed ~2e8)
+    // 1. bandBits sweep — round-11: builds run the TWO-PHASE kernel
+    // (vectors ride the bucket join once per band, candidates carry
+    // (qid, nid, cos) = 24 B), so the ~1 KB/candidate spill wall that
+    // bounded the round-10 builds at ~1e8 candidates is gone; the
+    // build budget is now dominated by the rerank's dot-product
+    // compute + a 24 B/candidate shuffle (~6e8 candidates ≈ 14 GB).
+    // Wide (>64-bit) configs like 8x16 are first-class.
     val configs = argConfigs.getOrElse(Seq((4, 16), (4, 12), (4, 10)))
-    val feasible = 200000000L
+    val feasible = 600000000L
     for ((bands, bits) <- configs) {
       val tc = System.nanoTime()
       val cand = candidateCount(vecs, bands, bits, cap = 0)
       val candWall = (System.nanoTime() - tc) / 1e9
       if (cand <= feasible) {
         val tg = System.nanoTime()
-        val graph = SimilarityOps.lshKnnGraphBetween(
+        val graph = SimilarityOps.lshKnnGraphRawTwoPhase(
           vecs, vecs, "vec_id", "embedding", 5, bands, bits, Dim)
         val edges = graph.count()
         val wall = (System.nanoTime() - tg) / 1e9
-        val rec = recallOf(SimilarityOps.lshKnnGraphBetween(
+        val rec = recallOf(SimilarityOps.lshKnnGraphRawTwoPhase(
           queries, vecs, "vec_id", "embedding", 5, bands, bits, Dim))
-        println(f"  bands=$bands bits=$bits: candidates=$cand%,d (count wall $candWall%.1fs) graph=$edges%,d edges in $wall%.1fs recall@5=$rec%.3f")
+        println(f"  bands=$bands bits=$bits: candidates=$cand%,d (count wall $candWall%.1fs) two-phase graph=$edges%,d edges in $wall%.1fs recall@5=$rec%.3f")
       } else {
-        println(f"  bands=$bands bits=$bits: candidates=$cand%,d (count wall $candWall%.1fs) — INFEASIBLE uncapped, graph build skipped")
-        // 2. cap rescue on the infeasible config. Recall on the
-        // 100-query slice is always cheap; the FULL graph build's
-        // rerank shuffle carries both dim-64 vectors per candidate
-        // (~1 KB/row — 1e8 capped candidates spill ~100 GB), so it
-        // only runs under a local-disk candidate budget and reports
-        // the projected spill otherwise (a cluster has the disk; this
-        // box prices the shape honestly).
+        println(f"  bands=$bands bits=$bits: candidates=$cand%,d (count wall $candWall%.1fs) — over the two-phase compute budget uncapped")
+        // 2. cap rescue on the infeasible config, two-phase build
         val cap = 16
         val tg = System.nanoTime()
         val capped = candidateCount(vecs, bands, bits, cap)
         val capWall = (System.nanoTime() - tg) / 1e9
-        val rec = recallOf(SimilarityOps.lshKnnGraphBetween(
+        val rec = recallOf(SimilarityOps.lshKnnGraphRawTwoPhase(
           queries, vecs, "vec_id", "embedding", 5, bands, bits, Dim,
           bucketCap = cap))
-        // ~1e8 asymmetric candidates ≈ the measured edge of this box's
-        // spill headroom (the 1M builds at ~8e7 completed; the 5M
-        // (2,32) build died past 75 GB of rerank spill twice)
-        val buildBudget = 100000000L
-        if (capped <= buildBudget) {
+        if (capped <= feasible) {
           val tb = System.nanoTime()
-          SimilarityOps.lshKnnGraphBetween(
+          SimilarityOps.lshKnnGraphRawTwoPhase(
             vecs, vecs, "vec_id", "embedding", 5, bands, bits, Dim,
             bucketCap = cap).count()
           val bw = (System.nanoTime() - tb) / 1e9
-          println(f"    cap=$cap rescue: candidates=$capped%,d (count $capWall%.1fs) graph built in $bw%.1fs recall@5=$rec%.3f")
+          println(f"    cap=$cap rescue: candidates=$capped%,d (count $capWall%.1fs) two-phase graph built in $bw%.1fs recall@5=$rec%.3f")
         } else {
-          println(f"    cap=$cap rescue: candidates=$capped%,d (count $capWall%.1fs) recall@5=$rec%.3f — full-graph rerank ~${capped / 1000000L}%,d GB spill (~1 KB/candidate), over this box's disk; shape unchanged, run on a cluster disk budget")
+          println(f"    cap=$cap rescue: candidates=$capped%,d (count $capWall%.1fs) recall@5=$rec%.3f — build skipped (over compute budget)")
         }
       }
     }

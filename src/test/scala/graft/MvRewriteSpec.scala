@@ -108,8 +108,26 @@ class MvRewriteSpec extends AnyFunSuite {
         "unregistered aggregate at coarser grain (avg)" -> Tables.lineitem(spark, sf)
           .groupBy(col("l_returnflag"))
           .agg(avg("l_quantity").as("avg_qty")),
-        "filter below the aggregate" -> Tables.lineitem(spark, sf)
-          .filter(col("l_quantity") > 10)
+        "filter on a MEASURE below the aggregate (selects rows within groups)" ->
+          Tables.lineitem(spark, sf)
+            .filter(col("l_quantity") > 10)
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum("l_quantity").as("sum_qty")),
+        "filter mixing a key and a measure (one conjunct unprovable bails all)" ->
+          Tables.lineitem(spark, sf)
+            .filter(col("l_returnflag") === "A" && col("l_quantity") > 10)
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum("l_quantity").as("sum_qty")),
+        "filter on an unregistered non-key column (l_shipdate)" ->
+          Tables.lineitem(spark, sf)
+            .filter(col("l_shipdate") > "1995-01-01")
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(sum("l_quantity").as("sum_qty")),
+        // rand() bound must be reachable: the optimizer folds an
+        // impossible `rand() > 2` to false and the remaining
+        // deterministic key filter legitimately rewrites
+        "nondeterministic filter on a key" -> Tables.lineitem(spark, sf)
+          .filter(col("l_returnflag") === "A" || rand() > 0.5)
           .groupBy(col("l_returnflag"), col("l_linestatus"))
           .agg(sum("l_quantity").as("sum_qty")),
         "distinct sum" -> Tables.lineitem(spark, sf)
@@ -124,6 +142,37 @@ class MvRewriteSpec extends AnyFunSuite {
           s"$label must NOT rewrite:\n${plan.take(1200)}")
         assert(plan.contains("lineitem"),
           s"$label should still scan the base:\n${plan.take(1200)}")
+      }
+    }
+  }
+
+  test("key-only filters are subsumed: predicate rebased onto the rollup, result-identical") {
+    MvRewrite.deregister(basePath)
+    // exact grain + equality/IN/inequality/disjunction over KEY columns
+    def exactF = Tables.lineitem(spark, sf)
+      .filter(col("l_returnflag") =!= "N" &&
+        (col("l_linestatus").isin("F", "O") || col("l_returnflag") === "A"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+    // coarser grain + predicate on a key NOT in the grouping set
+    def coarserF = Tables.lineitem(spark, sf)
+      .filter(col("l_linestatus") === "F")
+      .groupBy(col("l_returnflag"))
+      .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+    val directExact = exactF
+      .orderBy(col("l_returnflag"), col("l_linestatus")).collect().toSeq
+    val directCoarser = coarserF.orderBy(col("l_returnflag")).collect().toSeq
+    withMv { mv =>
+      for ((df, direct, order) <- Seq(
+          (exactF, directExact, Seq(col("l_returnflag"), col("l_linestatus"))),
+          (coarserF, directCoarser, Seq(col("l_returnflag"))))) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains(mv),
+          s"filter-subsumed rewrite did not fire:\n${plan.take(1500)}")
+        assert(!plan.contains("lineitem.parquet"),
+          s"base scan survived the filtered rewrite:\n${plan.take(1500)}")
+        assert(df.orderBy(order: _*).collect().toSeq == direct,
+          "filtered MV answer must be bit-identical to the base aggregate")
       }
     }
   }

@@ -294,8 +294,10 @@ class PlanSpec extends AnyFunSuite {
       s"LSH kNN graph went cartesian:\n${p.take(1500)}")
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"LSH kNN graph broadcasts a side through a non-equi join:\n${p.take(1500)}")
-    assert(p.toLowerCase.contains("hyperplanesig"),
-      s"candidate generation should ride the codegen signature:\n${p.take(1200)}")
+    // round-11: banding rides the wide-capable hyperplane_buckets
+    // kernel (one codegen'd per-band bucket array, no packed signature)
+    assert(p.toLowerCase.contains("hyperplanebuckets"),
+      s"candidate generation should ride the codegen bucket kernel:\n${p.take(1200)}")
   }
 
   test("bloom-pruned as-of: bitmap filter sits BELOW the exec on the history side") {
@@ -432,7 +434,20 @@ class PlanSpec extends AnyFunSuite {
     // leaked out of the projection map.
     "q_knn_clusters_lsh" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>RDDScan",
     "q_mv_rewrite" -> "Sort>ShuffleExchange>FileSourceScan",
-    "q_embed_outliers_pca" -> "Sort>ShuffleExchange>RDDScan")
+    "q_embed_outliers_pca" -> "Sort>ShuffleExchange>RDDScan",
+    // round-11 flagship pins (round-10 verdict item 3).
+    // q_knn_graph_capped: the capped graph must keep the occupancy
+    // window + every join an equi-join (BHJ at this sf's stats).
+    // q_epoch_shuffle_dist: the deploy-scale permutation must stay
+    // range-partition + sort + mapPartitions — ZERO Window nodes (the
+    // single-reducer sort is exactly what the operator exists to
+    // avoid; MapPartitions asserted separately above).
+    // q_mv_rewrite_avg: the AVG derivation must keep serving from the
+    // rollup scan — re-aggregation of the MV file, never a lineitem
+    // scan (the base table would appear as a second FileSourceScan).
+    "q_knn_graph_capped" -> "Sort>ShuffleExchange>Window>WindowGroupLimit>Sort>ShuffleExchange>WindowGroupLimit>Sort>BroadcastHashJoin>BroadcastHashJoin>HashAggregate>ShuffleExchange>HashAggregate>BroadcastHashJoin>Generate>FileSourceScan>BroadcastExchange>Window>WindowGroupLimit>Sort>ShuffleExchange>WindowGroupLimit>Sort>Generate>FileSourceScan>BroadcastExchange>FileSourceScan>BroadcastExchange>FileSourceScan",
+    "q_epoch_shuffle_dist" -> "Sort>ShuffleExchange>RDDScan",
+    "q_mv_rewrite_avg" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan")
 
   test("golden plan shapes: top-10 most expensive batch queries don't drift") {
     val drifted = goldenShapes.toSeq.sortBy(_._1).flatMap { case (name, want) =>
