@@ -131,6 +131,10 @@ object GraftFunctions {
           constInt(exprs(1), "hyperplane_buckets", 1),
           constInt(exprs(2), "hyperplane_buckets", 2),
           constInt(exprs(3), "hyperplane_buckets", 3)) })
+    reg("random_project", exprs => { arity(exprs, "random_project", 3)
+        RandomProject(exprs(0),
+          constInt(exprs(1), "random_project", 1),
+          constInt(exprs(2), "random_project", 2)) })
     reg("hamming_dist", exprs => { arity(exprs, "hamming_dist", 2)
         HammingDist(exprs(0), exprs(1)) })
     reg("byte_stats", exprs => { arity(exprs, "byte_stats", 1)

@@ -96,6 +96,36 @@ case class HyperplaneBuckets(child: Expression, bands: Int, bandBits: Int,
     copy(child = newChild)
 }
 
+/** Codegen'd dense ±1 random projection (Johnson–Lindenstrauss,
+  * Achlioptas-style sign matrix): output component i = Σ_d v[d] ·
+  * coeff(i, d, dim) — the SAME deterministic hyperplane mix as the LSH
+  * kernels, kept as a VALUE instead of a sign, so the projection is
+  * reproducible anywhere with no stored matrix and the DuckDB oracle
+  * replays it from the identical literal ±1 table. No 1/√k scaling:
+  * cosine and distance RATIOS are scale-invariant, and omitting it
+  * keeps every oracle term a plain ±v[d] sum. The JL guarantee (pair
+  * distances preserved within 1±ε at k = O(log n / ε²)) is measured,
+  * not assumed, in q_jl_distortion.
+  */
+case class RandomProject(child: Expression, outDim: Int, dim: Int)
+    extends UnaryExpression {
+  require(outDim >= 1, s"outDim must be >= 1 (got $outDim)")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSig.computeProject(input.asInstanceOf[ArrayData], outDim, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HyperplaneSig.computeProject($c, $outDim, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd Hamming distance between two packed `array<long>`
   * sketches (per-word POPCNT of the XOR) — the prefilter metric; ~8
   * integer ops for a 256-bit sketch vs 64 multiply-adds for the exact
@@ -145,6 +175,23 @@ object HyperplaneSig {
       var d = 0
       while (d < n) { s += a.getDouble(d) * coeff(i, d, dim); d += 1 }
       if (s > 0) out(i >>> 6) |= (1L << (i & 63))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Dense ±1 projection values, one double per output component
+    * (Java-static for codegen; same coeff mix and d-order as
+    * [[compute]], so component i is the pre-sign sum of plane i). */
+  def computeProject(a: ArrayData, outDim: Int, dim: Int): ArrayData = {
+    val n = math.min(dim, a.numElements())
+    val out = new Array[Double](outDim)
+    var i = 0
+    while (i < outDim) {
+      var s = 0.0
+      var d = 0
+      while (d < n) { s += a.getDouble(d) * coeff(i, d, dim); d += 1 }
+      out(i) = s
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)

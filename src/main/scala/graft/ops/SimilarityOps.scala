@@ -556,6 +556,73 @@ object SimilarityOps {
     bruteForceTopK(q, recon, idCol, "recon", k)
   }
 
+  /** Two-stage ANN through a Johnson–Lindenstrauss shortlist
+    * ([[graft.functions.RandomProject]]): stage 1 ranks by cosine in
+    * the `outDim`-dimensional ±1-projected space (outDim FMAs per
+    * pair instead of dim — a dim/outDim arithmetic cut on the full
+    * |queries|·|corpus| sweep) and keeps a per-query shortlist of
+    * `shortlist` ids; stage 2 re-joins the ORIGINAL vectors for the
+    * shortlisted pairs only and reranks exactly to top-k. The scan cut
+    * is structural at 100 TB: the projected corpus (outDim doubles) is
+    * the stored stage-1 index — at 64→16 a 4× smaller scan — and the
+    * exact rerank touches ≤ shortlist·|queries| rows. Projection,
+    * shortlist and rerank all replay in the DuckDB oracle from the
+    * literal ±1 matrix (q_ann_jl); shortlist recall vs brute is
+    * measured in DedupOpsSpec. Vectors whose PROJECTION is zero-norm
+    * cannot be cosine-ranked in stage 1 and are excluded there — the
+    * documented shortlist contract (original zero-norm vectors are
+    * excluded as everywhere).
+    */
+  def jlShortlistTopK(
+      queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      shortlist: Int, outDim: Int, dim: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    def proj(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), col(vecCol).cast("array<double>").as("vd"))
+        .select(col(outId), col("vd"),
+          expr(s"random_project(vd, $outDim, $dim)").as("pv"))
+        .withColumn("vn", sqrt(expr("dot_product(vd, vd)")))
+        .withColumn("pn", sqrt(expr("dot_product(pv, pv)")))
+        .filter(col("vn") > 0 && col("pn") > 0)
+    val q = broadcast(proj(queries, "query_id")
+      .select(col("query_id"), col("vd").as("qv"), col("pv").as("qp"),
+        col("vn").as("qn"), col("pn").as("qpn")))
+    val c = proj(corpus, "neighbor_id")
+      .select(col("neighbor_id"), col("vd").as("cv"), col("pv").as("cp"),
+        col("vn").as("cn"), col("pn").as("cpn"))
+      // materialization barrier: same WSCG deferred-projection trap as
+      // sketchTopK — without it the projection recomputes per PAIR
+      // inside the broadcast-nested-loop stream side
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+    // stage 1 ships ONLY (query_id, neighbor_id, pcos) into the rank
+    // shuffle (the two-phase payload discipline — original vectors
+    // re-join AFTER the shortlist, touching <= shortlist·|queries| rows)
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val short = c.select(col("neighbor_id"), col("cp"), col("cpn")).crossJoin(
+        broadcast(q.select(col("query_id"), col("qp"), col("qpn"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("dot_product(qp, cp)") / (col("qpn") * col("cpn"))).as("pcos"))
+      .withColumn("srank", row_number().over(w1))
+      .filter(col("srank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))), "query_id")
+      .join(c.select(col("neighbor_id"), col("cv"), col("cn")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (expr("dot_product(qv, cv)") / (col("qn") * col("cn"))).as("cos"))
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** IVF × PQ composition (the FAISS IVFADC shape, round-10 verdict
     * item 8) — the second large-N serving path next to the wide-LSH
     * graph kernels: the learned IVF centroids ([[learnedCentroids]])
@@ -953,6 +1020,37 @@ object SimilarityOps {
       bands, bandBits, dim, bucketCap)
       .select(col("query_id"), col("rank"),
         col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+
+  /** TWO-PHASE form of [[lshNearDupPairs]] — same discipline as
+    * [[lshKnnGraphRawTwoPhase]]: vectors ride the bucket self-join
+    * once per band, exact cosine computes inside the join output, and
+    * only (vec_a, vec_b, cos) survives into the dedup shuffle — the
+    * verify stage's ~0.5 KB/pair payload (one dim-64 vector riding the
+    * second id-join) collapses to 24 B/pair. Per-band duplicate pairs
+    * score identical doubles; max() dedups value-exactly. Bit-identical
+    * to the single-phase kernel (spec + certified on
+    * q_embed_neardup_lsh's VERBATIM oracle as q_embed_neardup_2p).
+    */
+  def lshNearDupPairsTwoPhase(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      bands: Int, bandBits: Int, dim: Int, threshold: Double,
+      bucketCap: Int = 0): DataFrame = {
+    requireBandConfig(bands, bandBits)
+    val bv = bandBucketsWithVec(vectors, idCol, vecCol, bands, bandBits, dim)
+    val buckets = if (bucketCap > 0) capBandBuckets(bv, bucketCap) else bv
+    // no norm guard — exact parity with the single-phase kernel, which
+    // scores every candidate pair (the certified corpora hold no
+    // zero-norm vectors; both kernels treat them identically)
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("vec_a"), col("y.id").as("vec_b"),
+        (expr("dot_product(x.vd, y.vd)") / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(max(col("cos")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos"), 6).as("cos_sim"))
+  }
 
   /** LSH-bucketed near-duplicate candidates with OR-amplification:
     * the `bands * bandBits` hyperplane bits are split into `bands`

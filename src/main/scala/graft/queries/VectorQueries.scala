@@ -176,6 +176,20 @@ object VectorQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** [[q_embed_neardup_lsh]] served by the two-phase near-dup kernel
+    * ([[SimilarityOps.lshNearDupPairsTwoPhase]]): the verify stage's
+    * ~0.5 KB/pair vector payload collapses to 24 B/pair (vectors ride
+    * the bucket self-join once per band). Oracle VERBATIM — the
+    * result-invariance certificate, plus the spec equality assertion.
+    */
+  val q_embed_neardup_2p = QueryDef(
+    "q_embed_neardup_2p", q_embed_neardup_lsh.oracle.get) { (spark, dir) =>
+    SimilarityOps.lshNearDupPairsTwoPhase(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      bands = LshBands, bandBits = LshBandBits, dim = LshDim, threshold = 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** Full-corpus kNN graph by LSH-band blocking
     * ([[SimilarityOps.lshKnnGraph]]) — the round-8 verdict's top ask:
     * the 100 TB kNN-graph story run as ONE certified query over the
@@ -603,6 +617,123 @@ object VectorQueries {
       "vec_id", "embedding", k = 5,
       nCentroids = 16, nProbe = 4, ivfIters = IvfLearnIters,
       subspaces = PqM, codebookSize = PqK, pqIters = PqIters, dim = PqDim)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val JlDim = 16
+
+  /** Literal ±1 hyperplane rows for the JL-projection oracles — the
+    * same coefficient mix the codegen'd kernels use, rendered at
+    * SQL-generation time. */
+  private def jlHpRows(rows: Int): String =
+    (0 until rows).map { i =>
+      val cs = (0 until LshDim).map(d =>
+        graft.functions.HyperplaneSig.coeff(i, d, LshDim)).mkString("[", ", ", "]")
+      s"($i, $cs)"
+    }.mkString(",\n    ")
+
+  /** Johnson–Lindenstrauss distortion readout
+    * ([[graft.functions.RandomProject]]): for every consecutive-id
+    * vector pair, the ratio of projected to original squared distance,
+    * normalized by `outDim` (±1-entry projections satisfy
+    * E[‖P(x−y)‖²] = outDim·‖x−y‖²) and floor-quantized to 1e-4. This
+    * is the measured JL guarantee behind the q_ann_jl shortlist — the
+    * distortion concentration (≈1 ± √(2/outDim)) is what makes a
+    * 16-dim stage-1 scan trustworthy — and the oracle replays the
+    * projection from the literal ±1 matrix, so the kernel itself is
+    * certified value-exact. Distances via the algebraic identity
+    * aa − 2ab + bb in BOTH engines (bit-identical fold order).
+    */
+  val q_jl_distortion = QueryDef(
+    "q_jl_distortion",
+    s"""WITH v AS (SELECT vec_id, $vd AS vd FROM embeddings),
+       |hp(i, hv) AS (VALUES
+       |    ${jlHpRows(JlDim)}),
+       |pr AS (
+       |  SELECT id, list(list_dot_product(vd, hv) ORDER BY i) AS pv FROM (
+       |    SELECT vec_id AS id, vd FROM v) s CROSS JOIN hp GROUP BY id),
+       |j AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_dot_product(a.vd, a.vd) - 2 * list_dot_product(a.vd, b.vd)
+       |      + list_dot_product(b.vd, b.vd) AS d2,
+       |    list_dot_product(pa.pv, pa.pv) - 2 * list_dot_product(pa.pv, pb.pv)
+       |      + list_dot_product(pb.pv, pb.pv) AS d2p
+       |  FROM v a JOIN v b ON b.vec_id = a.vec_id + 1
+       |  JOIN pr pa ON pa.id = a.vec_id JOIN pr pb ON pb.id = b.vec_id)
+       |SELECT vec_a, vec_b,
+       |  FLOOR(d2p / (CAST($JlDim AS DOUBLE) * d2) * 10000 + 0.5) / 10000.0
+       |    AS ratio_q
+       |FROM j WHERE d2 > 0
+       |ORDER BY vec_a""".stripMargin) { (spark, dir) =>
+    graft.functions.GraftFunctions.register(spark)
+    val v = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"))
+      .withColumn("pv", expr(s"random_project(vd, $JlDim, $LshDim)"))
+    val a = v.select(col("vec_id").as("vec_a"), col("vd").as("va"),
+      col("pv").as("pa"))
+    val b = v.select(col("vec_id").as("vec_b"), col("vd").as("vb"),
+      col("pv").as("pb"))
+    a.join(b, col("vec_b") === col("vec_a") + 1)
+      .withColumn("d2",
+        expr("dot_product(va, va)") - lit(2.0) * expr("dot_product(va, vb)")
+          + expr("dot_product(vb, vb)"))
+      .withColumn("d2p",
+        expr("dot_product(pa, pa)") - lit(2.0) * expr("dot_product(pa, pb)")
+          + expr("dot_product(pb, pb)"))
+      .filter(col("d2") > 0)
+      .select(col("vec_a"), col("vec_b"),
+        (floor(col("d2p") / (lit(JlDim.toDouble) * col("d2")) * 10000 + 0.5)
+          / 10000.0).as("ratio_q"))
+      .orderBy(col("vec_a"))
+  }
+
+  /** Two-stage ANN through the JL shortlist
+    * ([[SimilarityOps.jlShortlistTopK]]): stage 1 ranks the full sweep
+    * in 16-dim projected space (4× fewer FMAs and a 4× smaller stored
+    * stage-1 index at dim 64), stage 2 reranks the per-query top-50
+    * shortlist exactly. Projection → shortlist → rerank replay
+    * end-to-end in the oracle from the literal ±1 matrix, so the
+    * recall contract is "exact top-k OF THE CERTIFIED SHORTLIST";
+    * shortlist recall vs brute is measured in DedupOpsSpec.
+    */
+  val q_ann_jl = QueryDef(
+    "q_ann_jl",
+    s"""WITH v AS (SELECT vec_id AS id, $vd AS vd FROM embeddings),
+       |hp(i, hv) AS (VALUES
+       |    ${jlHpRows(JlDim)}),
+       |pr AS (
+       |  SELECT id, list(list_dot_product(vd, hv) ORDER BY i) AS pv
+       |  FROM v CROSS JOIN hp GROUP BY id),
+       |n AS (
+       |  SELECT v.id, v.vd, sqrt(list_dot_product(v.vd, v.vd)) AS vn,
+       |    pr.pv, sqrt(list_dot_product(pr.pv, pr.pv)) AS pn
+       |  FROM v JOIN pr ON pr.id = v.id),
+       |q AS (SELECT * FROM n WHERE id < 10 AND vn > 0 AND pn > 0),
+       |c AS (SELECT * FROM n WHERE id >= 10 AND vn > 0 AND pn > 0),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.id AS query_id, c.id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.id ORDER BY
+       |        list_dot_product(q.pv, c.pv) / (q.pn * c.pn) DESC, c.id) AS srank
+       |    FROM q JOIN c ON q.id <> c.id) t WHERE srank <= 50),
+       |scored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    list_dot_product(a.vd, b.vd) / (a.vn * b.vn) AS cos
+       |  FROM short s JOIN q a ON a.id = s.query_id
+       |  JOIN c b ON b.id = s.neighbor_id)
+       |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored) t WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.jlShortlistTopK(
+      emb.filter(col("vec_id") < 10),
+      emb.filter(col("vec_id") >= 10),
+      "vec_id", "embedding", k = 5, shortlist = 50,
+      outDim = JlDim, dim = LshDim)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
@@ -1744,8 +1875,10 @@ object VectorQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh, q_ann_ivf,
-    q_ann_pq, q_ann_ivfpq, q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
+    q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh,
+    q_embed_neardup_2p, q_ann_ivf,
+    q_ann_pq, q_ann_ivfpq, q_jl_distortion, q_ann_jl,
+    q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
     q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_graph_lsh,
     q_knn_graph_capped, q_knn_graph_wide, q_knn_graph_twophase,

@@ -312,6 +312,18 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("two-phase near-dup is bit-identical to the single-phase kernel") {
+    for ((bands, bandBits, cap) <- Seq((6, 6, 0), (6, 6, 8), (16, 8, 0))) {
+      val one = SimilarityOps.lshNearDupPairs(emb, "vec_id", "embedding",
+        bands, bandBits, 64, threshold = 0.3, bucketCap = cap)
+        .collect().map(_.toString).sorted.toSeq
+      val two = SimilarityOps.lshNearDupPairsTwoPhase(emb, "vec_id", "embedding",
+        bands, bandBits, 64, threshold = 0.3, bucketCap = cap)
+        .collect().map(_.toString).sorted.toSeq
+      assert(two === one, s"two-phase near-dup diverged at $bands x $bandBits cap=$cap")
+    }
+  }
+
   test("two-phase rerank is bit-identical to the single-phase kernel") {
     // capped + uncapped, narrow + wide configs: same candidate set,
     // same double arithmetic, same tie-breaks — the invariance the
@@ -406,6 +418,50 @@ class DedupOpsSpec extends AnyFunSuite {
     // removes recon-noise competitors). Must stay a useful shortlist.
     assert(rBoth <= rIvf + 1e-9)
     assert(rBoth >= 0.05, s"IVFPQ recall collapsed: $rBoth")
+  }
+
+  test("JL projection: distortion concentrates near 1, shortlist recall above floor") {
+    graft.functions.GraftFunctions.register(spark)
+    // distortion: mean normalized squared-distance ratio over the
+    // consecutive-pair sample must sit near 1 (E = 1 exactly for ±1
+    // entries; sd per pair ≈ sqrt(2/16) ≈ 0.35, mean over hundreds of
+    // pairs is tight)
+    val v = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("vd"))
+      .withColumn("pv", expr("random_project(vd, 16, 64)"))
+    val a = v.select(col("vec_id").as("ia"), col("vd").as("va"), col("pv").as("pa"))
+    val b = v.select(col("vec_id").as("ib"), col("vd").as("vb"), col("pv").as("pb"))
+    val ratios = a.join(b, col("ib") === col("ia") + 1)
+      .withColumn("d2", expr("dot_product(va, va)") - lit(2.0) * expr("dot_product(va, vb)") + expr("dot_product(vb, vb)"))
+      .withColumn("d2p", expr("dot_product(pa, pa)") - lit(2.0) * expr("dot_product(pa, pb)") + expr("dot_product(pb, pb)"))
+      .filter(col("d2") > 0)
+      .select((col("d2p") / (lit(16.0) * col("d2"))).as("r"))
+      .collect().map(_.getDouble(0))
+    val mean = ratios.sum / ratios.length
+    info(f"JL(64->16) distortion: mean $mean%.3f over ${ratios.length} pairs")
+    assert(mean > 0.85 && mean < 1.15, s"JL distortion mean off: $mean")
+    // projection bit-identity vs a reference loop
+    val got = v.limit(20).select(col("vec_id"), col("pv")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+    val raw = v.limit(20).select(col("vec_id"), col("vd")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    got.foreach { case (id, p) =>
+      val want = (0 until 16).map { i =>
+        raw(id).indices.foldLeft(0.0)((acc, d) =>
+          acc + raw(id)(d) * graft.functions.HyperplaneSig.coeff(i, d, 64))
+      }.toVector
+      assert(p === want, s"projection mismatch for vec $id")
+    }
+    // two-stage shortlist recall vs brute
+    val q = emb.filter(col("vec_id") < 10)
+    val c = emb.filter(col("vec_id") >= 10)
+    val brute = SimilarityOps.bruteForceTopK(q, c, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val jl = SimilarityOps.jlShortlistTopK(q, c, "vec_id", "embedding", 5,
+      shortlist = 50, outDim = 16, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = jl.intersect(brute).size.toDouble / brute.size
+    info(f"JL shortlist(50) recall@5: $recall%.2f")
+    assert(recall >= 0.3, s"JL shortlist recall collapsed: $recall")
   }
 
   test("PQ topK: k results per query, recall vs brute force above floor") {
