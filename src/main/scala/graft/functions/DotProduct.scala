@@ -131,6 +131,11 @@ object GraftFunctions {
           constInt(exprs(1), "hyperplane_buckets", 1),
           constInt(exprs(2), "hyperplane_buckets", 2),
           constInt(exprs(3), "hyperplane_buckets", 3)) })
+    reg("multiprobe_buckets", exprs => { arity(exprs, "multiprobe_buckets", 4)
+        MultiProbeBuckets(exprs(0),
+          constInt(exprs(1), "multiprobe_buckets", 1),
+          constInt(exprs(2), "multiprobe_buckets", 2),
+          constInt(exprs(3), "multiprobe_buckets", 3)) })
     reg("random_project", exprs => { arity(exprs, "random_project", 3)
         RandomProject(exprs(0),
           constInt(exprs(1), "random_project", 1),

@@ -96,6 +96,38 @@ case class HyperplaneBuckets(child: Expression, bands: Int, bandBits: Int,
     copy(child = newChild)
 }
 
+/** Codegen'd MULTI-PROBE banded buckets (Lv et al. 2007's trade:
+  * fewer hash tables, more probes per query): element 2j is band j's
+  * bucket exactly as [[HyperplaneBuckets]] computes it, element 2j+1
+  * is the probe bucket — the same bucket with its LEAST-CONFIDENT bit
+  * flipped (the plane whose pre-sign sum has the smallest |margin|;
+  * ties to the lowest bit index). A query-side probe doubles the
+  * buckets a query checks WITHOUT growing the stored index (the
+  * corpus keeps one bucket per band) — at 100 TB that is the recall
+  * of ~2× the bands at HALF the index size and half the index-build
+  * scan. Deterministic: margins are the same left-to-right sums as
+  * the bucket bits, so the DuckDB oracle replays bucket AND flip
+  * choice from the literal hyperplane table.
+  */
+case class MultiProbeBuckets(child: Expression, bands: Int, bandBits: Int,
+    dim: Int) extends UnaryExpression {
+  require(bands >= 1 && bandBits >= 1 && bandBits <= 62,
+    s"need bands >= 1 and bandBits in [1, 62], got $bands x $bandBits")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSig.computeMultiProbe(input.asInstanceOf[ArrayData], bands, bandBits, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HyperplaneSig.computeMultiProbe($c, $bands, $bandBits, $dim);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd dense ±1 random projection (Johnson–Lindenstrauss,
   * Achlioptas-style sign matrix): output component i = Σ_d v[d] ·
   * coeff(i, d, dim) — the SAME deterministic hyperplane mix as the LSH
@@ -176,6 +208,36 @@ object HyperplaneSig {
       while (d < n) { s += a.getDouble(d) * coeff(i, d, dim); d += 1 }
       if (s > 0) out(i >>> 6) |= (1L << (i & 63))
       i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Per-band (bucket, 1-flip probe bucket) pairs, flattened to
+    * 2·bands longs (Java-static for codegen): same plane sums and
+    * d-order as [[computeBuckets]]; the probe flips the bit whose
+    * |sum| is smallest (ties to the lowest bit index). */
+  def computeMultiProbe(a: ArrayData, bands: Int, bandBits: Int, dim: Int): ArrayData = {
+    val n = math.min(dim, a.numElements())
+    val out = new Array[Long](2 * bands)
+    var j = 0
+    while (j < bands) {
+      var bucket = 0L
+      var minAbs = Double.MaxValue
+      var minR = 0
+      var r = 0
+      while (r < bandBits) {
+        val i = j * bandBits + r
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += a.getDouble(d) * coeff(i, d, dim); d += 1 }
+        if (s > 0) bucket |= (1L << r)
+        val ab = math.abs(s)
+        if (ab < minAbs) { minAbs = ab; minR = r }
+        r += 1
+      }
+      out(2 * j) = bucket
+      out(2 * j + 1) = bucket ^ (1L << minR)
+      j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

@@ -1021,6 +1021,51 @@ object SimilarityOps {
       .select(col("query_id"), col("rank"),
         col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
 
+  /** Multi-probe LSH kNN graph (Lv et al. 2007, the 1-flip probe):
+    * the CORPUS keeps one bucket per band (the stored index is
+    * unchanged), while each QUERY node additionally probes the bucket
+    * with its least-confident bit flipped
+    * ([[graft.functions.MultiProbeBuckets]]) — 2 probes per band buys
+    * roughly another band's worth of recall WITHOUT growing the index:
+    * at 100 TB, half the bands at 2 probes ≈ the recall of the full
+    * band count at HALF the stored index and half the index-build
+    * scan. Scoring is the two-phase discipline (vectors ride the
+    * bucket join, 24 B candidates); the DuckDB oracle replays bucket
+    * AND flip choice from the literal hyperplane table — margins are
+    * the identical plane sums the bucket bits sign. Recall uplift vs
+    * the same config un-probed is measured in DedupOpsSpec.
+    */
+  def lshKnnGraphMultiProbe(
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+      bands: Int, bandBits: Int, dim: Int): DataFrame = {
+    requireBandConfig(bands, bandBits)
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val qb = vectors
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vd"))
+      .withColumn("nrm", sqrt(expr("dot_product(vd, vd)")))
+      .select(col("id"), col("vd"), col("nrm"),
+        posexplode(expr(s"multiprobe_buckets(vd, $bands, $bandBits, $dim)"))
+          .as(Seq("pos", "bucket")))
+      .select(col("id"), col("vd"), col("nrm"),
+        (col("pos") / lit(2)).cast("int").as("band"), col("bucket"))
+    val cb = bandBucketsWithVec(vectors, idCol, vecCol, bands, bandBits, dim)
+    val scored = qb.as("x").join(cb.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") =!= col("y.id"))
+      .filter(col("x.nrm") > 0 && col("y.nrm") > 0)
+      .select(col("x.id").as("query_id"), col("y.id").as("neighbor_id"),
+        (expr("dot_product(x.vd, y.vd)") / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** TWO-PHASE form of [[lshNearDupPairs]] — same discipline as
     * [[lshKnnGraphRawTwoPhase]]: vectors ride the bucket self-join
     * once per band, exact cosine computes inside the join output, and

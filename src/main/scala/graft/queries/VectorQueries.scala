@@ -341,6 +341,71 @@ object VectorQueries {
       .orderBy(col("node_id"), col("rank"))
   }
 
+  /** Multi-probe LSH graph at HALF the band count
+    * ([[SimilarityOps.lshKnnGraphMultiProbe]]): 3 bands × 6 bits, each
+    * query node probing its bucket AND the least-confident-bit flip
+    * per band — index stays one bucket per band, so at 100 TB this is
+    * ~q_knn_graph_lsh recall at half the stored index and half the
+    * build scan. The oracle replays margins → bucket → flip →
+    * candidates → rerank end-to-end from the literal hyperplane table,
+    * so the probe-choice rule itself is certified cross-engine.
+    */
+  val q_knn_graph_multiprobe = QueryDef(
+    "q_knn_graph_multiprobe", {
+      val bands = 3; val bandBits = 6
+      val hpRows = (0 until bands * bandBits).map { i =>
+        val cs = (0 until LshDim).map(d =>
+          graft.functions.HyperplaneSig.coeff(i, d, LshDim)).mkString("[", ", ", "]")
+        s"($i, $cs)"
+      }.mkString(",\n    ")
+      s"""WITH v AS (
+         |  SELECT vec_id AS id, $vd AS vd FROM embeddings),
+         |hp(i, hv) AS (VALUES
+         |    $hpRows),
+         |sums AS (
+         |  SELECT id, i // $bandBits AS band, i % $bandBits AS r,
+         |    list_dot_product(vd, hv) AS s
+         |  FROM v CROSS JOIN hp),
+         |bmain AS (
+         |  SELECT id, band, CAST(SUM(CASE WHEN s > 0
+         |    THEN CAST(1 AS BIGINT) << r ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM sums GROUP BY id, band),
+         |bflip AS (
+         |  SELECT id, band, r FROM (
+         |    SELECT id, band, r, ROW_NUMBER() OVER (
+         |      PARTITION BY id, band ORDER BY ABS(s), r) AS rn
+         |    FROM sums) t WHERE rn = 1),
+         |qbuckets AS (
+         |  SELECT id, band, bucket FROM bmain
+         |  UNION ALL
+         |  SELECT m.id, m.band, xor(m.bucket, CAST(1 AS BIGINT) << f.r)
+         |  FROM bmain m JOIN bflip f ON f.id = m.id AND f.band = m.band),
+         |n AS (SELECT id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM v),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
+         |  FROM qbuckets x JOIN bmain y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id <> y.id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos
+         |  FROM cand c
+         |  JOIN n a ON a.id = c.query_id JOIN n b ON b.id = c.neighbor_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0)
+         |SELECT query_id AS node_id, rank, neighbor_id,
+         |  ROUND(cos, 6) AS cos_sim
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 5
+         |ORDER BY node_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    SimilarityOps.lshKnnGraphMultiProbe(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", 5,
+      bands = 3, bandBits = 6, dim = LshDim)
+      .withColumnRenamed("query_id", "node_id")
+      .orderBy(col("node_id"), col("rank"))
+  }
+
   /** Unrolled deterministic Lloyd's rounds for the IVF centroid table
     * (mirror of [[SimilarityOps.learnedCentroids]]): assignment by
     * cosine (ROW_NUMBER, ties to lowest cell), update = element-wise
@@ -1882,6 +1947,7 @@ object VectorQueries {
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
     q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_graph_lsh,
     q_knn_graph_capped, q_knn_graph_wide, q_knn_graph_twophase,
+    q_knn_graph_multiprobe,
     q_knn_mutual, q_link_predict,
     q_knn_clusters, q_array_hof, q_ann_dim_recall, q_pca_project, q_pca_variance,
     q_pca_transform, q_embed_outliers, q_embed_outliers_pca,

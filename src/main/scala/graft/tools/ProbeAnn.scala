@@ -51,6 +51,19 @@ object ProbeAnn {
               subspaces = 8, codebookSize = 16, learnIters = 1, dim = 64))
           ("PQ-ADC M=8 K=16 (8x compression)", t,
             (got & truth).size.toDouble / (nQ * k))
+        }, {
+          val (_, t, got) = run("ivfpq", () =>
+            SimilarityOps.ivfPqTopK(queries, corpus, "vec_id", "embedding", k,
+              nCentroids = 16, nProbe = 4, ivfIters = 2,
+              subspaces = 8, codebookSize = 16, pqIters = 1, dim = 64))
+          ("IVFPQ (IVFADC) 16 cells nProbe=4 × M=8 K=16", t,
+            (got & truth).size.toDouble / (nQ * k))
+        }, {
+          val (_, t, got) = run("jl", () =>
+            SimilarityOps.jlShortlistTopK(queries, corpus, "vec_id", "embedding",
+              k, shortlist = 50, outDim = 16, dim = 64))
+          ("JL 64→16 shortlist-50 + exact rerank", t,
+            (got & truth).size.toDouble / (nQ * k))
         }) ++ Seq((4, 4), (8, 4), (8, 6)).map { case (bands, bits) =>
           val (_, t, got) = run(s"lsh $bands x$bits", () =>
             SimilarityOps.lshTopK(queries, corpus, "vec_id", "embedding", k,

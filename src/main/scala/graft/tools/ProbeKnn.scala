@@ -155,7 +155,7 @@ object ProbeKnn {
     // compute + a 24 B/candidate shuffle (~6e8 candidates ≈ 14 GB).
     // Wide (>64-bit) configs like 8x16 are first-class.
     val configs = argConfigs.getOrElse(Seq((4, 16), (4, 12), (4, 10)))
-    val feasible = 600000000L
+    val feasible = 700000000L
     for ((bands, bits) <- configs) {
       val tc = System.nanoTime()
       val cand = candidateCount(vecs, bands, bits, cap = 0)

@@ -312,6 +312,40 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("multi-probe LSH graph: probing lifts recall at the same band budget") {
+    graft.functions.GraftFunctions.register(spark)
+    // ground truth: full-corpus exact top-5 restricted to a query slice
+    val slice = emb.filter(col("vec_id") % 7 === 0)
+    val brute = SimilarityOps.bruteForceTopK(slice, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .filter { case (q, _) => q % 7 == 0 }.toSet
+        .intersect(brute).size.toDouble / brute.size
+    val plain = recall(SimilarityOps.lshKnnGraph(emb, "vec_id", "embedding", 5,
+      bands = 3, bandBits = 6, dim = 64))
+    val probed = recall(SimilarityOps.lshKnnGraphMultiProbe(emb, "vec_id",
+      "embedding", 5, bands = 3, bandBits = 6, dim = 64))
+    info(f"3x6 graph recall@5: plain $plain%.3f multi-probe $probed%.3f")
+    // the probe only ADDS candidate buckets per query node — recall
+    // can never drop, and on this corpus it must measurably rise
+    assert(probed >= plain)
+    assert(probed > plain + 0.01,
+      s"1-flip probe should lift recall measurably: $plain -> $probed")
+    // probe bucket differs from the main bucket in exactly one bit
+    val mp = emb.limit(30)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"))
+      .select(col("vec_id"), expr("multiprobe_buckets(vd, 3, 6, 64)").as("b"))
+      .collect().map(r => r.getSeq[Long](1))
+    mp.foreach { bs =>
+      (0 until 3).foreach { j =>
+        val x = bs(2 * j) ^ bs(2 * j + 1)
+        assert(java.lang.Long.bitCount(x) === 1 && x < (1L << 6),
+          s"probe must flip exactly one in-band bit, got xor=$x")
+      }
+    }
+  }
+
   test("two-phase near-dup is bit-identical to the single-phase kernel") {
     for ((bands, bandBits, cap) <- Seq((6, 6, 0), (6, 6, 8), (16, 8, 0))) {
       val one = SimilarityOps.lshNearDupPairs(emb, "vec_id", "embedding",
