@@ -136,6 +136,13 @@ object GraftFunctions {
           constInt(exprs(1), "multiprobe_buckets", 1),
           constInt(exprs(2), "multiprobe_buckets", 2),
           constInt(exprs(3), "multiprobe_buckets", 3)) })
+    reg("multiprobe_buckets_n", exprs => { arity(exprs, "multiprobe_buckets_n", 6)
+        MultiProbeBucketsN(exprs(0),
+          constInt(exprs(1), "multiprobe_buckets_n", 1),
+          constInt(exprs(2), "multiprobe_buckets_n", 2),
+          constInt(exprs(3), "multiprobe_buckets_n", 3),
+          constInt(exprs(4), "multiprobe_buckets_n", 4),
+          constInt(exprs(5), "multiprobe_buckets_n", 5)) })
     reg("random_project", exprs => { arity(exprs, "random_project", 3)
         RandomProject(exprs(0),
           constInt(exprs(1), "random_project", 1),

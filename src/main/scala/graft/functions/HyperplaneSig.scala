@@ -128,6 +128,42 @@ case class MultiProbeBuckets(child: Expression, bands: Int, bandBits: Int,
     copy(child = newChild)
 }
 
+/** [[MultiProbeBuckets]] generalized to `probes` buckets per band and a
+  * global band OFFSET (round-12): element j·probes+t is band
+  * (offset+j)'s probe t — t = 0 the true bucket, probe t ≥ 1 the
+  * bucket with its t-th LEAST-CONFIDENT bit flipped (t-th smallest
+  * |pre-sign sum|, ties to the lowest bit index; single-bit flips, so
+  * `probes ≤ bandBits + 1`). The offset makes STAGED band-group builds
+  * exact: group g computes bands [g·G, (g+1)·G) with the identical
+  * global plane index i = (offset+j)·bandBits + r, so a per-group
+  * build unions to the same candidate set as one full-width pass —
+  * the peak-spill dial the 5M frontier needs (peak shuffle volume
+  * divides by the group count; results provably identical since
+  * per-pair cos values are bit-equal and the merge dedups by max).
+  */
+case class MultiProbeBucketsN(child: Expression, bands: Int, bandBits: Int,
+    dim: Int, probes: Int, offset: Int) extends UnaryExpression {
+  require(bands >= 1 && bandBits >= 1 && bandBits <= 62,
+    s"need bands >= 1 and bandBits in [1, 62], got $bands x $bandBits")
+  require(probes >= 1 && probes <= bandBits + 1,
+    s"need probes in [1, bandBits + 1], got $probes at $bandBits bits")
+  require(offset >= 0, s"band offset must be >= 0, got $offset")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HyperplaneSig.computeMultiProbeN(
+      input.asInstanceOf[ArrayData], bands, bandBits, dim, probes, offset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HyperplaneSig.computeMultiProbeN($c, $bands, $bandBits, $dim, $probes, $offset);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Codegen'd dense ±1 random projection (Johnson–Lindenstrauss,
   * Achlioptas-style sign matrix): output component i = Σ_d v[d] ·
   * coeff(i, d, dim) — the SAME deterministic hyperplane mix as the LSH
@@ -208,6 +244,88 @@ object HyperplaneSig {
       while (d < n) { s += a.getDouble(d) * coeff(i, d, dim); d += 1 }
       if (s > 0) out(i >>> 6) |= (1L << (i & 63))
       i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** N-probe banded buckets with a global band offset (Java-static for
+    * codegen): band slot j holds `probes` longs — the true bucket of
+    * global band (offset+j), then the buckets with the 1st, 2nd, …
+    * (probes−1)-th least-confident bits flipped (|margin| ascending,
+    * ties to the lowest bit index). Same plane sums and d-order as
+    * [[computeBuckets]], so probes=1/offset=0 is bit-identical to it
+    * and probes=2/offset=0 to [[computeMultiProbe]] (spec-pinned).
+    */
+  def computeMultiProbeN(a: ArrayData, bands: Int, bandBits: Int, dim: Int,
+      probes: Int, offset: Int): ArrayData = {
+    val n = math.min(dim, a.numElements())
+    val out = new Array[Long](probes * bands)
+    val sums = new Array[Double](bandBits)
+    val order = new Array[Int](bandBits)
+    var j = 0
+    while (j < bands) {
+      var bucket = 0L
+      var r = 0
+      while (r < bandBits) {
+        val i = (offset + j) * bandBits + r
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += a.getDouble(d) * coeff(i, d, dim); d += 1 }
+        if (s > 0) bucket |= (1L << r)
+        sums(r) = math.abs(s)
+        order(r) = r
+        r += 1
+      }
+      // insertion sort of bit indices by (|sum| asc, bit index asc) —
+      // bandBits <= 62, and only the first probes-1 entries are read;
+      // skipped entirely at probes=1 (the plain-bucket fast path the
+      // staged corpus side rides)
+      var x = if (probes > 1) 1 else bandBits
+      while (x < bandBits) {
+        val o = order(x)
+        val s = sums(o)
+        var y = x - 1
+        while (y >= 0 && (sums(order(y)) > s ||
+            (sums(order(y)) == s && order(y) > o))) {
+          order(y + 1) = order(y); y -= 1
+        }
+        order(y + 1) = o
+        x += 1
+      }
+      out(probes * j) = bucket
+      var t = 1
+      while (t < probes) {
+        out(probes * j + t) =
+          if (t - 1 < bandBits) bucket ^ (1L << order(t - 1)) else bucket
+        t += 1
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Banded buckets with a global band OFFSET — [[computeBuckets]]
+    * whose band j is global band (offset+j): plane index
+    * i = (offset+j)·bandBits + r (Java-static for codegen). offset=0
+    * is bit-identical to [[computeBuckets]]. */
+  def computeBucketsOff(a: ArrayData, bands: Int, bandBits: Int, dim: Int,
+      offset: Int): ArrayData = {
+    val n = math.min(dim, a.numElements())
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var bucket = 0L
+      var r = 0
+      while (r < bandBits) {
+        val i = (offset + j) * bandBits + r
+        var s = 0.0
+        var d = 0
+        while (d < n) { s += a.getDouble(d) * coeff(i, d, dim); d += 1 }
+        if (s > 0) bucket |= (1L << r)
+        r += 1
+      }
+      out(j) = bucket
+      j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

@@ -726,6 +726,55 @@ object StreamQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** STREAMING serve over the WIDE multi-probe index (round-11 verdict
+    * item 8) — the online path matched to the batch frontier: where
+    * [[q_stream_ann]] probes the 256-bit Hamming-sketch index, this
+    * serves each query micro-batch through the full-strength wide
+    * kernel ([[graft.ops.SimilarityOps.lshKnnGraphRawMultiProbe]]:
+    * 10×8 wide banding, 2 probes/band query-side, occupancy-capped
+    * corpus buckets — the capped bucket table IS the stored index and
+    * never grows with probes). Per-query results depend only on the
+    * static corpus, never on co-batched queries, so the streamed union
+    * is batch-cut invariant and the SAME oracle that certifies the
+    * batch serve (q_ann_mpw) certifies the stream.
+    */
+  val q_stream_ann_wide = QueryDef(
+    "q_stream_ann_wide",
+    graft.queries.VectorQueries.q_ann_mpw.oracle.get) { (spark, dir) =>
+    import graft.ops.SimilarityOps
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") >= 50)
+    val work = StreamingOps.tempSinkDir("graft_stream_ann_wide_")
+    val stream = StreamingOps
+      .parquetStream(spark, s"$dir/embeddings.parquet", emb.schema)
+      .filter(col("vec_id") < 50)
+    StreamingOps.withShufflePartitions(spark, 8) {
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", s"$work/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          StreamingOps.writeBatchDir(
+            SimilarityOps.lshKnnGraphRawMultiProbe(
+              batch, corpus, "vec_id", "embedding", 10,
+              bands = graft.queries.VectorQueries.MpwBands,
+              bandBits = graft.queries.VectorQueries.MpwBandBits,
+              dim = 64,
+              probes = graft.queries.VectorQueries.MpwProbes,
+              bucketCap = graft.queries.VectorQueries.MpwCap)
+              .select(col("query_id"), col("rank"), col("neighbor_id"),
+                round(col("cos"), 6).as("cos_sim")),
+            s"$work/out", id)
+          ()
+        }
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    }
+    StreamingOps.readBatchDirs(spark, s"$work/out")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** STREAMING index maintenance — the ingest side of the persisted
     * sketch index ([[graft.ops.SimilarityOps.appendSketchIndex]] inside
     * foreachBatch): corpus vectors arrive in micro-batches, each batch
@@ -1307,5 +1356,6 @@ object StreamQueries {
     q_stream_sessions, q_stream_throttle, q_stream_quantile,
     q_stream_hll, q_stream_cms, q_stream_incremental_dedup, q_stream_hopping,
     q_stream_topk, q_stream_cdc, q_stream_asof, q_stream_ann,
+    q_stream_ann_wide,
     q_stream_index_append, q_stream_mv, q_stream_knn_graph)
 }

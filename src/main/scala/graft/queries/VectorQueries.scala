@@ -125,9 +125,24 @@ object VectorQueries {
     * per-band bucket count must scale with N; the certified grid keeps
     * 2⁸ buckets per band (binding collisions at sf corpus sizes) while
     * the SAME kernel serves 16×16 = 65536-bucket bands at the 1M+
-    * probe scale. */
-  private[queries] val WideBands = 16
-  private[queries] val WideBandBits = 8
+    * probe scale.
+    *
+    * Round-12: the grid is PLANNED, not hand-picked —
+    * [[SimilarityOps.planLshConfig]] derives it from the cert-corpus
+    * deployment contract (n ≈ 2048 vectors at 8-occupancy buckets;
+    * single-probe; the 0.45 candidate-coverage target the toy corpus
+    * supports — at cert SF neighbor cosines are weak by construction,
+    * so full recall there would cost 10× the bands the probe scale
+    * needs). The require makes planner drift a LOUD failure (every
+    * wide oracle bakes 16×8 hyperplane literals); the spec pins the
+    * planner's laws against the measured ProbeKnn rows.
+    */
+  private[queries] val WidePlan = SimilarityOps.planLshConfig(
+    nVectors = 2048, dim = 64, targetRecall = 0.45, maxProbes = 1)
+  require(WidePlan.bands == 16 && WidePlan.bandBits == 8,
+    s"planLshConfig drifted off the certified wide grid: $WidePlan")
+  private[queries] val WideBands = WidePlan.bands
+  private[queries] val WideBandBits = WidePlan.bandBits
 
   /** [[lshOracleCtes]] for configs past one 64-bit word: no packed
     * signature anywhere — band j's bucket is summed DIRECTLY from that
@@ -406,6 +421,217 @@ object VectorQueries {
       .orderBy(col("node_id"), col("rank"))
   }
 
+  /** Multi-probe × wide × cap certification grid: 10 bands × 8 bits =
+    * 80 planes (past one 64-bit word), 2 probes per band, occupancy
+    * cap 16 — every axis of the full-strength 5M-frontier kernel
+    * ([[SimilarityOps.lshKnnGraphRawMultiProbe]]) binding in one
+    * config. */
+  private[queries] val MpwBands = 10
+  private[queries] val MpwBandBits = 8
+  private[queries] val MpwProbes = 2
+  private[queries] val MpwCap = 16
+
+  /** Oracle CTE block for the N-PROBE wide banding family: per-plane
+    * sums from the literal hyperplane table → per-band buckets (bmain)
+    * → the probes−1 least-confident-bit flips (bflip, |margin|-ranked
+    * exactly as [[graft.functions.MultiProbeBucketsN]] picks them) →
+    * the query-side probe set (qbuckets = bmain ∪ flipped). Leaves
+    * `v`, `bmain`, `qbuckets`, `n` in scope; the corpus side joins
+    * bmain (one bucket per band — the stored index never grows with
+    * probes, the whole point).
+    */
+  private def multiProbeOracleCtes(bands: Int, bandBits: Int,
+      probes: Int): String = {
+    val hpRows = (0 until bands * bandBits).map { i =>
+      val cs = (0 until LshDim).map(d =>
+        graft.functions.HyperplaneSig.coeff(i, d, LshDim)).mkString("[", ", ", "]")
+      s"($i, $cs)"
+    }.mkString(",\n    ")
+    s"""v AS (
+       |  SELECT vec_id AS id, $vd AS vd FROM embeddings),
+       |hp(i, hv) AS (VALUES
+       |    $hpRows),
+       |sums AS (
+       |  SELECT id, i // $bandBits AS band, i % $bandBits AS r,
+       |    list_dot_product(vd, hv) AS s
+       |  FROM v CROSS JOIN hp),
+       |bmain AS (
+       |  SELECT id, band, CAST(SUM(CASE WHEN s > 0
+       |    THEN CAST(1 AS BIGINT) << r ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM sums GROUP BY id, band),
+       |bflip AS (
+       |  SELECT id, band, r FROM (
+       |    SELECT id, band, r, ROW_NUMBER() OVER (
+       |      PARTITION BY id, band ORDER BY ABS(s), r) AS rn
+       |    FROM sums) t WHERE rn <= ${probes - 1}),
+       |qbuckets AS (
+       |  SELECT id, band, bucket FROM bmain
+       |  UNION ALL
+       |  SELECT m.id, m.band, xor(m.bucket, CAST(1 AS BIGINT) << f.r)
+       |  FROM bmain m JOIN bflip f ON f.id = m.id AND f.band = m.band),
+       |n AS (SELECT id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM v)""".stripMargin
+  }
+
+  /** Shared oracle tail for the multi-probe wide capped graph family —
+    * capped corpus buckets, probe-set candidate join, exact rerank —
+    * parameterized on the query-side id filter so the full-graph and
+    * the query/corpus-split serve compose on one block. */
+  private def mpwOracleSql(queryFilter: String, corpusFilter: String,
+      k: Int): String =
+    s"""WITH ${multiProbeOracleCtes(MpwBands, MpwBandBits, MpwProbes)},
+       |capped AS (
+       |  ${SimilarityOps.capBandBucketsSqlCte(MpwCap,
+            s"(SELECT id, band, bucket FROM bmain $corpusFilter) cb")}),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
+       |  FROM qbuckets x JOIN capped y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.id <> y.id
+       |  $queryFilter),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos
+       |  FROM cand c
+       |  JOIN n a ON a.id = c.query_id JOIN n b ON b.id = c.neighbor_id
+       |  WHERE a.nrm > 0 AND b.nrm > 0)
+       |SELECT query_id AS node_id, rank, neighbor_id,
+       |  ROUND(cos, 6) AS cos_sim
+       |FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored) t WHERE rank <= $k
+       |ORDER BY node_id, rank""".stripMargin
+
+  /** The FULL-STRENGTH graph kernel certified (round-11 verdict item
+    * 1): multi-probe (T208) composed INTO the wide capped two-phase
+    * path — 10×8 wide banding, 2 probes/band on the query side only,
+    * occupancy cap 16 on the corpus side, 24 B candidate payload. The
+    * oracle replays margins → buckets → flips → cap survivors →
+    * candidates → rerank end-to-end from the 80-row literal hyperplane
+    * table. This is the exact kernel the 5M ≥0.9-recall build runs
+    * (ProbeKnn); certifying it at cert SF pins every rule the big
+    * build relies on.
+    */
+  val q_knn_graph_mpw = QueryDef(
+    "q_knn_graph_mpw", mpwOracleSql("", "", k = 5)) { (spark, dir) =>
+    SimilarityOps.lshKnnGraphMultiProbeCapped(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", 5,
+      bands = MpwBands, bandBits = MpwBandBits, dim = LshDim,
+      probes = MpwProbes, bucketCap = MpwCap)
+      .withColumnRenamed("query_id", "node_id")
+      .orderBy(col("node_id"), col("rank"))
+  }
+
+  /** [[q_knn_graph_mpw]] built STAGED — bands processed 5 at a time
+    * ([[SimilarityOps.lshKnnGraphStagedRaw]]), each band-group's
+    * partial top-k checkpointed to parquet and merged by max(cos) +
+    * re-rank. The oracle is VERBATIM q_knn_graph_mpw's: staged ≡
+    * unstaged is the certificate (exactness argument in the op's
+    * Scaladoc — a group's candidates are a subset, so global top-k
+    * edges survive their own group's top-k; cos values are bit-equal
+    * across groups). This is the peak-disk dial that fits the 5M
+    * build's in-flight shuffle under executor-local disk.
+    */
+  val q_knn_graph_staged = QueryDef(
+    "q_knn_graph_staged", q_knn_graph_mpw.oracle.get) { (spark, dir) =>
+    val work = graft.streaming.StreamingOps.tempSinkDir("graft_staged_knn_")
+    SimilarityOps.lshKnnGraphStagedRaw(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", 5,
+      bands = MpwBands, bandBits = MpwBandBits, dim = LshDim,
+      probes = MpwProbes, bucketCap = MpwCap, groupBands = 5,
+      workDir = work)
+      .select(col("query_id").as("node_id"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("node_id"), col("rank"))
+  }
+
+  /** Query/corpus-split SERVE through the same full-strength kernel —
+    * the batch shape [[graft.queries.StreamQueries.q_stream_ann_wide]]
+    * runs per micro-batch (round-11 verdict item 8): the first 50
+    * vectors are the query batch, the rest the indexed corpus; corpus
+    * buckets are capped once (the stored index), each query probes 2
+    * buckets per band. Per-query results depend only on the corpus —
+    * the batch-cut-invariance contract the streaming variant reuses
+    * this oracle under.
+    */
+  val q_ann_mpw = QueryDef(
+    "q_ann_mpw",
+    mpwOracleSql("WHERE x.id < 50", "WHERE id >= 50", k = 10)
+      .replace("query_id AS node_id", "query_id")
+      .replace("ORDER BY node_id, rank", "ORDER BY query_id, rank")) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.lshKnnGraphRawMultiProbe(
+      emb.filter(col("vec_id") < 50), emb.filter(col("vec_id") >= 50),
+      "vec_id", "embedding", 10,
+      bands = MpwBands, bandBits = MpwBandBits, dim = LshDim,
+      probes = MpwProbes, bucketCap = MpwCap)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** One NN-DESCENT refinement round over the certified capped graph
+    * ([[SimilarityOps.knnGraphRefineRaw]], round-11 verdict item 6):
+    * candidates = the graph's edges ∪ neighbors-of-neighbors, exact
+    * cosine reranks, top-5 kept. The oracle UNROLLS the round — the
+    * full capped-graph chain, the 2-hop expansion, the set-union, the
+    * rerank — so "refinement only ever improves the graph toward
+    * exact" is certified, not asserted. The measured recall delta at
+    * probe scale lands in ProbeKnn/PERF.md.
+    */
+  val q_knn_graph_refine = QueryDef(
+    "q_knn_graph_refine", {
+      s"""WITH ${lshOracleCtes(LshBands, LshBandBits)},
+         |capped AS (
+         |  ${SimilarityOps.capBandBucketsSqlCte(LshBucketCap)}),
+         |cand AS (
+         |  SELECT DISTINCT x.id AS query_id, y.id AS neighbor_id
+         |  FROM buckets x JOIN capped y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.id <> y.id),
+         |scored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos
+         |  FROM cand c
+         |  JOIN n a ON a.id = c.query_id JOIN n b ON b.id = c.neighbor_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0),
+         |base AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM scored) t WHERE rank <= 5),
+         |hops AS (
+         |  SELECT e1.query_id, e2.neighbor_id
+         |  FROM base e1 JOIN base e2
+         |    ON e1.neighbor_id = e2.query_id
+         |      AND e1.query_id <> e2.neighbor_id),
+         |cand2 AS (
+         |  SELECT query_id, neighbor_id FROM base
+         |  UNION
+         |  SELECT query_id, neighbor_id FROM hops),
+         |rescored AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    list_dot_product(a.vd, b.vd) / (a.nrm * b.nrm) AS cos
+         |  FROM cand2 c
+         |  JOIN n a ON a.id = c.query_id JOIN n b ON b.id = c.neighbor_id
+         |  WHERE a.nrm > 0 AND b.nrm > 0)
+         |SELECT query_id AS node_id, rank, neighbor_id,
+         |  ROUND(cos, 6) AS cos_sim
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM rescored) t WHERE rank <= 5
+         |ORDER BY node_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val base = SimilarityOps.lshKnnGraphRaw(emb, emb,
+      "vec_id", "embedding", 5,
+      bands = LshBands, bandBits = LshBandBits, dim = LshDim,
+      bucketCap = LshBucketCap)
+    SimilarityOps.knnGraphRefineRaw(emb, "vec_id", "embedding", 5, base)
+      .select(col("query_id").as("node_id"), col("rank"),
+        col("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(col("node_id"), col("rank"))
+  }
+
   /** Unrolled deterministic Lloyd's rounds for the IVF centroid table
     * (mirror of [[SimilarityOps.learnedCentroids]]): assignment by
     * cosine (ROW_NUMBER, ties to lowest cell), update = element-wise
@@ -668,7 +894,7 @@ object VectorQueries {
          |  SELECT qa.query_id, ca.neighbor_id,
          |    list_dot_product(qa.qv, nc.rv) / (qa.qn * nc.nrm) AS cos
          |  FROM qa JOIN ca USING (cell) JOIN nc ON nc.vec_id = ca.neighbor_id
-         |  WHERE qa.query_id <> ca.neighbor_id)
+         |  WHERE qa.query_id <> ca.neighbor_id AND qa.qn > 0 AND nc.nrm > 0)
          |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY cos DESC, neighbor_id) AS rank
@@ -682,6 +908,99 @@ object VectorQueries {
       "vec_id", "embedding", k = 5,
       nCentroids = 16, nProbe = 4, ivfIters = IvfLearnIters,
       subspaces = PqM, codebookSize = PqK, pqIters = PqIters, dim = PqDim)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** OPQ-style ROTATED product quantization (round-11 verdict item 5):
+    * vectors first rotate into the certified deflated-PCA basis
+    * (T179's [[graft.ops.PcaOps.topComponents]], m=8 energy-compacted
+    * coordinates) and PQ codebooks are learned on the DECORRELATED
+    * projections (M=4 sub-spaces × 2 dims, K=8) — the standard fix for
+    * PQ's independence assumption: classical PQ splits raw coordinates
+    * whose sub-spaces share variance, so codebook cells waste entropy
+    * encoding correlations; after rotation each sub-space carries
+    * independent energy and the same code budget buys more resolution
+    * (the lift vs unrotated PQ at equal bytes is measured in ProbeAnn/
+    * PERF.md). Oracle: the certified deflated-trajectory CTE chain
+    * (the q_pca_transform oracle as a subquery) feeds the certified
+    * per-sub-space Lloyd's + ADC chain (the q_ann_pq blocks) — the
+    * full rotate→learn→encode→reconstruct→rank pipeline replays
+    * end-to-end in DuckDB.
+    */
+  private val OpqPcaM = 8
+  private val OpqPcaIters = 2
+  private val OpqM = 4 // PQ sub-spaces over the 8 rotated coords
+  private val OpqK = 8
+  private val OpqIters = 1
+
+  val q_ann_opq = QueryDef(
+    "q_ann_opq", {
+      val subDim = OpqPcaM / OpqM
+      val pcs = (1 to OpqPcaM).map(i => s"pc$i").mkString("[", ", ", "]")
+      val subs = (0 until OpqM).map { s =>
+        s"""sub$s AS (
+           |  SELECT vec_id, vd[${s * subDim + 1}:${(s + 1) * subDim}] AS vd
+           |  FROM c)""".stripMargin
+      }.mkString(",\n")
+      val lloyds = (0 until OpqM)
+        .map(s => lloydCentroidCtes(OpqK, OpqIters, src = s"sub$s", tag = s"o$s"))
+        .mkString(",\n")
+      val encs = (0 until OpqM).map { s =>
+        s"""cb$s AS (
+           |  SELECT j, cv, sqrt(list_dot_product(cv, cv)) AS cn
+           |  FROM o${s}c$OpqIters),
+           |enc$s AS (
+           |  SELECT vec_id, j AS code FROM (
+           |    SELECT v.vec_id, b.j,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |        list_dot_product(v.vd, b.cv)
+           |          / (sqrt(list_dot_product(v.vd, v.vd)) * b.cn) DESC,
+           |        b.j) AS r
+           |    FROM sub$s v CROSS JOIN cb$s b) t WHERE r = 1)""".stripMargin
+      }.mkString(",\n")
+      val reconJoin = (0 until OpqM).map(s =>
+        s"JOIN enc$s e$s ON e$s.vec_id = c.vec_id " +
+          s"JOIN o${s}c$OpqIters r$s ON r$s.j = e$s.code").mkString("\n  ")
+      val reconList = (1 until OpqM).foldLeft("r0.cv")((acc, s) =>
+        s"list_concat($acc, r$s.cv)")
+      s"""WITH projv AS (
+         |  SELECT vec_id, $pcs AS vd
+         |  FROM (${graft.ops.PcaOps.transformOracleSql(64, OpqPcaIters, OpqPcaM)}) tp),
+         |q AS (SELECT * FROM projv WHERE vec_id < 10),
+         |c AS (SELECT * FROM projv WHERE vec_id >= 10),
+         |$subs,
+         |$lloyds,
+         |$encs,
+         |recon AS (
+         |  SELECT c.vec_id, $reconList AS rv
+         |  FROM c
+         |  $reconJoin),
+         |nq AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM q),
+         |nc AS (SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS nrm
+         |       FROM recon),
+         |scored AS (
+         |  SELECT nq.vec_id AS query_id, nc.vec_id AS neighbor_id,
+         |    list_dot_product(nq.vd, nc.rv) / (nq.nrm * nc.nrm) AS cos
+         |  FROM nq JOIN nc ON nq.vec_id <> nc.vec_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val (mu, comps) = fittedBasis(spark, dir, 64, OpqPcaIters, OpqPcaM)
+    val proj = graft.ops.PcaOps.transformWith(
+      emb, "vec_id", "embedding", 64, mu, comps)
+      .select(col("vec_id"),
+        array((1 to OpqPcaM).map(i => col(s"pc$i")): _*).as("proj"))
+    SimilarityOps.pqTopK(
+      proj.filter(col("vec_id") < 10), proj.filter(col("vec_id") >= 10),
+      "vec_id", "proj", k = 5,
+      subspaces = OpqM, codebookSize = OpqK, learnIters = OpqIters,
+      dim = OpqPcaM)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
@@ -1588,7 +1907,7 @@ object VectorQueries {
 
   graft.ops.Memos.register(() => basisCache.clear(),
     "q_pca_project", "q_pca_variance", "q_pca_transform",
-    "q_embed_outliers_pca")
+    "q_embed_outliers_pca", "q_ann_opq")
 
   private def fittedBasis(
       spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -1947,7 +2266,8 @@ object VectorQueries {
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
     q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_graph_lsh,
     q_knn_graph_capped, q_knn_graph_wide, q_knn_graph_twophase,
-    q_knn_graph_multiprobe,
+    q_knn_graph_multiprobe, q_knn_graph_mpw, q_knn_graph_staged,
+    q_ann_mpw, q_knn_graph_refine, q_ann_opq,
     q_knn_mutual, q_link_predict,
     q_knn_clusters, q_array_hof, q_ann_dim_recall, q_pca_project, q_pca_variance,
     q_pca_transform, q_embed_outliers, q_embed_outliers_pca,

@@ -76,6 +76,21 @@ object ProbeKnn {
     spark.range(n).select(col("id").as("vec_id"), vec.as("embedding"))
   }
 
+  /** Config token: `BANDSxBITS[pPROBES][cCAP]` — e.g. `12x20p2c16` =
+    * 12 bands × 20 bits, 2 probes per band, corpus occupancy cap 16.
+    */
+  private[tools] case class Config(bands: Int, bits: Int, probes: Int, cap: Int) {
+    override def toString: String =
+      s"${bands}x$bits" + (if (probes > 1) s"p$probes" else "") +
+        (if (cap > 0) s"c$cap" else "")
+  }
+  private val ConfigRe = """(\d+)x(\d+)(?:p(\d+))?(?:c(\d+))?""".r
+  private[tools] def parseConfig(s: String): Config = s match {
+    case ConfigRe(b, k, p, c) => Config(b.toInt, k.toInt,
+      Option(p).map(_.toInt).getOrElse(1), Option(c).map(_.toInt).getOrElse(0))
+    case other => throw new IllegalArgumentException(s"bad config: $other")
+  }
+
   /** Candidate volume for a banding config — the bucket join count
     * BEFORE rerank (the number the Σ|bucket|² law governs). `cap = 0`
     * counts unordered pairs (x.id < y.id). `cap > 0` counts what the
@@ -108,11 +123,8 @@ object ProbeKnn {
 
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(1000000L)
-    // configs as "bandsxbits" csv, e.g. "4x16,2x32" — at 5M the 64-bit
-    // signature budget forces either 2 bands of 32-bit buckets or the cap
-    val argConfigs = args.drop(1).headOption.map(_.split(",").toSeq.map { s =>
-      val Array(b, k) = s.split("x"); (b.toInt, k.toInt)
-    })
+    // configs as "bandsxbits[pP][cC]" csv, e.g. "4x16,12x20p2c16"
+    val argConfigs = args.drop(1).headOption.map(_.split(",").toSeq)
     val spark = graft.GraftSession.local("32", "ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
 
@@ -147,48 +159,68 @@ object ProbeKnn {
       got.count(bruteSet.contains).toDouble / bruteSet.size
     }
 
-    // 1. bandBits sweep — round-11: builds run the TWO-PHASE kernel
-    // (vectors ride the bucket join once per band, candidates carry
-    // (qid, nid, cos) = 24 B), so the ~1 KB/candidate spill wall that
-    // bounded the round-10 builds at ~1e8 candidates is gone; the
-    // build budget is now dominated by the rerank's dot-product
-    // compute + a 24 B/candidate shuffle (~6e8 candidates ≈ 14 GB).
-    // Wide (>64-bit) configs like 8x16 are first-class.
-    val configs = argConfigs.getOrElse(Seq((4, 16), (4, 12), (4, 10)))
-    val feasible = 700000000L
-    for ((bands, bits) <- configs) {
+    // 1. config sweep — round-12: configs carry probes (query-side
+    // multi-probe, zero index growth) and a corpus occupancy cap, and
+    // full builds can run STAGED (bands in groups, partial top-k
+    // graphs checkpointed and merged — peak in-flight shuffle divides
+    // by the group count; exact by the subset-top-k argument). Knobs:
+    //   SPARK_GRAFT_BUILD=0        recall-only sweep (query slice)
+    //   SPARK_GRAFT_COUNT=0        skip the candidate count
+    //   SPARK_GRAFT_STAGE_BANDS=G  staged build, G bands per group
+    //   SPARK_GRAFT_REFINE=1       one NN-descent round on the built
+    //                              graph, recall re-measured
+    //   SPARK_GRAFT_FEASIBLE=N     candidate budget for unstaged builds
+    val configs = argConfigs.getOrElse(Seq("4x16", "4x12", "4x10"))
+      .map(parseConfig)
+    val doBuild = sys.env.getOrElse("SPARK_GRAFT_BUILD", "1") != "0"
+    val doCount = sys.env.getOrElse("SPARK_GRAFT_COUNT", "1") != "0"
+    val stageBands = sys.env.getOrElse("SPARK_GRAFT_STAGE_BANDS", "0").toInt
+    val doRefine = sys.env.getOrElse("SPARK_GRAFT_REFINE", "0") == "1"
+    val feasible = sys.env.getOrElse("SPARK_GRAFT_FEASIBLE", "700000000").toLong
+    for (cfg <- configs) {
+      import cfg.{bands, bits, probes, cap}
       val tc = System.nanoTime()
-      val cand = candidateCount(vecs, bands, bits, cap = 0)
+      val cand = if (doCount) candidateCount(vecs, bands, bits, cap) else -1L
       val candWall = (System.nanoTime() - tc) / 1e9
-      if (cand <= feasible) {
+      // query-slice recall: cheap at any config (100 queries vs corpus)
+      val rec = recallOf(SimilarityOps.lshKnnGraphRawMultiProbe(
+        queries, vecs, "vec_id", "embedding", 5, bands, bits, Dim,
+        probes = probes, bucketCap = cap))
+      println(f"  $cfg: candidates=$cand%,d (count wall $candWall%.1fs) slice recall@5=$rec%.3f")
+      val buildable = doBuild &&
+        (stageBands > 0 || cand < 0 || cand * probes <= feasible)
+      if (buildable) {
+        val work = java.nio.file.Files
+          .createTempDirectory(s"graft_probeknn_$cfg").toString
         val tg = System.nanoTime()
-        val graph = SimilarityOps.lshKnnGraphRawTwoPhase(
-          vecs, vecs, "vec_id", "embedding", 5, bands, bits, Dim)
-        val edges = graph.count()
+        val graph =
+          if (stageBands > 0)
+            SimilarityOps.lshKnnGraphStagedRaw(vecs, "vec_id", "embedding", 5,
+              bands, bits, Dim, probes, cap, stageBands, s"$work/stages")
+          else
+            SimilarityOps.lshKnnGraphRawMultiProbe(vecs, vecs,
+              "vec_id", "embedding", 5, bands, bits, Dim, probes, cap)
+        graph.write.mode("overwrite").parquet(s"$work/graph")
+        val built = spark.read.parquet(s"$work/graph")
+        val edges = built.count()
         val wall = (System.nanoTime() - tg) / 1e9
-        val rec = recallOf(SimilarityOps.lshKnnGraphRawTwoPhase(
-          queries, vecs, "vec_id", "embedding", 5, bands, bits, Dim))
-        println(f"  bands=$bands bits=$bits: candidates=$cand%,d (count wall $candWall%.1fs) two-phase graph=$edges%,d edges in $wall%.1fs recall@5=$rec%.3f")
-      } else {
-        println(f"  bands=$bands bits=$bits: candidates=$cand%,d (count wall $candWall%.1fs) — over the two-phase compute budget uncapped")
-        // 2. cap rescue on the infeasible config, two-phase build
-        val cap = 16
-        val tg = System.nanoTime()
-        val capped = candidateCount(vecs, bands, bits, cap)
-        val capWall = (System.nanoTime() - tg) / 1e9
-        val rec = recallOf(SimilarityOps.lshKnnGraphRawTwoPhase(
-          queries, vecs, "vec_id", "embedding", 5, bands, bits, Dim,
-          bucketCap = cap))
-        if (capped <= feasible) {
-          val tb = System.nanoTime()
-          SimilarityOps.lshKnnGraphRawTwoPhase(
-            vecs, vecs, "vec_id", "embedding", 5, bands, bits, Dim,
-            bucketCap = cap).count()
-          val bw = (System.nanoTime() - tb) / 1e9
-          println(f"    cap=$cap rescue: candidates=$capped%,d (count $capWall%.1fs) two-phase graph built in $bw%.1fs recall@5=$rec%.3f")
-        } else {
-          println(f"    cap=$cap rescue: candidates=$capped%,d (count $capWall%.1fs) recall@5=$rec%.3f — build skipped (over compute budget)")
+        // recall measured FROM THE BUILT GRAPH (never a separate
+        // query-slice run): the number that may carry the 'built' label
+        val builtRec = recallOf(built.filter(pmod(col("query_id"), lit(step)) === 0))
+        val staged = if (stageBands > 0) s" staged($stageBands/group)" else ""
+        println(f"    $cfg BUILT$staged: graph=$edges%,d edges in $wall%.1fs built recall@5=$builtRec%.3f")
+        if (doRefine) {
+          val tr = System.nanoTime()
+          SimilarityOps.knnGraphRefineRaw(vecs, "vec_id", "embedding", 5, built)
+            .write.mode("overwrite").parquet(s"$work/refined")
+          val refined = spark.read.parquet(s"$work/refined")
+          val redges = refined.count()
+          val rwall = (System.nanoTime() - tr) / 1e9
+          val refRec = recallOf(refined.filter(pmod(col("query_id"), lit(step)) === 0))
+          println(f"    $cfg REFINED: graph=$redges%,d edges in $rwall%.1fs built recall@5=$refRec%.3f (one NN-descent round)")
         }
+      } else if (doBuild) {
+        println(f"    $cfg build skipped (candidates over budget; set SPARK_GRAFT_STAGE_BANDS to stage)")
       }
     }
 

@@ -346,6 +346,119 @@ class DedupOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("N-probe kernel reduces exactly to the certified narrower kernels") {
+    graft.functions.GraftFunctions.register(spark)
+    val v = emb.limit(40)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("vd"))
+    // probes=1, offset=0: bit-identical to hyperplane_buckets
+    val plain = v.select(col("vec_id"), expr("hyperplane_buckets(vd, 6, 6, 64)"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val p1 = v.select(col("vec_id"), expr("multiprobe_buckets_n(vd, 6, 6, 64, 1, 0)"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(p1 === plain)
+    // probes=2, offset=0: bit-identical to the certified 2-probe kernel
+    val mp2 = v.select(col("vec_id"), expr("multiprobe_buckets(vd, 3, 6, 64)"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val pn2 = v.select(col("vec_id"), expr("multiprobe_buckets_n(vd, 3, 6, 64, 2, 0)"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(pn2 === mp2)
+    // offset o: band j equals full-width band o+j (the staged-build
+    // exactness precondition: same global plane indices)
+    val full = v.select(col("vec_id"), expr("hyperplane_buckets(vd, 10, 8, 64)"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val off = v.select(col("vec_id"), expr("multiprobe_buckets_n(vd, 4, 8, 64, 1, 5)"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    off.foreach { case (id, bs) =>
+      assert(bs === full(id).slice(5, 9), s"offset bands diverged for $id")
+    }
+  }
+
+  test("multi-probe capped graph reduces to two-phase at probes=1 and staged build is exact") {
+    for ((bands, bandBits, cap) <- Seq((6, 6, 16), (10, 8, 16))) {
+      val base = SimilarityOps.lshKnnGraphRawTwoPhase(emb, emb,
+        "vec_id", "embedding", 5, bands, bandBits, 64, cap)
+        .collect().map(_.toString).sorted.toSeq
+      val p1 = SimilarityOps.lshKnnGraphRawMultiProbe(emb, emb,
+        "vec_id", "embedding", 5, bands, bandBits, 64, probes = 1,
+        bucketCap = cap)
+        .collect().map(_.toString).sorted.toSeq
+      assert(p1 === base, s"probes=1 diverged from two-phase at $bands x $bandBits")
+    }
+    // staged band groups merge to the unstaged result bit-for-bit
+    val work = graft.streaming.StreamingOps.tempSinkDir("graft_spec_staged_")
+    val unstaged = SimilarityOps.lshKnnGraphRawMultiProbe(emb, emb,
+      "vec_id", "embedding", 5, 10, 8, 64, probes = 2, bucketCap = 16)
+      .collect().map(_.toString).sorted.toSeq
+    for (groupBands <- Seq(3, 5)) {
+      val staged = SimilarityOps.lshKnnGraphStagedRaw(emb,
+        "vec_id", "embedding", 5, 10, 8, 64, probes = 2, bucketCap = 16,
+        groupBands = groupBands, workDir = s"$work/g$groupBands")
+        .collect().map(_.toString).sorted.toSeq
+      assert(staged === unstaged, s"staged build diverged at groupBands=$groupBands")
+    }
+  }
+
+  test("NN-descent refine round never loses recall and measurably lifts it") {
+    val slice = emb.filter(col("vec_id") % 7 === 0)
+    val brute = SimilarityOps.bruteForceTopK(slice, emb, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.collect().map(r => (r.getLong(0), r.getLong(2)))
+        .filter { case (q, _) => q % 7 == 0 }.toSet
+        .intersect(brute).size.toDouble / brute.size
+    // weak base config so the refine round has recall headroom
+    val base = SimilarityOps.lshKnnGraphRaw(emb, emb,
+      "vec_id", "embedding", 5, bands = 2, bandBits = 6, dim = 64,
+      bucketCap = 16)
+    val r0 = recall(base)
+    val refined = SimilarityOps.knnGraphRefineRaw(emb, "vec_id", "embedding", 5, base)
+    val r1 = recall(refined)
+    info(f"refine recall@5: base $r0%.3f -> one round $r1%.3f")
+    assert(r1 >= r0, s"refinement must never lose recall: $r0 -> $r1")
+    assert(r1 > r0 + 0.01, s"refine round should lift recall measurably: $r0 -> $r1")
+  }
+
+  test("LSH config planner encodes the measured ProbeKnn laws") {
+    // the certified wide grid planned back from its deployment contract
+    val wide = SimilarityOps.planLshConfig(
+      nVectors = 2048, dim = 64, targetRecall = 0.45, maxProbes = 1)
+    assert(wide.bands === 16 && wide.bandBits === 8, wide.toString)
+    // law #1: bucket count scales with N — the three certified grids'
+    // bit-widths sit on the log2(N/occupancy) line (±1 bit)
+    assert(SimilarityOps.planLshConfig(500, 64, 0.45, maxProbes = 1).bandBits === 6)
+    assert(math.abs(SimilarityOps.planLshConfig(1000000L, 64, 0.9).bandBits - 16) <= 1)
+    assert(math.abs(SimilarityOps.planLshConfig(5000000L, 64, 0.9).bandBits - 20) <= 1)
+    // law #2: the neighborCos implied by the measured 5M 8x20 row
+    // (recall 0.532) predicts the measured 6x20 row (0.450) within 0.05
+    def solveCos(bands: Int, bandBits: Int, target: Double): Double = {
+      var lo = 0.5; var hi = 0.999
+      for (_ <- 1 to 60) {
+        val mid = (lo + hi) / 2
+        if (SimilarityOps.lshRecallEstimate(bands, bandBits, 1, mid) < target) lo = mid
+        else hi = mid
+      }
+      (lo + hi) / 2
+    }
+    val sStar = solveCos(8, 20, 0.532)
+    val pred6 = SimilarityOps.lshRecallEstimate(6, 20, 1, sStar)
+    info(f"implied neighborCos $sStar%.4f predicts 6x20 recall $pred6%.3f (measured 0.450)")
+    assert(math.abs(pred6 - 0.450) <= 0.05)
+    // law #1 (skewed occupancy): candidate estimates within +/-50% of
+    // the two committed probe counts
+    val est5m = SimilarityOps.lshCandidateEstimate(5000000L, 8, 20, 1, 16)
+    assert(est5m > 620737614L / 2 && est5m < 620737614L * 3 / 2, est5m.toString)
+    val est1m = SimilarityOps.lshCandidateEstimate(1000000L, 4, 16, 1, 0)
+    assert(est1m > 244520908L / 2 && est1m < 244520908L * 3 / 2, est1m.toString)
+    // law #5: halving the disk budget at least doubles nothing less —
+    // staged groups are monotone in the in-flight volume
+    val tight = SimilarityOps.planLshConfig(5000000L, 64, 0.9,
+      diskBudgetBytes = 10L << 30)
+    val loose = SimilarityOps.planLshConfig(5000000L, 64, 0.9,
+      diskBudgetBytes = 100L << 30)
+    assert(tight.stagedGroups >= loose.stagedGroups)
+    assert(tight.groupBands <= loose.groupBands)
+  }
+
   test("two-phase near-dup is bit-identical to the single-phase kernel") {
     for ((bands, bandBits, cap) <- Seq((6, 6, 0), (6, 6, 8), (16, 8, 0))) {
       val one = SimilarityOps.lshNearDupPairs(emb, "vec_id", "embedding",
