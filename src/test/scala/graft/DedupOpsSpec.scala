@@ -449,6 +449,15 @@ class DedupOpsSpec extends AnyFunSuite {
     assert(est5m > 620737614L / 2 && est5m < 620737614L * 3 / 2, est5m.toString)
     val est1m = SimilarityOps.lshCandidateEstimate(1000000L, 4, 16, 1, 0)
     assert(est1m > 244520908L / 2 && est1m < 244520908L * 3 / 2, est1m.toString)
+    // law #4 (corrected round 12): the cap must clear the heavy-tailed
+    // bucket occupancy, not its mean — at 5M (mean occ 4.8) recall
+    // measured 0.590/0.894/0.928 at caps 16/48/64
+    assert(SimilarityOps.planLshConfig(5000000L, 64, 0.9).bucketCap >= 48)
+    // law #3 (corrected round 12): probe value decays with bandBits —
+    // a 3rd probe is only planned at narrow bands (measured +0.004 at
+    // 20-bit bands vs the 3x6 regime where probes ~= 0.8 band)
+    assert(SimilarityOps.planLshConfig(5000000L, 64, 0.99).probes <= 2)
+    assert(SimilarityOps.lshProbeLift(6) > SimilarityOps.lshProbeLift(20))
     // law #5: halving the disk budget at least doubles nothing less —
     // staged groups are monotone in the in-flight volume
     val tight = SimilarityOps.planLshConfig(5000000L, 64, 0.9,

@@ -66,6 +66,9 @@ class PlanSpec extends AnyFunSuite {
       "q_dbscan_profile", "q_minhash_lsh", "q_ngram_jaccard",
       "q_clean_corpus", "q_dedup_decisions", "q_ann_ivf", "q_kmeans_sizes",
       "q_forecast_hw", "q_forecast_alerts",
+      // eager staged-build parquet writes / PCA basis fit at frame
+      // construction (round 12)
+      "q_knn_graph_staged", "q_ann_opq",
       // building the frame writes + registers the MV (eager catalog
       // work); their plan shapes are asserted in dedicated tests below
       "q_mv_rewrite", "q_mv_rewrite_grain", "q_mv_rewrite_avg",
