@@ -85,7 +85,7 @@ object Bench {
     // per pass; its quiet-window cost on this box is pinned below, so a
     // diff can normalize a published total by the measured slowdown
     // factor instead of guessing.
-    val CanaryRefSec = 0.55 // min-of-5 on a quiet window, this box (r12)
+    val CanaryRefSec = 0.18 // min observed across r12 calibration passes, this box
     def canary(): Double = {
       val t0 = System.nanoTime()
       spark.range(400000000L)

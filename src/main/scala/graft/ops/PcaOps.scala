@@ -238,7 +238,8 @@ object PcaOps {
     * and normalize. Used by [[transformOracleSql]] and
     * [[outlierOracleSql]].
     */
-  private def deflatedCtes(dim: Int, iters: Int, m: Int): String = {
+  private def deflatedCtes(dim: Int, iters: Int, m: Int,
+      centerProj: Boolean = true): String = {
     def q(e: String) = s"FLOOR(($e)*1000000+0.5)/1000000.0"
     val v0 = java.lang.Double.toString(quant(1.0 / math.sqrt(dim.toDouble)))
     val chains = (0 until m).map { t =>
@@ -281,8 +282,30 @@ object PcaOps {
        |$chains,
        |vfall AS MATERIALIZED ($vfall),
        |p AS MATERIALIZED (
-       |  SELECT c.id, v.t, ${q("SUM(c.cv * v.vv)")} AS pc
-       |  FROM c JOIN vfall v USING (idx) GROUP BY c.id, v.t)""".stripMargin
+       |  ${if (centerProj)
+            s"""SELECT c.id, v.t, ${q("SUM(c.cv * v.vv)")} AS pc
+               |  FROM c JOIN vfall v USING (idx) GROUP BY c.id, v.t"""
+                .stripMargin
+          else
+            s"""SELECT e.id, v.t, ${q("SUM(e.val * v.vv)")} AS pc
+               |  FROM e JOIN vfall v USING (idx) GROUP BY e.id, v.t"""
+                .stripMargin})""".stripMargin
+  }
+
+  /** Oracle for the UNCENTERED rotation ([[transformWith]] with a zero
+    * mean): projections of the RAW vectors onto the deflated basis —
+    * the basis itself is still fitted on centered data (that is what
+    * decorrelation wants), but a pure orthonormal rotation preserves
+    * raw-space cosine exactly, which a centered projection does not
+    * when the corpus mean is non-zero (the OPQ serving contract). */
+  def rotateOracleSql(dim: Int, iters: Int, m: Int): String = {
+    val outCols = (0 until m).map { t =>
+      s"MAX(CASE WHEN t = $t THEN pc END) AS pc${t + 1}"
+    }.mkString(",\n  ")
+    s"""WITH ${deflatedCtes(dim, iters, m, centerProj = false)}
+       |SELECT id AS vec_id,
+       |  $outCols
+       |FROM p GROUP BY id ORDER BY vec_id""".stripMargin
   }
 
   /** Oracle for [[transform]]: pivot the shared deflated projections

@@ -1179,6 +1179,15 @@ object SimilarityOps {
         math.min(groupBands, bands - off), bandBits, dim, probes,
         bucketCap, bandOffset = off)
         .write.mode("overwrite").parquet(s"$workDir/bands_$off")
+      // the whole point of staging is bounding PEAK disk — but a
+      // finished group's shuffle files linger until the ContextCleaner's
+      // weak references die, so without a nudge the groups' spill
+      // ACCUMULATES and staging saves nothing (measured: a 3-config 5M
+      // probe run filled 78 GB with orphaned shuffle files). The group's
+      // plan just went out of scope; one GC cycle lets the cleaner
+      // delete its shuffle dirs before the next group writes.
+      System.gc()
+      Thread.sleep(2000)
     }
     val all = offsets.map(off => spark.read.parquet(s"$workDir/bands_$off"))
       .reduce(_.unionByName(_))
@@ -1257,13 +1266,17 @@ object SimilarityOps {
     *     p^bandBits, and OR-amplification over B effective bands gives
     *     recall ≈ 1 − (1−p^bandBits)^B. `neighborCos` defaults to the
     *     isotropic k-th-neighbor estimate √(2·ln N / dim).
-    *  3. PROBES ARE CHEAP BANDS: the 1-flip probe measured ≈0.8 of a
-    *     band's recall at zero index growth (DedupOpsSpec 3×6 lift:
-    *     0.133 → 0.233 ⇒ per-band p 0.047 → 0.085); later flips
-    *     decay, modeled linearly at 0.8 each up to 3 probes.
-    *  4. CAP: linearizes mega-buckets; must clear the EXPECTED
-    *     occupancy with headroom or it deletes real neighbors —
-    *     cap = max(16, 2·occupancy).
+    *  3. PROBES ARE CHEAP BANDS — IN THE NARROW-BAND REGIME: the
+    *     1-flip probe measured ≈0.8 of a band at 6-bit bands
+    *     (DedupOpsSpec 3×6 lift) but only ≈0.15-0.2 at 20-bit bands
+    *     (5M sweep: 0.532 → 0.590 at 8 bands; a missed 20-bit band
+    *     usually has ≥2 wrong bits, and the 3rd probe measured
+    *     +0.004) — [[lshProbeLift]] encodes the regime split.
+    *  4. CAP: linearizes mega-buckets, but occupancy is heavy-tailed
+    *     (the same skew as law #1), so the cap must clear the TAIL,
+    *     not the mean — measured at 5M (mean occ 4.8): recall 0.590
+    *     at cap 16 / 0.894 at 48 / 0.928 at 64; cap = max(16,
+    *     12·occupancy) sits where the curve flattens.
     *  5. DISK: two-phase in-flight volume ≈ bands·(1+probes)/2·N·
     *     (8·dim+24) vector-ride bytes + candidates·24; groups =
     *     ceil(volume / diskBudget) stages the build under the budget
@@ -1286,10 +1299,17 @@ object SimilarityOps {
     * in SimilarityOpsSpec: the neighborCos implied by one 5M row
     * predicts the other within the probe's tolerance.
     */
+  /** Probe value is REGIME-dependent (measured, round 12): at 6-bit
+    * bands the 1-flip probe bought ~0.8 of a band (a missed band is
+    * usually one bit off), at 20-bit bands only ~0.15-0.2 (≥2
+    * disagreeing bits dominate and one flip can't rescue them; the
+    * 3rd probe measured +0.004 there). */
+  def lshProbeLift(bandBits: Int): Double = if (bandBits <= 8) 0.8 else 0.2
+
   def lshRecallEstimate(bands: Int, bandBits: Int, probes: Int,
       neighborCos: Double): Double = {
     val pBand = math.pow(lshPBit(neighborCos), bandBits)
-    val eff = bands * (1.0 + 0.8 * (probes - 1))
+    val eff = bands * (1.0 + lshProbeLift(bandBits) * (probes - 1))
     1.0 - math.pow(1.0 - math.min(0.999999, pBand), eff)
   }
 
@@ -1324,12 +1344,18 @@ object SimilarityOps {
     val occ = math.max(1.0, nVectors.toDouble / (1L << math.min(bandBits, 62)))
     val needEff = math.log(1.0 - targetRecall) / math.log(1.0 - math.min(0.999, pBand))
     // probes are the free recall dial (law #3: zero index growth) —
-    // spend them before bands whenever more than one band is needed
+    // spend them before bands whenever more than one band is needed;
+    // a 3rd probe only pays at narrow bands (measured +0.004 at 20 bits)
     val probes = math.min(maxProbes,
-      if (needEff >= 3) 3 else if (needEff >= 2) 2 else 1)
-    val effPerBand = 1.0 + 0.8 * (probes - 1)
+      if (bandBits <= 8 && needEff >= 3) 3 else if (needEff >= 2) 2 else 1)
+    val effPerBand = 1.0 + lshProbeLift(bandBits) * (probes - 1)
     val bands = math.max(1, math.min(1024, math.ceil(needEff / effPerBand).toInt))
-    val cap = math.max(16, math.ceil(2 * occ).toInt)
+    // law #4 (corrected round 12): real bucket occupancy is heavy-tailed
+    // (the same 3.5x skew the candidate law carries), so a cap sized to
+    // the MEAN occupancy deletes real neighbors wholesale — measured at
+    // 5M/20-bit (occ 4.8): recall 0.590 at cap 16 vs 0.894 at 48 vs
+    // 0.928 at 64; ~12x mean occupancy is where the curve flattens
+    val cap = math.max(16, math.ceil(12 * occ).toInt)
     val candidates = lshCandidateEstimate(nVectors, bands, bandBits, probes, cap)
     // in-flight two-phase volume: each side's vectors ride the bucket
     // join (corpus once per band, queries once per band·probe) plus the

@@ -52,6 +52,40 @@ object ProbeAnn {
           ("PQ-ADC M=8 K=16 (8x compression)", t,
             (got & truth).size.toDouble / (nQ * k))
         }, {
+          // OPQ lift (round-12): FULL-RANK rotation into the deflated-
+          // PCA basis (orthonormal by construction — parallel Gram-
+          // Schmidt each iterate), then the IDENTICAL PQ config. The
+          // rotation is applied WITHOUT centering: a pure orthonormal
+          // rotation preserves raw-space cosine exactly (so any recall
+          // delta vs the unrotated row above is pure decorrelation
+          // gain at equal bytes), whereas rotating CENTERED vectors
+          // ranks in a different metric when the corpus mean is
+          // non-zero — measured at 0.032 recall vs raw-space truth,
+          // the classic mean-shift trap (the basis itself is still
+          // fitted on centered data, as decorrelation wants).
+          val (_, compsO) = graft.ops.PcaOps.topComponents(
+            emb, "vec_id", "embedding", 64, 2, 64)
+          // BALANCED EIGENVALUE ALLOCATION (the OPQ-paper detail that
+          // makes or breaks the rotation): PCA orders components by
+          // variance, so a CONTIGUOUS sub-space split gives sub-space 0
+          // nearly all the energy and K=16 centroids cannot code it —
+          // measured 0.028 recall (worse than unrotated!). Round-robin
+          // of the variance-sorted components across the M sub-spaces
+          // equalizes per-sub-space energy, which is the actual OPQ
+          // contract ("parametric OPQ", Ge et al.).
+          val perm = (0 until 8).flatMap(s => (0 until 8).map(r => s + r * 8 + 1))
+          val projAll = graft.ops.PcaOps.transformWith(
+            emb, "vec_id", "embedding", 64, Array.fill(64)(0.0), compsO)
+            .select(col("vec_id"),
+              array(perm.map(i => col(s"pc$i")): _*).as("embedding"))
+          val pq2 = projAll.filter(col("vec_id") < 50)
+          val pc2 = projAll.filter(col("vec_id") >= 50)
+          val (_, t, got) = run("opq", () =>
+            SimilarityOps.pqTopK(pq2, pc2, "vec_id", "embedding", k,
+              subspaces = 8, codebookSize = 16, learnIters = 1, dim = 64))
+          ("OPQ: full-rank PCA rotation -> PQ M=8 K=16 (equal bytes)", t,
+            (got & truth).size.toDouble / (nQ * k))
+        }, {
           val (_, t, got) = run("ivfpq", () =>
             SimilarityOps.ivfPqTopK(queries, corpus, "vec_id", "embedding", k,
               nCentroids = 16, nProbe = 4, ivfIters = 2,

@@ -222,6 +222,12 @@ object ProbeKnn {
       } else if (doBuild) {
         println(f"    $cfg build skipped (candidates over budget; set SPARK_GRAFT_STAGE_BANDS to stage)")
       }
+      // drop the finished config's shuffle files before the next one
+      // (the ContextCleaner only reclaims after a GC cycle; a 5M
+      // corpus-side vector ride is ~20-40 GB of shuffle per config and
+      // three configs filled this box's disk before the fix)
+      System.gc()
+      Thread.sleep(2000)
     }
 
     // 3. planted mega-bucket: B identical vectors + 100k random mass.

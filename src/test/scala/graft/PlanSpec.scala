@@ -508,7 +508,15 @@ class PlanSpec extends AnyFunSuite {
     "q_knn_graph_twophase" -> "Window>WindowGroupLimit>WindowGroupLimit>HashAggregate>HashAggregate>EquiJoin>Generate>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>Generate>FileSourceScan",
     "q_knn_graph_multiprobe" -> "Window>WindowGroupLimit>WindowGroupLimit>HashAggregate>HashAggregate>EquiJoin>Generate>FileSourceScan>Generate>FileSourceScan",
     "q_ann_ivfpq" -> "Window>WindowGroupLimit>WindowGroupLimit>EquiJoin>Generate>FileSourceScan>Generate>FileSourceScan",
-    "q_ann_jl" -> "Window>WindowGroupLimit>EquiJoin>EquiJoin>Window>WindowGroupLimit>WindowGroupLimit>BroadcastNestedLoopJoin>FileSourceScan>FileSourceScan>FileSourceScan>FileSourceScan")
+    "q_ann_jl" -> "Window>WindowGroupLimit>EquiJoin>EquiJoin>Window>WindowGroupLimit>WindowGroupLimit>BroadcastNestedLoopJoin>FileSourceScan>FileSourceScan>FileSourceScan>FileSourceScan",
+    // round-12 flagships: the multi-probe wide capped graph + its
+    // query/corpus-split serve (two-phase: one equi-join of two
+    // generates, occupancy window on the corpus side, agg dedup, rank
+    // window) and the NN-descent refine (base graph -> 2-hop self-join
+    // -> set-union -> exact rerank; every join equi)
+    "q_knn_graph_mpw" -> "Window>WindowGroupLimit>WindowGroupLimit>HashAggregate>HashAggregate>EquiJoin>Generate>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>Generate>FileSourceScan",
+    "q_ann_mpw" -> "Window>WindowGroupLimit>WindowGroupLimit>HashAggregate>HashAggregate>EquiJoin>Generate>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>Generate>FileSourceScan",
+    "q_knn_graph_refine" -> "Window>WindowGroupLimit>WindowGroupLimit>EquiJoin>EquiJoin>HashAggregate>HashAggregate>Union>Window>WindowGroupLimit>WindowGroupLimit>EquiJoin>EquiJoin>HashAggregate>HashAggregate>EquiJoin>Generate>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>Generate>FileSourceScan>FileSourceScan>FileSourceScan>EquiJoin>Window>WindowGroupLimit>WindowGroupLimit>EquiJoin>EquiJoin>HashAggregate>HashAggregate>EquiJoin>Generate>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>Generate>FileSourceScan>FileSourceScan>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>EquiJoin>EquiJoin>HashAggregate>HashAggregate>EquiJoin>Generate>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>Generate>FileSourceScan>FileSourceScan>FileSourceScan>FileSourceScan>FileSourceScan")
 
   test("golden invariant shapes: LSH/ANN flagships keep their structure") {
     val drifted = goldenInvariantShapes.toSeq.sortBy(_._1).flatMap {
