@@ -85,7 +85,23 @@ object Bench {
     // per pass; its quiet-window cost on this box is pinned below, so a
     // diff can normalize a published total by the measured slowdown
     // factor instead of guessing.
-    val CanaryRefSec = 0.18 // min observed across r12 calibration passes, this box
+    // The canary reference is BOX-PINNED: it comes from a persisted
+    // calibration artifact (bench/canary_ref.json, written from quiet-
+    // window passes on the box of record), NOT a code constant — a
+    // hard-coded ref is systematically wrong on any other host (round-12
+    // advice). When the artifact is absent the run's own min canary
+    // serves as the ref, making the fastest pass's factor exactly 1.0
+    // (normalized == raw under quiet conditions) and the normalized
+    // value self-relative rather than silently mis-scaled.
+    val canaryRefFromFile: Option[Double] =
+      try {
+        val p = Paths.get("bench/canary_ref.json")
+        if (Files.exists(p)) {
+          val txt = Files.readString(p)
+          "\"canary_ref_sec\"\\s*:\\s*([0-9.eE+-]+)".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble).filter(_ > 0)
+        } else None
+      } catch { case _: Throwable => None }
     def canary(): Double = {
       val t0 = System.nanoTime()
       spark.range(400000000L)
@@ -94,7 +110,14 @@ object Bench {
     }
     canary() // JIT/codegen warm-up, outside the published samples
     val canarySec = scala.collection.mutable.ArrayBuffer[Double]()
-    for (_ <- 1 to reps) {
+    // per-query per-pass raw samples, kept so normalization can divide
+    // each sample by ITS OWN pass's canary before taking the min —
+    // one window-level factor applied to cross-pass mins mixes passes
+    // and misstates the correction (round-12 verdict: a slow window
+    // published normalized 411.5 for raw 355.5)
+    val samples = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[(Int, Double)]]()
+    for (pass <- 1 to reps) {
       val ticks0 = cpuTicks()
       canarySec += canary()
       // HONEST MEMO ACCOUNTING (round-9 verdict item 3): process-wide
@@ -114,9 +137,12 @@ object Bench {
             fn(spark, sfDir).count()
             val sec = (System.nanoTime() - t0) / 1e9
             best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+            samples.getOrElseUpdate(name,
+              scala.collection.mutable.ArrayBuffer[(Int, Double)]()) += ((pass, sec))
           } catch { case e: Throwable =>
             failed(name) = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
             best.remove(name)
+            samples.remove(name)
           }
           // deterministic memory baseline between queries: persisted
           // blocks from one query must not pressure (or feed) the next
@@ -209,16 +235,34 @@ object Bench {
     val stealStr =
       if (stealPct.isEmpty) ""
       else s""","cpu_steal_pct_per_pass":[${stealPct.map(v => f"$v%.2f").mkString(",")}]"""
-    // canary-normalized total: raw total divided by the window's
-    // slowdown factor (min canary across passes / quiet-window
-    // reference). min, matching the per-query min-of-passes statistic.
+    // canary-normalized total (round-12 fix): each query's PER-PASS
+    // time is divided by that pass's slowdown factor (that pass's
+    // canary / reference) BEFORE taking the min — the canary is timed
+    // once per pass, so a slow pass 2 deflates only pass-2 samples and
+    // can never normalize the total UP past the quiet passes. The
+    // reference is the persisted calibration artifact when present
+    // (box-pinned; wrong on other hosts by construction, hence the
+    // source label), else this run's own min canary (factor 1.0 for
+    // the quietest pass).
     val canaryStr =
       if (canarySec.isEmpty) ""
       else {
-        val slowdown = canarySec.min / CanaryRefSec
+        val ref = canaryRefFromFile.getOrElse(canarySec.min)
+        val refSource = if (canaryRefFromFile.isDefined) "calibration_artifact" else "run_min"
+        val normTotal = results.map { case (n, raw) =>
+          samples.get(n) match {
+            case Some(ss) if ss.nonEmpty =>
+              ss.map { case (pass, sec) =>
+                val passCanary = canarySec(pass - 1)
+                sec * ref / math.max(passCanary, 1e-9)
+              }.min
+            case _ => raw
+          }
+        }.sum
         s""","canary_sec_per_pass":[${canarySec.map(v => f"$v%.3f").mkString(",")}]""" +
-          s""","canary_ref_sec":$CanaryRefSec""" +
-          s""","value_canary_normalized":${fmt(total / math.max(slowdown, 1e-9))}"""
+          s""","canary_ref_sec":$ref""" +
+          s""","canary_ref_source":"$refSource"""" +
+          s""","value_canary_normalized":${fmt(normTotal)}"""
       }
     val summary = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"agg":"min_of_${reps}_memo-cleared_passes","queries":{${sb.result()}}$failedStr$stealStr$canaryStr,"all_queries_in":"BENCH_DETAIL.json","memo_cold_in":"BENCH_COLD.json","sf":"$sfDir"}"""
     // the headline also lands in a file: the driver's stdout capture is

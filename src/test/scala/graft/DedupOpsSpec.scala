@@ -414,8 +414,17 @@ class DedupOpsSpec extends AnyFunSuite {
     val refined = SimilarityOps.knnGraphRefineRaw(emb, "vec_id", "embedding", 5, base)
     val r1 = recall(refined)
     info(f"refine recall@5: base $r0%.3f -> one round $r1%.3f")
+    // the INVARIANT is monotonicity (candidates are a superset, exact
+    // rerank can only improve per-query top-k); the measured LIFT
+    // (+0.045 on this cert corpus at the deliberately weak 2x6c16 base:
+    // 0.094 -> 0.139; +0.026 at the 1M probe's 2x6 base) is corpus- and
+    // config-dependent, so it is reported, not asserted (round-12
+    // advice: a lift threshold is brittle to any future cert-corpus or
+    // base-config change)
     assert(r1 >= r0, s"refinement must never lose recall: $r0 -> $r1")
-    assert(r1 > r0 + 0.01, s"refine round should lift recall measurably: $r0 -> $r1")
+    if (r1 <= r0 + 0.01)
+      info(f"NOTE: lift ${r1 - r0}%.4f below the historically measured +0.045 " +
+        "(not a failure; check corpus/base-config if unexpected)")
   }
 
   test("LSH config planner encodes the measured ProbeKnn laws") {
@@ -426,6 +435,11 @@ class DedupOpsSpec extends AnyFunSuite {
     // law #1: bucket count scales with N — the three certified grids'
     // bit-widths sit on the log2(N/occupancy) line (±1 bit)
     assert(SimilarityOps.planLshConfig(500, 64, 0.45, maxProbes = 1).bandBits === 6)
+    // the near-dup family's certified grid is the planner's own output
+    // (round-12 item 7: every vector-LSH call site planner-served) —
+    // same deployment contract VectorQueries.NearDupPlan requires
+    val nd = SimilarityOps.planLshConfig(500, 64, 0.36, maxProbes = 1)
+    assert(nd.bands === 6 && nd.bandBits === 6, nd.toString)
     assert(math.abs(SimilarityOps.planLshConfig(1000000L, 64, 0.9).bandBits - 16) <= 1)
     assert(math.abs(SimilarityOps.planLshConfig(5000000L, 64, 0.9).bandBits - 20) <= 1)
     // law #2: the neighborCos implied by the measured 5M 8x20 row
@@ -637,6 +651,25 @@ class DedupOpsSpec extends AnyFunSuite {
     // matches exact search (ProbePq maps the recall/cost curve:
     // 0.18 here at sf0.001, 0.28 at sf0.01, rising with M/K)
     assert(recall >= 0.1, s"PQ recall too low: $recall")
+  }
+
+  test("PQ topK with L2-assignment codebooks: same contract, recall above floor") {
+    val q = emb.filter(col("vec_id") < 10)
+    val c = emb.filter(col("vec_id") >= 10)
+    val brute = SimilarityOps.bruteForceTopK(q, c, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = SimilarityOps.pqTopK(q, c, "vec_id", "embedding", 5,
+      subspaces = 8, codebookSize = 16, learnIters = 1, dim = 64,
+      metric = "l2")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // identical output contract to the cosine chain: k rows per query,
+    // serve metric still cosine — only the quantizer's cell geometry
+    // switched (L2 cells keep magnitude structure; cosine cells are
+    // rays through the origin)
+    assert(pq.size === brute.size)
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    info(s"PQ-L2 recall@5 (M=8, K=16): $recall")
+    assert(recall >= 0.1, s"PQ-L2 recall too low: $recall")
   }
 
   test("brute-force topK returns k ordered neighbors per query") {

@@ -451,7 +451,15 @@ class PlanSpec extends AnyFunSuite {
     // rollup scan — re-aggregation of the MV file, never a lineitem
     // scan (the base table would appear as a second FileSourceScan).
     "q_epoch_shuffle_dist" -> "Sort>ShuffleExchange>RDDScan",
-    "q_mv_rewrite_avg" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan")
+    "q_mv_rewrite_avg" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan",
+    // round-13 (round-12 verdict item 5): the filter-subsumed rewrite
+    // must stay a single MV-file scan + output sort, exactly like its
+    // siblings — the structural test below additionally asserts the
+    // rebased predicate is PUSHED into that scan
+    // (the rewrite serves from the MV file and RE-AGGREGATES to the
+    // query's coarser grain after the rebased filter — same derivation
+    // shape as q_mv_rewrite_avg; the single FileSourceScan is the MV)
+    "q_mv_rewrite_filter" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan")
 
   test("golden plan shapes: top-10 most expensive batch queries don't drift") {
     val drifted = goldenShapes.toSeq.sortBy(_._1).flatMap { case (name, want) =>
@@ -473,7 +481,7 @@ class PlanSpec extends AnyFunSuite {
     * the absence of CartesianProduct / BroadcastNestedLoopJoin —
     * without failing on a stats-driven strategy flip.
     */
-  private def fingerprintInvariant(name: String): String = {
+  private def fingerprintInvariantOf(df: org.apache.spark.sql.DataFrame): String = {
     import org.apache.spark.sql.execution._
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     val equi = Set("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
@@ -494,9 +502,11 @@ class PlanSpec extends AnyFunSuite {
           else Nil
         keep ++ other.children.flatMap(walk)
     }
-    walk(SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
-      .mkString(">")
+    walk(df.queryExecution.executedPlan).mkString(">")
   }
+
+  private def fingerprintInvariant(name: String): String =
+    fingerprintInvariantOf(SparkEntry.queries(name)(spark, sf))
 
   /** Round-11/12 flagship pins (round-11 verdict item 7), strategy-
     * normalized: the LSH-graph family's joins are stats-elected BHJs at
@@ -516,6 +526,14 @@ class PlanSpec extends AnyFunSuite {
     // -> set-union -> exact rerank; every join equi)
     "q_knn_graph_mpw" -> "Window>WindowGroupLimit>WindowGroupLimit>HashAggregate>HashAggregate>EquiJoin>Generate>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>Generate>FileSourceScan",
     "q_ann_mpw" -> "Window>WindowGroupLimit>WindowGroupLimit>HashAggregate>HashAggregate>EquiJoin>Generate>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>Generate>FileSourceScan",
+    // round-13 (round-12 verdict item 5): the staged build's RETURNED
+    // plan is the merge — a union of the band-group partials' parquet
+    // scans deduped by max(cos) + re-ranked; a base-table FileSourceScan
+    // count change here means a group stopped being checkpointed.
+    // q_ann_opq pins the two-stage serve (rotated-ADC shortlist + exact
+    // rerank) built over the fitted-literal projection maps.
+    "q_knn_graph_staged" -> "Window>WindowGroupLimit>WindowGroupLimit>HashAggregate>HashAggregate>Union>FileSourceScan>FileSourceScan",
+    "q_ann_opq" -> "Window>WindowGroupLimit>EquiJoin>EquiJoin>Window>WindowGroupLimit>WindowGroupLimit>BroadcastNestedLoopJoin>FileSourceScan>FileSourceScan>FileSourceScan>FileSourceScan",
     "q_knn_graph_refine" -> "Window>WindowGroupLimit>WindowGroupLimit>EquiJoin>EquiJoin>HashAggregate>HashAggregate>Union>Window>WindowGroupLimit>WindowGroupLimit>EquiJoin>EquiJoin>HashAggregate>HashAggregate>EquiJoin>Generate>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>Generate>FileSourceScan>FileSourceScan>FileSourceScan>EquiJoin>Window>WindowGroupLimit>WindowGroupLimit>EquiJoin>EquiJoin>HashAggregate>HashAggregate>EquiJoin>Generate>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>Generate>FileSourceScan>FileSourceScan>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>EquiJoin>EquiJoin>HashAggregate>HashAggregate>EquiJoin>Generate>FileSourceScan>Window>WindowGroupLimit>WindowGroupLimit>Generate>FileSourceScan>FileSourceScan>FileSourceScan>FileSourceScan>FileSourceScan")
 
   test("golden invariant shapes: LSH/ANN flagships keep their structure") {
@@ -527,6 +545,28 @@ class PlanSpec extends AnyFunSuite {
     assert(drifted.isEmpty,
       "invariant plan shapes drifted — if intentional, paste into " +
         "goldenInvariantShapes:\n" + drifted.mkString("\n"))
+  }
+
+  test("q_stream_ann_wide batch kernel keeps q_ann_mpw's invariant shape") {
+    // the streaming serve's foreachBatch body IS q_ann_mpw's kernel
+    // (same lshKnnGraphRawMultiProbe call, same Mpw config) — pin the
+    // per-batch plan by building the kernel on the batch-equivalent
+    // static frame; the streaming query itself can't be fingerprinted
+    // (its returned frame is the sink read-back, and per-batch plans
+    // are planned inside the stream runner)
+    val emb = graft.Tables.embeddings(spark, sf)
+    val kernel = graft.ops.SimilarityOps.lshKnnGraphRawMultiProbe(
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 50),
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") >= 50),
+      "vec_id", "embedding", 10,
+      bands = graft.queries.VectorQueries.MpwBands,
+      bandBits = graft.queries.VectorQueries.MpwBandBits,
+      dim = 64,
+      probes = graft.queries.VectorQueries.MpwProbes,
+      bucketCap = graft.queries.VectorQueries.MpwCap)
+    assert(fingerprintInvariantOf(kernel) ===
+      goldenInvariantShapes("q_ann_mpw"),
+      "the streaming ANN serve's batch kernel drifted off q_ann_mpw's shape")
   }
 
   test("filter-subsumed MV rewrite: rebased filter over the MV scan, never the base") {
