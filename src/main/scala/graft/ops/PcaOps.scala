@@ -140,11 +140,15 @@ object PcaOps {
   }
 
   /** Top-m components by deflated power iteration: each component runs
-    * the same quantized multiply-normalize trajectory, with the raw
+    * the same quantized multiply-normalize trajectory, with the
     * iterate PARALLEL-orthogonalized against every already-found
-    * component each round (classical Gram–Schmidt on the O(dim) driver
-    * state — subtractions fold left-to-right so the oracle's
-    * `w - d0*v0 - d1*v1 - …` expression replays the exact arithmetic).
+    * component each round — classical Gram–Schmidt on the O(dim)
+    * driver state, applied TWICE per round with per-component axis
+    * starts (round-13: a single pass against the 1e-6-quantized basis
+    * plus the shared uniform start collapsed all late components at
+    * m=64 — see the in-loop comments; subtractions fold left-to-right
+    * so the oracle's `w - d0*v0 - d1*v1 - …` expression replays the
+    * exact arithmetic).
     * Scale posture is unchanged from [[topComponent]]: m·iters map-only
     * passes, each feeding a dim-bounded single-row aggregate; at deploy
     * scale the basis is fitted on a bounded sample and applied to the
@@ -168,8 +172,20 @@ object PcaOps {
       val muLit = array(mu.map(lit).toIndexedSeq: _*)
 
       val comps = scala.collection.mutable.ArrayBuffer[Array[Double]]()
-      for (_ <- 0 until m) {
-        var v = Array.fill(dim)(quant(1.0 / math.sqrt(dim.toDouble)))
+      for (t <- 0 until m) {
+        // Per-component start (round-13): component 0 keeps the uniform
+        // start (preserving every single-component trajectory); later
+        // components start from the axis vector e_{t mod dim}. The
+        // shared uniform start's mass inside the residual subspace
+        // VANISHES as t grows — measured at m=64: the true residual of
+        // the iterate fell below the ~t·1e-6 Gram–Schmidt leakage floor
+        // (from the quantized basis) and all late components collapsed
+        // onto span(earlier) with |<vi,vj>| ≈ 1 (tmp/probeann_r13b.log's
+        // 0.064 rotation-sanity row; ProbeRot). Axis starts keep the
+        // residual mass O(1) at every t.
+        var v =
+          if (t == 0) Array.fill(dim)(quant(1.0 / math.sqrt(dim.toDouble)))
+          else Array.tabulate(dim)(j => if (j == t % dim) 1.0 else 0.0)
         for (_ <- 1 to iters) {
           val scored = withV(centered(xc, muLit), v)
             .withColumn("s", expr("dot_product(c, v)"))
@@ -178,11 +194,23 @@ object PcaOps {
             (2 to dim).map(j => sum(col("s") * element_at(col("c"), j))): _*)
             .head()
           val w = Array.tabulate(dim)(wRow.getDouble)
-          // parallel Gram–Schmidt: all projections taken against the RAW
-          // iterate, then subtracted left-to-right in component order
-          val dots = comps.map(p => (0 until dim).map(j => w(j) * p(j)).sum)
-          val wo = Array.tabulate(dim) { j =>
-            comps.zip(dots).foldLeft(w(j)) { case (acc, (p, d)) => acc - d * p(j) }
+          // Gram–Schmidt, applied TWICE (Kahan/Parlett "twice is
+          // enough" — round-13): within a pass all projections are
+          // taken against the pass's incoming iterate, then subtracted
+          // left-to-right in component order (the oracle's
+          // `w - d0*v0 - d1*v1 - …` replays the exact arithmetic). One
+          // pass against a 1e-6-quantized basis leaves ~t·1e-6 of
+          // span(comps) leakage — fatal when the true residual is
+          // smaller (the m=64 collapse above); the second pass knocks
+          // the leakage down to second order regardless of conditioning.
+          var wo = w
+          val gsPasses = if (comps.isEmpty) 0 else 2
+          for (_ <- 1 to gsPasses) {
+            val cur = wo
+            val dots = comps.map(p => (0 until dim).map(j => cur(j) * p(j)).sum)
+            wo = Array.tabulate(dim) { j =>
+              comps.zip(dots).foldLeft(cur(j)) { case (acc, (p, d)) => acc - d * p(j) }
+            }
           }
           val norm = math.sqrt(wo.map(wj => wj * wj).sum)
           require(norm > 0,
@@ -244,16 +272,23 @@ object PcaOps {
     val v0 = java.lang.Double.toString(quant(1.0 / math.sqrt(dim.toDouble)))
     val chains = (0 until m).map { t =>
       val rounds = (1 to iters).map { k =>
+        // Gram–Schmidt TWICE (mirrors topComponents' round-13 fix):
+        // pass a takes all projections against the raw iterate w and
+        // subtracts left-to-right; pass b repeats against pass a's
+        // output. Both passes read the same `- (Σ src·vfp)·vfp` shape
+        // so the engine's foldLeft arithmetic replays exactly.
+        def gsPass(src: String, out: String): String = {
+          val subs = (0 until t).map { p =>
+            s"- (SELECT SUM(w2.w * v.vv) FROM $src w2 JOIN vf$p v USING (idx)) * a$p.vv"
+          }.mkString(" ")
+          val joins = (0 until t).map(p => s"JOIN vf$p a$p USING (idx)").mkString(" ")
+          s"""$out AS MATERIALIZED (
+             |  SELECT w.idx, w.w $subs AS w FROM $src w $joins)""".stripMargin
+        }
         val ortho =
           if (t == 0) s"o${t}_$k AS MATERIALIZED (SELECT idx, w FROM w${t}_$k)"
-          else {
-            val subs = (0 until t).map { p =>
-              s"- (SELECT SUM(w2.w * v.vv) FROM w${t}_$k w2 JOIN vf$p v USING (idx)) * a$p.vv"
-            }.mkString(" ")
-            val joins = (0 until t).map(p => s"JOIN vf$p a$p USING (idx)").mkString(" ")
-            s"""o${t}_$k AS MATERIALIZED (
-               |  SELECT w.idx, w.w $subs AS w FROM w${t}_$k w $joins)""".stripMargin
-          }
+          else gsPass(s"w${t}_$k", s"oa${t}_$k") + ",\n" +
+            gsPass(s"oa${t}_$k", s"o${t}_$k")
         s"""s${t}_$k AS MATERIALIZED (SELECT id, SUM(cv * vv) AS s
            |  FROM c JOIN v${t}_${k - 1} USING (idx) GROUP BY id),
            |w${t}_$k AS MATERIALIZED (SELECT c.idx, SUM(cv * s) AS w
@@ -263,7 +298,12 @@ object PcaOps {
            |  SELECT idx, ${q(s"w / sqrt((SELECT SUM(w*w) FROM o${t}_$k))")} AS vv
            |  FROM o${t}_$k)""".stripMargin
       }.mkString(",\n")
-      s"""v${t}_0 AS MATERIALIZED (SELECT idx, $v0 AS vv FROM mu),
+      // per-component start (mirrors topComponents): uniform for
+      // component 0, axis vector e_{t mod dim} after — 1-based idx
+      val startExpr =
+        if (t == 0) v0
+        else s"CASE WHEN idx = ${(t % dim) + 1} THEN 1.0 ELSE 0.0 END"
+      s"""v${t}_0 AS MATERIALIZED (SELECT idx, $startExpr AS vv FROM mu),
          |$rounds,
          |vf$t AS MATERIALIZED (SELECT idx, vv FROM v${t}_$iters)""".stripMargin
     }.mkString(",\n")
@@ -473,14 +513,23 @@ object PcaOps {
       sxx(j)(k) - mu(j) * sx(k) - mu(k) * sx(j) + n.toDouble * mu(j) * mu(k)
     }
     val comps = scala.collection.mutable.ArrayBuffer[Array[Double]]()
-    for (_ <- 0 until m) {
-      var v = Array.fill(dim)(quant(1.0 / math.sqrt(dim.toDouble)))
+    for (t <- 0 until m) {
+      // mirrors topComponents' round-13 fix exactly: axis starts for
+      // t > 0 and double Gram–Schmidt (see the batch path's comments)
+      var v =
+        if (t == 0) Array.fill(dim)(quant(1.0 / math.sqrt(dim.toDouble)))
+        else Array.tabulate(dim)(j => if (j == t % dim) 1.0 else 0.0)
       for (_ <- 1 to iters) {
         val w = Array.tabulate(dim)(j =>
           (0 until dim).foldLeft(0.0)((acc, k) => acc + cp(j)(k) * v(k)))
-        val dots = comps.map(p => (0 until dim).map(j => w(j) * p(j)).sum)
-        val wo = Array.tabulate(dim) { j =>
-          comps.zip(dots).foldLeft(w(j)) { case (acc, (p, d)) => acc - d * p(j) }
+        var wo = w
+        val gsPasses = if (comps.isEmpty) 0 else 2
+        for (_ <- 1 to gsPasses) {
+          val cur = wo
+          val dots = comps.map(p => (0 until dim).map(j => cur(j) * p(j)).sum)
+          wo = Array.tabulate(dim) { j =>
+            comps.zip(dots).foldLeft(cur(j)) { case (acc, (p, d)) => acc - d * p(j) }
+          }
         }
         val norm = math.sqrt(wo.map(wj => wj * wj).sum)
         require(norm > 0,

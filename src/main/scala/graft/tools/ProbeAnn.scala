@@ -117,6 +117,28 @@ object ProbeAnn {
           ("OPQ rotation -> PQ M=8 K=16, L2-assignment codebooks", t,
             (got & truth).size.toDouble / (nQ * k))
         }, {
+          // rotation SANITY row: exact brute-force on the ROTATED
+          // vectors. A full-rank orthonormal rotation preserves cosine
+          // exactly, so this row must read 1.000 against raw-space
+          // truth — if it does, the rotated-PQ collapse above is pure
+          // codebook geometry (quantization in the rotated basis), not
+          // a broken rotation; if it doesn't, the basis isn't the
+          // orthonormal map the OPQ rows assume and their recalls are
+          // measuring the wrong thing.
+          val (_, compsO) = graft.ops.PcaOps.topComponents(
+            emb, "vec_id", "embedding", 64, 2, 64)
+          val perm = (0 until 8).flatMap(s => (0 until 8).map(r => s + r * 8 + 1))
+          val projAll = graft.ops.PcaOps.transformWith(
+            emb, "vec_id", "embedding", 64, Array.fill(64)(0.0), compsO)
+            .select(col("vec_id"),
+              array(perm.map(i => col(s"pc$i")): _*).as("embedding"))
+          val pq2 = projAll.filter(col("vec_id") < 50)
+          val pc2 = projAll.filter(col("vec_id") >= 50)
+          val (_, t, got) = run("rot-brute", () =>
+            SimilarityOps.bruteForceTopK(pq2, pc2, "vec_id", "embedding", k))
+          ("SANITY exact brute on rotated vectors (must be ~1.0)", t,
+            (got & truth).size.toDouble / (nQ * k))
+        }, {
           val (_, t, got) = run("ivfpq", () =>
             SimilarityOps.ivfPqTopK(queries, corpus, "vec_id", "embedding", k,
               nCentroids = 16, nProbe = 4, ivfIters = 2,
