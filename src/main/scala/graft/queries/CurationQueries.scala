@@ -19,6 +19,44 @@ object CurationQueries {
     * a~c pair) land in ONE group in both engines, which pairwise
     * checks alone cannot certify.
     */
+  /** Per-process memo of the resolved near-dup GROUP TABLE at the 0.8
+    * threshold, materialized to a work-dir parquet and keyed on the
+    * documents fixture's content fingerprint (round-13, guide §1.2 /
+    * §2.4 — remove repeated passes): [[q_dedup_groups]],
+    * [[q_canonical_docs]], [[q_dup_cluster_sizes]] and
+    * [[q_soft_dedup_sample]] all consume the IDENTICAL
+    * `dedupGroups(documents, 0.8)` resolution (shingle → MinHash →
+    * LSH pairs → connected components), and each was re-running the
+    * full pipeline — exactly as a deployed curation pipeline
+    * materializes ONE group table and serves every downstream
+    * consumer from it. The lateDrains/fittedBasis accounting: Bench
+    * clears the memo per pass, so each pass re-pays the resolution
+    * once at its first consumer; BENCH_COLD probes each consumer's
+    * standalone cold cost. [[q_dedup_groups_dist]] deliberately stays
+    * on a live `dedupGroups` call — its whole purpose is to TIME the
+    * distributed pointer-jumping path against the same oracle.
+    */
+  private val dedupGroupsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  graft.ops.Memos.register(() => dedupGroupsCache.clear(),
+    "q_dedup_groups", "q_canonical_docs", "q_dup_cluster_sizes",
+    "q_soft_dedup_sample")
+
+  private def sharedDedupGroups(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val path = dedupGroupsCache.computeIfAbsent(
+      s"$dir#${graft.ops.Memos.dirFingerprint(s"$dir/documents.parquet")}#0.8",
+      { _ =>
+        val out = graft.streaming.StreamingOps.tempSinkDir("graft_dedup_groups_")
+        DedupOps.dedupGroups(Tables.documents(spark, dir), "doc_id", "text", 0.8)
+          .write.mode("overwrite").parquet(out)
+        out
+      })
+    spark.read.parquet(path)
+  }
+
   val q_dedup_groups = QueryDef(
     "q_dedup_groups", {
       s"""WITH RECURSIVE ${DedupOps.minhashPairsSqlCtes(0.8)},
@@ -36,7 +74,7 @@ object CurationQueries {
          |FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
-    DedupOps.dedupGroups(Tables.documents(spark, dir), "doc_id", "text", 0.8)
+    sharedDedupGroups(spark, dir)
       .orderBy(col("doc_id"))
   }
 
@@ -653,8 +691,7 @@ object CurationQueries {
          |FROM grps g JOIN sizes s ON s.group_id = g.group_id
          |ORDER BY g.doc_id""".stripMargin
     }) { (spark, dir) =>
-    val groups = DedupOps.dedupGroups(Tables.documents(spark, dir),
-      "doc_id", "text", 0.8)
+    val groups = sharedDedupGroups(spark, dir)
       .select(col("doc_id"), col("group_id"))
     val sizes = groups.groupBy(col("group_id")).agg(count(lit(1)).as("group_size"))
     val rate = floor(lit(1.0) / sqrt(col("group_size").cast("double"))
@@ -881,7 +918,7 @@ object CurationQueries {
          |FROM g GROUP BY 1 ORDER BY group_id""".stripMargin
     }) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    val groups = graft.ops.DedupOps.dedupGroups(docs, "doc_id", "text", 0.8)
+    val groups = sharedDedupGroups(spark, dir)
     groups
       .join(docs.select(col("doc_id"),
         least(col("n_chars"), lit(99999L)).as("nc")), "doc_id")
@@ -1146,7 +1183,7 @@ object CurationQueries {
          |  CAST(SUM(c) AS BIGINT) AS n_docs
          |FROM sizes GROUP BY 1 ORDER BY cluster_size""".stripMargin
     }) { (spark, dir) =>
-    DedupOps.dedupGroups(Tables.documents(spark, dir), "doc_id", "text", 0.8)
+    sharedDedupGroups(spark, dir)
       .groupBy(col("group_id")).agg(count(lit(1)).as("c"))
       .groupBy(col("c").as("cluster_size"))
       .agg(count(lit(1)).as("n_clusters"), sum(col("c")).as("n_docs"))

@@ -153,7 +153,18 @@ object ScaleQueries {
       countDistinct(col(c)).as(s"d_$c")))
     val stack = ProfileCols
       .map(c => s"'$c', r_$c, coalesce(n_$c, 0L), d_$c").mkString(", ")
-    li.agg(aggs.head, aggs.tail: _*)
+    // toy-scale inputs arrive as ONE unsplittable row group, which
+    // serializes the 11-replica Expand + partial aggregate on a single
+    // thread (round-13, measured ~4 s of the 5 s bench row; the sketch
+    // sibling has carried the same spread since round 10). Fan the
+    // compact raw columns across the cores first; at scale the scan
+    // already yields >= parallelism partitions and this is a no-op.
+    // Aggregation is order-free, so results are unchanged.
+    val par = spark.sparkContext.defaultParallelism
+    val raw = li.select(ProfileCols.map(col): _*)
+    val spread =
+      if (raw.rdd.getNumPartitions < par) raw.repartition(par) else raw
+    spread.agg(aggs.head, aggs.tail: _*)
       .selectExpr(s"stack(${ProfileCols.length}, $stack) " +
         "AS (col_name, n_rows, n_nulls, n_distinct)")
       .orderBy(col("col_name"))

@@ -424,11 +424,34 @@ object TextQueries {
     * same count→argmax→replace round. Per round the cluster does one
     * explode + hash aggregate over DISTINCT words and the driver
     * holds one 3-field row — the learned artifact itself. */
+  /** Per-process memo of the learned BPE merge table, keyed on the
+    * documents fixture's content fingerprint — "fit once, serve every
+    * consumer" (round-13, guide §1.2): [[q_bpe_merges]] publishes the
+    * learned artifact and [[q_bpe_fertility]] re-encodes the vocab with
+    * it, and each was independently re-running the 10-round distributed
+    * learn (~20 jobs). Either query populates the entry; both stay
+    * independently runnable; the learn itself is unchanged (Bench
+    * clears the memo per pass, so each pass re-pays the fill once —
+    * the fittedBasis/lateDrains accounting).
+    */
+  private val bpeMergesCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[graft.ops.BpeOps.Merge]]()
+
+  graft.ops.Memos.register(() => bpeMergesCache.clear(),
+    "q_bpe_merges", "q_bpe_fertility")
+
+  private def learnedMerges(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[graft.ops.BpeOps.Merge] =
+    bpeMergesCache.computeIfAbsent(
+      s"$dir#${graft.ops.Memos.dirFingerprint(s"$dir/documents.parquet")}#10", { _ =>
+        graft.ops.BpeOps.learnMerges(
+          Tables.documents(spark, dir), "text", rounds = 10)
+      })
+
   val q_bpe_merges = QueryDef(
     "q_bpe_merges",
     graft.ops.BpeOps.bpeOracleSql("text", rounds = 10)) { (spark, dir) =>
-    val merges = graft.ops.BpeOps.learnMerges(
-      Tables.documents(spark, dir), "text", rounds = 10)
+    val merges = learnedMerges(spark, dir)
     spark.createDataFrame(merges).toDF("rank", "s1", "s2", "cnt")
       .withColumn("rank", col("rank").cast("long"))
       .orderBy(col("rank"))
@@ -446,7 +469,7 @@ object TextQueries {
     "q_bpe_fertility",
     graft.ops.BpeOps.bpeFertilityOracleSql("text", rounds = 10)) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
-    val merges = graft.ops.BpeOps.learnMerges(docs, "text", rounds = 10)
+    val merges = learnedMerges(spark, dir)
     val rendered = graft.ops.BpeOps.wordFreqs(docs, "text")
       .select(regexp_replace(col("word"), "(.)", "$1|").as("s"), col("freq"))
     graft.ops.BpeOps.applyMerges(rendered, merges)

@@ -2052,34 +2052,63 @@ object VectorQueries {
     * PageRank bounded-collect class). Oracle replays the identical
     * quantized trajectory as an unrolled CTE chain.
     */
-  /** Per-process memo of the fitted PCA bases keyed on
-    * (SF dir, dim, iters, m) — "fit once, serve every consumer": the
-    * iterative power fit is the expensive half of each PCA query, and
-    * the project/variance pair (m=1, 8 iters) and the transform/outlier
-    * pair (m=4, 6 iters) each re-derive the IDENTICAL deterministic
-    * basis, exactly as a deployed pipeline materializes one basis table
-    * for all downstream transforms. Any sharing query populates the
-    * entry; all stay independently runnable, results are bit-identical
-    * to refitting (the trajectory is deterministic).
+  /** Per-process memo of the corpus RAW MOMENTS (n, Σx, Σxxᵀ) keyed on
+    * (SF dir, dim) — "scan once, serve every consumer": the moments are
+    * ITERATION-INDEPENDENT, so the project/variance pair (m=1, 8
+    * iters), the transform/outlier pair (m=4, 6 iters) and the OPQ
+    * rotation (m=8, 2 iters) all derive their bases from the SAME
+    * single-pass aggregate, exactly as a deployed pipeline materializes
+    * one moments table for all downstream transforms.
+    *
+    * Round-13 optimization (guide §1.2: remove passes before tuning
+    * anything else): the previous fit ran the power trajectory AS
+    * DISTRIBUTED PASSES — m·iters scans of the cached corpus (24 jobs
+    * for the outlier/transform basis, 16 for OPQ's) — when the
+    * identical quantized trajectory is derivable from one
+    * [[graft.functions.VectorMoments]] pass (d²+d+1 doubles of driver
+    * state) followed by O(m·iters·d²) driver flops
+    * ([[graft.ops.PcaOps.componentsFromMoments]]: the batch path's
+    * `Σ_rows c·(c·v)` regrouped as `C'·v`, a float-association change
+    * the per-round 1e-6 quantization absorbs). Equality with the batch
+    * trajectory is pinned bit-exact for every (iters, m) config used
+    * here (PcaOpsSpec "moments-derived trajectory equals ..."), and the
+    * streaming twins (q_stream_pca / q_stream_outliers_pca) have
+    * certified the moments-derived basis against the IDENTICAL DuckDB
+    * oracles since round 9. The oracles replay the batch trajectory
+    * unchanged.
     */
-  private val basisCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Array[Double], Array[Array[Double]])]()
+  private val momentsCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Array[Double], Array[Array[Double]])]()
 
-  graft.ops.Memos.register(() => basisCache.clear(),
+  graft.ops.Memos.register(() => momentsCache.clear(),
     "q_pca_project", "q_pca_variance", "q_pca_transform",
     "q_embed_outliers_pca", "q_ann_opq")
+
+  private def rawMoments(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      dim: Int): (Long, Array[Double], Array[Array[Double]]) = {
+    // key on the fixture's CONTENT fingerprint, not the bare dir path:
+    // a rewrite under the same path must be a cache miss, not silently
+    // stale moments (round-9 verdict item 3)
+    val fp = graft.ops.Memos.dirFingerprint(s"$dir/embeddings.parquet")
+    momentsCache.computeIfAbsent(s"$dir#$fp#$dim", { _ =>
+      // VectorMoments skips NULL / wrong-dim / null-element rows — the
+      // same contract as the PCA scan filter, so n matches the batch fit
+      val m = Tables.embeddings(spark, dir)
+        .agg(graft.functions.VectorMoments(col("embedding"), dim).as("m"))
+        .head().getSeq[Double](0)
+      val n = m(0).toLong
+      val sx = Array.tabulate(dim)(j => m(1 + j))
+      val sxx = Array.tabulate(dim, dim)((j, k) => m(1 + dim + j * dim + k))
+      (n, sx, sxx)
+    })
+  }
 
   private def fittedBasis(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       dim: Int, iters: Int, m: Int): (Array[Double], Array[Array[Double]]) = {
-    // key on the fixture's CONTENT fingerprint, not the bare dir path:
-    // a rewrite under the same path must be a cache miss, not a silent
-    // stale basis (round-9 verdict item 3)
-    val fp = graft.ops.Memos.dirFingerprint(s"$dir/embeddings.parquet")
-    basisCache.computeIfAbsent(s"$dir#$fp#$dim#$iters#$m", { _ =>
-      graft.ops.PcaOps.topComponents(
-        Tables.embeddings(spark, dir), "vec_id", "embedding", dim, iters, m)
-    })
+    val (n, sx, sxx) = rawMoments(spark, dir, dim)
+    graft.ops.PcaOps.componentsFromMoments(n, sx, sxx, dim, iters, m)
   }
 
   val q_pca_project = QueryDef(

@@ -13,8 +13,12 @@ object ProbeQuery {
     val reps = args.collectFirst { case s if s.startsWith("reps=") => s.drop(5).toInt }.getOrElse(3)
     val sfDir = args.collectFirst { case s if s.startsWith("sf=") => s.drop(3) }
       .getOrElse("/root/testdata/sf0.1")
-    val names = args.filterNot(s => s.startsWith("reps=") || s.startsWith("sf=")).toSeq
-    require(names.nonEmpty, "usage: ProbeQuery <query...> [reps=N] [sf=DIR]")
+    // memoclear: replicate Bench's per-pass accounting (memos cleared at
+    // every rep boundary, so each rep re-pays each memo's fill cost once)
+    val memoClear = args.contains("memoclear")
+    val names = args.filterNot(s =>
+      s.startsWith("reps=") || s.startsWith("sf=") || s == "memoclear").toSeq
+    require(names.nonEmpty, "usage: ProbeQuery <query...> [reps=N] [sf=DIR] [memoclear]")
     val spark = graft.GraftSession.local("32", "ERROR")
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
@@ -23,6 +27,7 @@ object ProbeQuery {
     val times = scala.collection.mutable.Map[String, Vector[Double]]()
       .withDefaultValue(Vector.empty)
     for (rep <- 1 to reps; name <- names) {
+      if (memoClear && name == names.head) graft.ops.Memos.clearAll()
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9

@@ -98,6 +98,16 @@ class PcaOpsSpec extends AnyFunSuite {
     compsB.zip(compsM).zipWithIndex.foreach { case ((b, mm), t) =>
       assert(mm.sameElements(b), s"deflated component ${t + 1} diverged")
     }
+    // round-13: VectorQueries.fittedBasis now derives EVERY consumer's
+    // basis from the single-pass moments (guide §1.2 — the m·iters
+    // distributed-pass fit removed). Pin the remaining config in use:
+    // OPQ's (iters=2, m=8) rotation basis.
+    val (muB8, compsB8) = PcaOps.topComponents(emb, "vec_id", "embedding", d, 2, 8)
+    val (muM8, compsM8) = PcaOps.componentsFromMoments(n, sx, sxx, d, 2, 8)
+    assert(muM8.sameElements(muB8))
+    compsB8.zip(compsM8).zipWithIndex.foreach { case ((b, mm), t) =>
+      assert(mm.sameElements(b), s"OPQ-config component ${t + 1} diverged")
+    }
   }
 
   /** The WHY of q_embed_outliers_pca: a correlation-breaking outlier —
