@@ -35,9 +35,13 @@ object BpeOps {
     * frequency-weighted pair count that won the round. */
   final case class Merge(rank: Int, s1: String, s2: String, cnt: Long)
 
-  /** The `[a-z]+`-word frequency table a BPE fit consumes. */
+  /** The `[a-z]+`-word frequency table a BPE fit consumes. Input rows
+    * are spread across cores first ([[Reuse.spreadToCores]]): the
+    * tokenize + explode + regex filter + partial count otherwise run
+    * on the single-row-group scan's one task (round-13). */
   def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(TextOps.words(col(textCol))).as("word"))
+    Reuse.spreadToCores(docs.select(col(textCol).as("t")))
+      .select(explode(TextOps.words(col("t"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 

@@ -81,8 +81,21 @@ object DedupOps {
     // hash values are identical (TextOps.polyHash algebra), only the
     // evaluation strategy changes
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(idCol).as("id"),
-      explode(expr(s"shingle_hashes($textCol, $ShingleN)")).as("h"))
+    // round-13 (guide §2.5 input skew): cert-scale documents arrive as
+    // ONE unsplittable row group, so the rolling-hash + explode + the
+    // df-count partial aggregate fused above them all ran on a single
+    // task. Fan the compact (id, text) rows across the cores first — a
+    // no-op at scale, where the scan already yields >= parallelism
+    // splits. Skipped for streaming frames (no .rdd; micro-batch
+    // sources partition by file).
+    val src = docs.select(col(idCol).as("id"), col(textCol).as("t"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (!docs.isStreaming && src.rdd.getNumPartitions < par)
+        src.repartition(par)
+      else src
+    spread.select(col("id"),
+      explode(expr(s"shingle_hashes(t, $ShingleN)")).as("h"))
   }
 
   def shingleTableSql(table: String, idCol: String, textCol: String): String = {

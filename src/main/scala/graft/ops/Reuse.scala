@@ -45,6 +45,24 @@ object Reuse {
 
   def materialized(df: DataFrame): DataFrame = materializedHandle(df)._1
 
+  /** Round-robin a small scan across the cores BEFORE heavy per-row
+    * work (tokenization, shingle hashing, explode fan-out, broadcast
+    * probes): cert-scale inputs are single-row-group parquet files, so
+    * everything fused above the first exchange otherwise runs on ONE
+    * task (round-13, guide §2.5 input skew). A no-op at scale — a real
+    * table's scan already yields >= parallelism splits — and a no-op
+    * for streaming frames (micro-batch sources partition by file; .rdd
+    * is unavailable). Row order is not changed semantically: callers
+    * are aggregations/joins, which are order-free.
+    */
+  def spreadToCores(df: DataFrame): DataFrame = {
+    if (df.isStreaming) df
+    else {
+      val par = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    }
+  }
+
   /** The repo's float-determinism grid (PERF.md): floor-quantize to
     * 1e-6 with +0.5 — the SAME IEEE op sequence the oracle SQL renders
     * (`FLOOR(x * 1000000 + 0.5) / 1000000.0`). Single source for every

@@ -734,7 +734,10 @@ object CurationQueries {
          |FROM contrib GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
-    val docsWs = Tables.documents(spark, dir)
+    // spread first: tokenization + the bigram explode otherwise run
+    // twice on one task (c2 build + probe side; round-13)
+    val docsWs = graft.ops.Reuse.spreadToCores(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), TextOps.words(col("text")).as("ws"))
       .filter(size(col("ws")) >= 2) // sequence(1, 0) would count DOWN
     val bg = docsWs.select(col("doc_id"),

@@ -279,9 +279,14 @@ object ScaleQueries {
       |FROM urgent u JOIN pts p ON p.d >= u.d0 AND p.d < u.d0 + 3
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
     val epoch = to_date(lit("1970-01-01"))
-    val pts = Tables.lineitem(spark, dir).select(
+    // round-13: the single-row-group lineitem scan ran the broadcast
+    // probe + partial aggregate of all 600k points on ONE task; spread
+    // the 2-column point rows first (no-op at scale — guide §2.5)
+    val par = spark.sparkContext.defaultParallelism
+    val pts0 = Tables.lineitem(spark, dir).select(
       datediff(to_date(col("l_shipdate")), epoch).cast("long").as("d"),
       col("l_quantity"))
+    val pts = if (pts0.rdd.getNumPartitions < par) pts0.repartition(par) else pts0
     val urgent = Tables.orders(spark, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"),

@@ -253,7 +253,10 @@ object TextQueries {
     // corpus size as a broadcast 1-row cross join (exactly the oracle's
     // `CROSS JOIN n` shape) — no driver-side count() action, one job
     val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
-    val tf = docs
+    // spread first: tokenize + explode + partial tf count otherwise run
+    // on the single-row-group scan's one task (round-13)
+    val tf = graft.ops.Reuse.spreadToCores(
+        docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
@@ -502,7 +505,10 @@ object TextQueries {
          |WHERE c_ab >= 5
          |ORDER BY lift DESC, w1, w2 LIMIT 20""".stripMargin
     }) { (spark, dir) =>
-    val docsWs = Tables.documents(spark, dir)
+    // spread first: tokenization feeds TWO materialized explodes
+    // (unigram + bigram), both otherwise single-task (round-13)
+    val docsWs = graft.ops.Reuse.spreadToCores(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), graft.ops.TextOps.words(col("text")).as("ws"))
     val toks = graft.ops.Reuse.materialized(
       docsWs.select(explode(col("ws")).as("w")))

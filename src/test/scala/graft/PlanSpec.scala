@@ -389,14 +389,23 @@ class PlanSpec extends AnyFunSuite {
     "q_ann_index" -> "Sort>ShuffleExchange>Window>WindowGroupLimit>Sort>ShuffleExchange>WindowGroupLimit>Sort>BroadcastNestedLoopJoin>FileSourceScan>BroadcastExchange>FileSourceScan",
     "q_asof_tolerance_native" -> "Sort>ShuffleExchange>AsofJoin>Sort>ShuffleExchange>FileSourceScan>Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan",
     "q_basket_pairs" -> "TakeOrderedAndProject>BroadcastHashJoin>BroadcastHashJoin>BroadcastNestedLoopJoin>HashAggregate>ShuffleExchange>HashAggregate>SortMergeJoin>Sort>ShuffleExchange>RDDScan>Sort>ShuffleExchange>RDDScan>BroadcastExchange>HashAggregate>ShuffleExchange>HashAggregate>HashAggregate>ShuffleExchange>HashAggregate>RDDScan>BroadcastExchange>HashAggregate>ShuffleExchange>HashAggregate>RDDScan>BroadcastExchange>HashAggregate>ShuffleExchange>HashAggregate>RDDScan",
-    "q_bpe_fertility" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>HashAggregate>ShuffleExchange>HashAggregate>Generate>FileSourceScan",
+    // round-13: RoundRobin Exchange below the tokenize+explode — the
+    // single-row-group scan ran it all on one task (BpeOps.wordFreqs
+    // spreadToCores; no-op at scale)
+    "q_bpe_fertility" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>HashAggregate>ShuffleExchange>HashAggregate>Generate>ShuffleExchange>FileSourceScan",
     "q_bpe_merges" -> "Sort>ShuffleExchange>LocalTableScan",
     "q_communities" -> "Sort>ShuffleExchange>Window>Sort>ShuffleExchange>RDDScan",
     "q_dedup_groups_dist" -> "Sort>ShuffleExchange>SortMergeJoin>Sort>ShuffleExchange>FileSourceScan>Sort>ShuffleExchange>RDDScan",
-    "q_interval_join" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>BroadcastHashJoin>FileSourceScan>BroadcastExchange>Generate>FileSourceScan",
+    // round-13: RoundRobin Exchange on the point side — the
+    // single-row-group scan ran the broadcast probe + partial aggregate
+    // on one task (see ScaleQueries.q_interval_join; no-op at scale)
+    "q_interval_join" -> "Sort>ShuffleExchange>HashAggregate>ShuffleExchange>HashAggregate>BroadcastHashJoin>ShuffleExchange>FileSourceScan>BroadcastExchange>Generate>FileSourceScan",
     "q_pagerank" -> "Sort>ShuffleExchange>RDDScan",
     "q_table_checksum" -> "Sort>Union>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan>HashAggregate>ShuffleExchange>HashAggregate>FileSourceScan",
-    "q_table_profile" -> "Sort>Generate>HashAggregate>ShuffleExchange>HashAggregate>HashAggregate>ShuffleExchange>HashAggregate>Expand>FileSourceScan",
+    // round-13: RoundRobin Exchange below the Expand — the single-file
+    // scan serialized the 11-replica partial aggregate on one task
+    // (see ScaleQueries.q_table_profile; a no-op at scale)
+    "q_table_profile" -> "Sort>Generate>HashAggregate>ShuffleExchange>HashAggregate>HashAggregate>ShuffleExchange>HashAggregate>Expand>ShuffleExchange>FileSourceScan",
     "q_table_profile_sketch" -> "Sort>ShuffleExchange>SortMergeJoin>Sort>ShuffleExchange>RDDScan>Sort>HashAggregate>ShuffleExchange>HashAggregate>Generate>RDDScan",
     // round-8 interpolation join: the DEFINING property is that the
     // second AsofJoin sits DIRECTLY on the first (no exchange, no
