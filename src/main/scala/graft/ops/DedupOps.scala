@@ -467,13 +467,16 @@ object DedupOps {
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     val fp = GraftColumnBridge.column(graft.functions.SimHashFp(
-      GraftColumnBridge.expression(col(textCol)), SimBits))
-    docs
+      GraftColumnBridge.expression(col("t")), SimBits))
+    // spread first (round-13): the per-doc fingerprint vote loop
+    // otherwise runs on the single-row-group scan's one task
+    Reuse.spreadToCores(docs
       // token-less docs are outside the fingerprint domain (the
       // algebraic form and the oracle's unnest-based CTEs both drop
       // them); trim != '' is the codegen'd equivalent of words > 0
       .filter(trim(col(textCol)) =!= "")
-      .select(col(idCol).as("id"), fp.as("simhash"))
+      .select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), fp.as("simhash"))
   }
 
   /** Near-duplicate pairs with Hamming distance <= maxHamming, found by
@@ -846,8 +849,11 @@ object DedupOps {
     */
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = SegWords
-    val segs = docs
-      .select(col(idCol).as("doc_id"), TextOps.words(col(textCol)).as("ws"))
+    // spread first (round-13): tokenize + segment explode otherwise
+    // run on the single-row-group scan's one task
+    val segs = Reuse.spreadToCores(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("t")))
+      .select(col("doc_id"), TextOps.words(col("t")).as("ws"))
       .filter(size(col("ws")) > 0)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, cast(ceil(size(ws) / $w.0) as int) - 1),
@@ -932,9 +938,11 @@ object DedupOps {
       threshold: Double): DataFrame = {
     val sh = Reuse.materialized(discriminativeShingles(docs, idCol, textCol))
     val cand = lshCandidatePairs(sigFromShingles(sh))
-    val tf = Reuse.materialized(docs
-      .select(col(idCol).as("id"),
-        explode(TextOps.wordHashes(col(textCol))).as("w"))
+    // spread first (round-13): the word-hash explode + partial tf
+    // count otherwise run on the single-row-group scan's one task
+    val tf = Reuse.materialized(Reuse.spreadToCores(
+        docs.select(col(idCol).as("id"), col(textCol).as("t")))
+      .select(col("id"), explode(TextOps.wordHashes(col("t"))).as("w"))
       .groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf")))
     val tot = tf.groupBy(col("id")).agg(sum(col("tf")).as("t"))
     cand

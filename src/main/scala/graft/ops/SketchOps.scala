@@ -315,10 +315,14 @@ object SketchOps {
     // tokenize, dominate). The sketch build side explodes primitive
     // hashes (word_hashes), not tokens — only the exact-top-k
     // read-back needs the strings.
-    val words = docs.select(
-      explode(TextOps.words(col(textCol))).as("w"))
-    val hashes = docs.select(
-      explode(TextOps.wordHashes(col(textCol))).as("wh"))
+    // spread first (round-13): both tokenize+explode passes (sketch
+    // build + exact read-back) otherwise run on the single-row-group
+    // scan's one task
+    val spread = Reuse.spreadToCores(docs.select(col(textCol).as("t")))
+    val words = spread.select(
+      explode(TextOps.words(col("t"))).as("w"))
+    val hashes = spread.select(
+      explode(TextOps.wordHashes(col("t"))).as("wh"))
     cmsReadback(cmsSketchFromHashes(hashes), words, topK)
   }
 

@@ -496,7 +496,10 @@ object CurationQueries {
          |FROM contrib GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin
     }) { (spark, dir) =>
-    val toks = Tables.documents(spark, dir)
+    // spread first (round-13): tokenize + explode feed BOTH the vocab
+    // build and the contribution join, each otherwise single-task
+    val toks = graft.ops.Reuse.spreadToCores(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), explode(TextOps.words(col("text"))).as("w"))
     // materialized: the total-tokens branch would otherwise re-run the
     // corpus explode+groupBy (vocab is vocabulary-sized — tiny)
